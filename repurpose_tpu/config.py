@@ -1,0 +1,220 @@
+"""Typed configuration system.
+
+Loads the reference's YAML schema (``/root/reference/configs/Repurpose.yaml`` —
+sections ``train_dataset / val_dataset / test_dataset / model / train /
+distributed / test_cfg``) into validated dataclasses, so a user of the
+reference can point this framework at the same config file unchanged.
+
+TPU-specific knobs (mesh axes, length buckets, compute dtype) have defaults
+chosen for v5e and may be overridden with an optional ``tpu:`` section.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+import yaml
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    """Paths for one split (reference: configs/Repurpose.yaml:1-21)."""
+
+    label_path: str = ""
+    video_path: str = ""
+    audio_path: str = ""
+    text_path: str = ""
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """MMCT architecture (reference: models/MMCTransformer.py:26-96).
+
+    ``text_num_layers`` / ``cross_num_layers`` are accepted for config
+    compatibility; like the reference (MMCTransformer.py:26, which accepts but
+    never uses them), the shipped concat-fusion model ignores them.
+    """
+
+    vis_dim: int = 512
+    aud_dim: int = 2048
+    text_dim: int = 384
+    d_model: int = 512
+    self_num_layers: int = 16
+    text_num_layers: int = 3
+    cross_num_layers: int = 3
+    num_heads: int = 8
+    d_ff: int = 2048
+    hidden_dim: int = 256
+    dropout: float = 0.1
+    max_len: int = 5000
+    # TPU-native additions (not in the reference schema):
+    compute_dtype: str = "bfloat16"  # activations; params stay float32
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
+    remat: bool = False  # jax.checkpoint each encoder layer
+
+    @property
+    def concat_dim(self) -> int:
+        return self.vis_dim + self.aud_dim + self.text_dim
+
+    def __post_init__(self) -> None:
+        if self.d_model % self.num_heads != 0:
+            raise ValueError(
+                f"d_model={self.d_model} not divisible by num_heads={self.num_heads}"
+            )
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"bad compute_dtype: {self.compute_dtype}")
+        if self.attention_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(f"bad attention_impl: {self.attention_impl}")
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: configs/Repurpose.yaml:33-44)."""
+
+    seed: int = 1234
+    lr: float = 1e-3
+    epochs: int = 50
+    weight_decay: float = 1e-4
+    warmup_epochs: int = 0
+    save_epochs: int = 5
+    batch_size: int = 6
+    eval_freq: int = 1
+    intra_epoch_eval_freq: int = 50
+    # TPU-native additions:
+    buckets: tuple[int, ...] = (256, 512, 1024, 2048)
+    """Static sequence-length buckets; each batch is padded to the smallest
+    bucket >= its longest sample, so XLA compiles one program per bucket
+    (replaces the reference's pad-to-batch-max at dataset/RepurposeClip.py:449-533)."""
+    loss_norm: str = "config_batch_size"
+    """"config_batch_size" reproduces the reference quirk of dividing the summed
+    focal loss by the *configured* batch size even for ragged final batches
+    (main.py:331); "batch_size" divides by the actual batch size."""
+    reg_loss_weight: float = 0.0
+    """Weight on the DIoU boundary-regression loss. The reference defines
+    ctr_diou_loss_1d (models/losses.py:56) but trains with cls loss only
+    (main.py:664 'Regression loss removed'); 0.0 reproduces that."""
+
+    def __post_init__(self) -> None:
+        if not self.buckets or list(self.buckets) != sorted(set(self.buckets)):
+            raise ValueError(f"buckets must be sorted unique, got {self.buckets}")
+        if self.loss_norm not in ("config_batch_size", "batch_size"):
+            raise ValueError(f"bad loss_norm: {self.loss_norm}")
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout. Replaces the reference's MultiGPUStrategy
+    (utils/distributed.py:242-353): the single/dp/ddp strategy zoo collapses
+    into one ``jax.sharding.Mesh``; -1 means "all remaining devices"."""
+
+    data: int = -1
+    model: int = 1
+    seq: int = 1
+
+    def axis_sizes(self, n_devices: int) -> tuple[int, int, int]:
+        sizes = [self.data, self.model, self.seq]
+        n_fixed = 1
+        free = None
+        for i, s in enumerate(sizes):
+            if s == -1:
+                if free is not None:
+                    raise ValueError("only one mesh axis may be -1")
+                free = i
+            else:
+                n_fixed *= s
+        if free is not None:
+            if n_devices % n_fixed != 0:
+                raise ValueError(
+                    f"{n_devices} devices not divisible by fixed axes {n_fixed}"
+                )
+            sizes[free] = n_devices // n_fixed
+        if sizes[0] * sizes[1] * sizes[2] != n_devices:
+            raise ValueError(
+                f"mesh {tuple(sizes)} does not cover {n_devices} devices"
+            )
+        return tuple(sizes)  # type: ignore[return-value]
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Inference/decode settings (reference: configs/Repurpose.yaml:52-61)."""
+
+    pre_nms_topk: int = 1000
+    pre_nms_thresh: float = 0.5
+    duration_thresh: float = 10.0
+    duration_thresh_max: float = 90.0
+    max_seg_per_min: float = 0.3
+    nms_sigma: float = 0.5
+    min_score: float = 0.01
+
+
+@dataclass(frozen=True)
+class Config:
+    train_dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    val_dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    test_dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    test_cfg: TestConfig = field(default_factory=TestConfig)
+
+    def to_dict(self) -> dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+
+def _build(cls, raw: Mapping[str, Any], *, extra_keys: Sequence[str] = ()):
+    """Construct a dataclass from a raw mapping, ignoring listed extra keys and
+    erroring on unknown ones (typo safety the reference's raw-dict config lacks)."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(raw) - names - set(extra_keys)
+    if unknown:
+        raise ValueError(f"unknown keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {k: v for k, v in raw.items() if k in names}
+    if "buckets" in kwargs and kwargs["buckets"] is not None:
+        kwargs["buckets"] = tuple(kwargs["buckets"])
+    return cls(**kwargs)
+
+
+def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
+    """Load a reference-schema YAML file (or an already-parsed dict).
+
+    The reference's ``distributed:`` section (strategy/backend/timeout/
+    find_unused_parameters — configs/Repurpose.yaml:45-51) describes
+    NCCL/DDP machinery with no TPU equivalent; it is accepted and ignored.
+    An optional ``tpu:`` section may set mesh axes and override model/train
+    TPU knobs.
+    """
+    if isinstance(path_or_dict, Mapping):
+        raw = dict(path_or_dict)
+    else:
+        with open(path_or_dict) as f:
+            raw = yaml.safe_load(f) or {}
+
+    tpu = dict(raw.get("tpu") or {})
+    model_raw = dict(raw.get("model") or {})
+    model_raw.update(
+        {k: tpu[k] for k in ("compute_dtype", "attention_impl", "remat") if k in tpu}
+    )
+    train_raw = dict(raw.get("train") or {})
+    train_raw.update(
+        {k: tpu[k] for k in ("buckets", "loss_norm", "reg_loss_weight") if k in tpu}
+    )
+    mesh_raw = {k: tpu[k] for k in ("data", "model", "seq") if k in tpu}
+    if "mesh" in tpu:
+        mesh_raw = dict(tpu["mesh"])
+
+    return Config(
+        train_dataset=_build(DatasetConfig, raw.get("train_dataset") or {}),
+        val_dataset=_build(DatasetConfig, raw.get("val_dataset") or {}),
+        test_dataset=_build(DatasetConfig, raw.get("test_dataset") or {}),
+        model=_build(ModelConfig, model_raw),
+        train=_build(TrainConfig, train_raw),
+        mesh=_build(MeshConfig, mesh_raw),
+        test_cfg=_build(TestConfig, raw.get("test_cfg") or {}),
+    )

@@ -1,0 +1,218 @@
+"""Generate golden parity fixtures by RUNNING the PyTorch reference
+(/root/reference) on synthetic inputs and recording its outputs as JSON.
+
+Only the reference's *outputs* are stored — no reference code is copied.
+Run once in an environment where /root/reference and torch are available:
+
+    python tools/make_goldens.py
+
+The committed fixtures under tests/golden/ then let the test suite verify
+numerical parity without the reference present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REFERENCE = os.environ.get("REFERENCE_PATH", "/root/reference")
+OUT_DIR = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+
+
+def make_softnms_goldens():
+    sys.path.insert(0, REFERENCE)
+    import torch
+    from models.softnms import soft_nms_intervals_cpu
+
+    rng = np.random.default_rng(42)
+    cases = []
+    for case_id, (n, sigma, thresh, max_seg) in enumerate(
+        [
+            (1, 0.5, 0.01, 5),
+            (8, 0.5, 0.01, 5),
+            (30, 0.5, 0.01, 9),
+            (50, 0.5, 0.001, 20),
+            (100, 0.3, 0.01, 7),
+            (200, 0.5, 0.01, 4),
+            (64, 0.9, 0.05, 64),
+        ]
+    ):
+        # Candidates shaped like real decode output: descending scores in
+        # (thresh, 1], intervals with durations 10-90s over a long timeline.
+        scores = np.sort(rng.uniform(0.5, 1.0, size=n))[::-1].copy()
+        centers = rng.uniform(0, 1800, size=n)
+        durs = rng.uniform(10, 90, size=n)
+        segs = np.stack([centers - durs / 2, centers + durs / 2], axis=1)
+        keep = soft_nms_intervals_cpu(
+            torch.tensor(scores.copy(), dtype=torch.float64),
+            torch.tensor(segs.copy(), dtype=torch.float64),
+            sigma=sigma,
+            thresh=thresh,
+            max_seg_num=max_seg,
+        )
+        cases.append(
+            {
+                "case_id": case_id,
+                "scores": scores.tolist(),
+                "segments": segs.tolist(),
+                "sigma": sigma,
+                "thresh": thresh,
+                "max_seg_num": max_seg,
+                "keep": np.asarray(keep).tolist(),
+            }
+        )
+    # Heavy-overlap cases to exercise decay-induced reordering (stale-length quirk).
+    for case_id, (n, sigma, thresh, max_seg) in enumerate(
+        [(40, 0.5, 0.01, 10), (60, 0.5, 0.01, 20), (25, 0.2, 0.01, 25)], start=100
+    ):
+        scores = np.sort(rng.uniform(0.4, 1.0, size=n))[::-1].copy()
+        centers = rng.uniform(0, 300, size=n)  # crowded timeline
+        durs = rng.uniform(10, 90, size=n)
+        segs = np.stack([centers - durs / 2, centers + durs / 2], axis=1)
+        keep = soft_nms_intervals_cpu(
+            torch.tensor(scores.copy(), dtype=torch.float64),
+            torch.tensor(segs.copy(), dtype=torch.float64),
+            sigma=sigma,
+            thresh=thresh,
+            max_seg_num=max_seg,
+        )
+        cases.append(
+            {
+                "case_id": case_id,
+                "scores": scores.tolist(),
+                "segments": segs.tolist(),
+                "sigma": sigma,
+                "thresh": thresh,
+                "max_seg_num": max_seg,
+                "keep": np.asarray(keep).tolist(),
+            }
+        )
+    with open(os.path.join(OUT_DIR, "softnms.json"), "w") as f:
+        json.dump(cases, f)
+    print(f"softnms: {len(cases)} cases")
+
+
+def make_focal_goldens():
+    sys.path.insert(0, REFERENCE)
+    import torch
+    from models.losses import ctr_diou_loss_1d, sigmoid_focal_loss
+
+    rng = np.random.default_rng(7)
+    logits = rng.normal(0, 3, size=(2, 17, 1))
+    targets = (rng.uniform(size=(2, 17, 1)) > 0.7).astype(np.float64)
+    focal = (
+        sigmoid_focal_loss(
+            torch.tensor(logits, dtype=torch.float32),
+            torch.tensor(targets, dtype=torch.float32),
+        )
+        .numpy()
+        .tolist()
+    )
+    off_in = np.abs(rng.normal(0, 20, size=(2, 9, 2)))
+    off_tg = np.abs(rng.normal(0, 20, size=(2, 9, 2)))
+    diou = (
+        ctr_diou_loss_1d(
+            torch.tensor(off_in, dtype=torch.float32),
+            torch.tensor(off_tg, dtype=torch.float32),
+        )
+        .numpy()
+        .tolist()
+    )
+    with open(os.path.join(OUT_DIR, "losses.json"), "w") as f:
+        json.dump(
+            {
+                "logits": logits.tolist(),
+                "targets": targets.tolist(),
+                "focal": focal,
+                "off_in": off_in.tolist(),
+                "off_tg": off_tg.tolist(),
+                "diou": diou,
+            },
+            f,
+        )
+    print("losses: ok")
+
+
+def make_label_goldens():
+    sys.path.insert(0, REFERENCE)
+    from dataset.RepurposeClip import RepurposeClip
+
+    gen_status = RepurposeClip.generate_time_status_list
+    gen_offsets = RepurposeClip.generate_regression_offsets
+
+    class _Shim:  # the reference methods only touch self.logger
+        import logging
+
+        logger = logging.getLogger("shim")
+
+    shim = _Shim()
+    cases = []
+    for tr, segs in [
+        ([0, 266.0], [[0.0, 72.42]]),
+        ([0, 100.0], [[10.5, 20.7], [15.0, 40.0], [95.0, 120.0]]),
+        ([50.0, 150.0], [[60.2, 75.9], [140.0, 160.0]]),
+        ([0, 30.0], []),
+        ([0, 10.0], [[3.0, 3.0]]),  # degenerate zero-length segment
+        ([0, 20.0], [[-5.0, 4.2]]),  # segment starting before the range
+        ([12.3, 99.9], [[20.0, 30.0], [25.0, 90.0]]),  # float range start
+    ]:
+        status = gen_status(shim, tr, segs)
+        offsets = gen_offsets(shim, tr, segs)
+        cases.append(
+            {
+                "time_range": tr,
+                "segments": segs,
+                "status": list(status),
+                "offsets": [list(o) for o in offsets],
+            }
+        )
+    with open(os.path.join(OUT_DIR, "labels.json"), "w") as f:
+        json.dump(cases, f)
+    print(f"labels: {len(cases)} cases")
+
+
+def make_metric_goldens():
+    sys.path.insert(0, REFERENCE)
+    from utils.metrics import calculate_ap, calculate_recall, calculate_tiou
+
+    rng = np.random.default_rng(11)
+    cases = []
+    for _ in range(6):
+        n_ref = int(rng.integers(0, 5))
+        n_pred = int(rng.integers(0, 6))
+        refs = [
+            [float(s), float(s + rng.uniform(5, 60))]
+            for s in rng.uniform(0, 500, size=n_ref)
+        ]
+        preds = [
+            [float(s), float(s + rng.uniform(5, 60))]
+            for s in rng.uniform(0, 500, size=n_pred)
+        ]
+        tiou = calculate_tiou(refs, preds, [0.5, 0.6, 0.7, 0.8, 0.9])
+        labels = rng.integers(0, 2, size=200).tolist()
+        ap = calculate_ap(preds, labels)
+        recall = calculate_recall(preds, labels)
+        cases.append(
+            {
+                "refs": refs,
+                "preds": preds,
+                "tiou": {str(k): v for k, v in tiou.items()},
+                "labels": labels,
+                "ap": ap,
+                "recall": recall,
+            }
+        )
+    with open(os.path.join(OUT_DIR, "metrics.json"), "w") as f:
+        json.dump(cases, f)
+    print(f"metrics: {len(cases)} cases")
+
+
+if __name__ == "__main__":
+    os.makedirs(OUT_DIR, exist_ok=True)
+    make_softnms_goldens()
+    make_focal_goldens()
+    make_label_goldens()
+    make_metric_goldens()
