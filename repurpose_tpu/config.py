@@ -54,6 +54,10 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"  # activations; params stay float32
     attention_impl: str = "auto"  # "auto" | "xla" | "pallas"
     remat: bool = False  # jax.checkpoint each encoder layer
+    matmul_precision: str = "default"
+    """XLA dot precision: "default" lets the backend use fast reduced-precision
+    passes (bf16 on the MXU); "highest" forces true float32 accumulation —
+    required for bit-level parity against the fp32 torch reference."""
 
     @property
     def concat_dim(self) -> int:
@@ -68,6 +72,8 @@ class ModelConfig:
             raise ValueError(f"bad compute_dtype: {self.compute_dtype}")
         if self.attention_impl not in ("auto", "xla", "pallas"):
             raise ValueError(f"bad attention_impl: {self.attention_impl}")
+        if self.matmul_precision not in ("default", "float32", "highest"):
+            raise ValueError(f"bad matmul_precision: {self.matmul_precision}")
 
 
 @dataclass(frozen=True)
@@ -199,7 +205,11 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
     tpu = dict(raw.get("tpu") or {})
     model_raw = dict(raw.get("model") or {})
     model_raw.update(
-        {k: tpu[k] for k in ("compute_dtype", "attention_impl", "remat") if k in tpu}
+        {
+            k: tpu[k]
+            for k in ("compute_dtype", "attention_impl", "remat", "matmul_precision")
+            if k in tpu
+        }
     )
     train_raw = dict(raw.get("train") or {})
     train_raw.update(

@@ -1,0 +1,73 @@
+"""Fixed-shape bucketed batching.
+
+The reference pads every batch to its longest sample
+(dataset/RepurposeClip.py:449-533), which under XLA would trigger one
+compilation per distinct max-length. Here each batch is padded to the
+smallest configured *bucket* >= its longest sample, so the whole run compiles
+``len(buckets)`` programs and the MXU always sees static shapes.
+
+``Batch`` is the device-facing structure (the reference's collate_fn output
+dict, RepurposeClip.py:536-575, minus host-only metadata).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+
+class Batch(NamedTuple):
+    visual: np.ndarray  # [B, T, vis_dim] float32
+    audio: np.ndarray  # [B, T, aud_dim] float32
+    text: np.ndarray  # [B, T, text_dim] float32
+    mask: np.ndarray  # [B, T] bool
+    labels: np.ndarray  # [B, T] float32
+    segments: np.ndarray  # [B, T, 2] float32 — per-second GT (left, right)
+    durations: np.ndarray  # [B] int32 — true lengths
+
+
+def pick_bucket(length: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= length; sequences longer than the largest bucket are
+    truncated to it (the capacity limit the reference expressed via its
+    PE max_len=5000, models/MMCTransformer.py:11)."""
+    for b in buckets:
+        if length <= b:
+            return b
+    return buckets[-1]
+
+
+def collate(
+    samples: Sequence[dict], buckets: Sequence[int], batch_size: int | None = None
+) -> Batch:
+    """Pad a list of per-video sample dicts (keys: visual, audio, text, labels,
+    segments — numpy, plus duration int) into one fixed-shape Batch.
+
+    If ``batch_size`` is given the batch dimension is padded up to it with
+    all-masked rows, so ragged final batches reuse the same compiled program.
+    """
+    n = len(samples)
+    b = batch_size or n
+    t = pick_bucket(max(s["duration"] for s in samples), buckets)
+
+    def dim(key):
+        return samples[0][key].shape[-1]
+
+    visual = np.zeros((b, t, dim("visual")), np.float32)
+    audio = np.zeros((b, t, dim("audio")), np.float32)
+    text = np.zeros((b, t, dim("text")), np.float32)
+    mask = np.zeros((b, t), bool)
+    labels = np.zeros((b, t), np.float32)
+    segments = np.zeros((b, t, 2), np.float32)
+    durations = np.zeros((b,), np.int32)
+
+    for i, s in enumerate(samples):
+        ln = min(int(s["duration"]), t)
+        visual[i, :ln] = s["visual"][:ln]
+        audio[i, :ln] = s["audio"][:ln]
+        text[i, :ln] = s["text"][:ln]
+        labels[i, :ln] = s["labels"][:ln]
+        segments[i, :ln] = s["segments"][:ln]
+        mask[i, :ln] = True
+        durations[i] = ln
+    return Batch(visual, audio, text, mask, labels, segments, durations)

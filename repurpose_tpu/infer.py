@@ -1,0 +1,84 @@
+"""Device-side batched inference pipeline: features -> ranked clips.
+
+Replaces the reference's per-video Python loop with CPU Soft-NMS
+(MMCTransformer.inference_, models/MMCTransformer.py:231-275): here the
+forward pass, decode, and Soft-NMS all run on-device under one jit per bucket
+shape, vmapped over the batch; the host only unpacks fixed-size keep masks
+into per-video result lists.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from repurpose_tpu.config import ModelConfig, TestConfig
+from repurpose_tpu.models.mmct import MMCT
+from repurpose_tpu.ops.decode import DecodeResult, decode_batch
+
+
+class InferencePipeline:
+    """Scores batches of per-second features and returns ranked clip lists.
+
+    One compiled program per (batch, bucket) shape; reuse the instance to hit
+    the jit cache.
+    """
+
+    def __init__(self, cfg: ModelConfig, params, test_cfg: TestConfig):
+        self.cfg = cfg
+        self.test_cfg = test_cfg
+        self.params = params
+        model = MMCT(cfg)
+
+        @jax.jit
+        def _forward_and_decode(params, visual, audio, text, mask, durations):
+            out = model.apply(
+                {"params": params}, visual, audio, text, mask, True
+            )
+            return decode_batch(
+                out.cls_logits[..., 0], out.offsets, mask, durations, test_cfg
+            )
+
+        self._fn = _forward_and_decode
+
+    def score_batch(
+        self,
+        visual: Any,  # [B, T, vis_dim]
+        audio: Any,
+        text: Any,
+        mask: Any,  # [B, T] bool
+        durations: Sequence[int],
+        video_ids: Sequence[str] | None = None,
+    ) -> list[dict]:
+        """Returns one dict per video: {segments (N,2), scores (N,), labels (N,),
+        video_id, duration} — the reference's per-video result schema
+        (MMCTransformer.py:226-228, 270-272)."""
+        res: DecodeResult = self._fn(
+            self.params,
+            jnp.asarray(visual),
+            jnp.asarray(audio),
+            jnp.asarray(text),
+            jnp.asarray(mask, bool),
+            jnp.asarray(durations, jnp.int32),
+        )
+        segments = np.asarray(res.segments)
+        scores = np.asarray(res.scores)
+        labels = np.asarray(res.labels)
+        keep = np.asarray(res.keep)
+
+        out = []
+        for b in range(segments.shape[0]):
+            k = keep[b]
+            out.append(
+                {
+                    "segments": segments[b][k],
+                    "scores": scores[b][k],
+                    "labels": labels[b][k],
+                    "video_id": video_ids[b] if video_ids is not None else str(b),
+                    "duration": int(durations[b]),
+                }
+            )
+        return out

@@ -1,0 +1,115 @@
+"""MMCT — the multimodal temporal transformer (flagship model).
+
+Capability-equivalent to the reference MMCTransformer
+(models/MMCTransformer.py:25-157): early fusion by concatenation of the three
+per-second feature streams (CLIP 512 + PANNs 2048 + SBERT 384 = 2944), linear
+projection + LayerNorm to d_model, sinusoidal positional encoding, a deep
+pre-LN encoder, then a feature MLP feeding twin heads:
+
+- ``cls``: per-second engagement logit [B, T, 1];
+- ``reg``: per-second (left, right) boundary offsets [B, T, 2], ReLU'd
+  non-negative (models/MMCTransformer.py:92).
+
+TPU-first differences from the reference:
+- functional Flax module — params live in a pytree, sharded by
+  ``parallel.sharding`` rules over the device mesh;
+- activations in bfloat16 (heads' logits returned in float32), LayerNorm and
+  softmax in float32;
+- attention is pluggable (XLA / Pallas FlashAttention);
+- all shapes static: T is a bucket size, padding carried in ``mask``.
+
+Weight init matches the reference (_init_weights, MMCTransformer.py:98-107):
+Xavier-uniform kernels, zero biases, unit LayerNorm.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from repurpose_tpu.config import ModelConfig
+from repurpose_tpu.models.encoder import Encoder, dense_kw
+from repurpose_tpu.models.positional import sinusoidal_positional_encoding
+
+Array = jax.Array
+
+
+class MMCTOutput(NamedTuple):
+    cls_logits: Array  # [B, T, 1] float32
+    offsets: Array  # [B, T, 2] float32, non-negative
+    feats: Array  # [B, T, d_model] compute dtype
+
+
+class _Head(nn.Module):
+    """LN -> Dense(hidden) -> relu -> drop -> Dense(hidden) -> relu -> drop
+    -> Dense(out) — the reference's cls/reg head shape (MMCTransformer.py:71-93)."""
+
+    cfg: ModelConfig
+    out_dim: int
+    final_relu: bool
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool) -> Array:
+        cfg = self.cfg
+        y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm")(x).astype(x.dtype)
+        for i in range(2):
+            y = nn.Dense(cfg.hidden_dim, dtype=x.dtype, name=f"dense_{i}", **dense_kw(cfg))(y)
+            y = nn.relu(y)
+            y = nn.Dropout(cfg.dropout, deterministic=deterministic)(y)
+        y = nn.Dense(self.out_dim, dtype=jnp.float32, name="out", **dense_kw(cfg))(y)
+        if self.final_relu:
+            y = nn.relu(y)
+        return y.astype(jnp.float32)
+
+
+class MMCT(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        visual: Array,  # [B, T, vis_dim]
+        audio: Array,  # [B, T, aud_dim]
+        text: Array,  # [B, T, text_dim]
+        mask: Array,  # [B, T] bool — True on real timesteps
+        deterministic: bool = True,
+    ) -> MMCTOutput:
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        x = jnp.concatenate(
+            [visual.astype(dtype), audio.astype(dtype), text.astype(dtype)], axis=-1
+        )
+        x = nn.Dense(cfg.d_model, dtype=dtype, name="input_projection", **dense_kw(cfg))(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="input_norm")(x)
+        pe = sinusoidal_positional_encoding(x.shape[1], cfg.d_model)
+        x = (x + pe[None]).astype(dtype)
+
+        x = Encoder(cfg, name="encoder")(x, mask, deterministic)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_norm")(x).astype(dtype)
+
+        # feature_map: Dense -> LN -> relu -> drop (MMCTransformer.py:63-68)
+        f = nn.Dense(cfg.d_model, dtype=dtype, name="feature_map", **dense_kw(cfg))(x)
+        f = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="feature_norm")(f).astype(dtype)
+        f = nn.relu(f)
+        f = nn.Dropout(cfg.dropout, deterministic=deterministic)(f)
+
+        cls_logits = _Head(cfg, 1, final_relu=False, name="cls_head")(f, deterministic)
+        offsets = _Head(cfg, 2, final_relu=True, name="reg_head")(f, deterministic)
+        return MMCTOutput(cls_logits=cls_logits, offsets=offsets, feats=f)
+
+    def init_params(self, rng: jax.Array, bucket: int = 64, batch: int = 1):
+        """Initialize a parameter pytree on tiny static shapes."""
+        cfg = self.cfg
+        dummy = lambda d: jnp.zeros((batch, bucket, d), jnp.float32)
+        return self.init(
+            rng,
+            dummy(cfg.vis_dim),
+            dummy(cfg.aud_dim),
+            dummy(cfg.text_dim),
+            jnp.ones((batch, bucket), bool),
+            True,
+        )["params"]

@@ -1,0 +1,67 @@
+"""Masked multi-head self-attention compute paths.
+
+The O(T^2) encoder attention is the hot spot of the whole framework
+(reference: 16-layer nn.TransformerEncoder over padded [B,T<=1800,512],
+models/MMCTransformer.py:135-138). Two interchangeable implementations:
+
+- ``mha_xla``: plain jnp einsum formulation. XLA fuses the softmax chain and
+  maps the two batched matmuls onto the MXU; fine for short T and the
+  correctness baseline.
+- ``mha_pallas`` (ops/flash_attention.py): blockwise FlashAttention Pallas
+  kernel — O(T) memory, no [B,H,T,T] materialization, custom VJP.
+
+``select_attention_impl`` picks per ModelConfig.attention_impl ("auto" uses
+Pallas on TPU for T >= 512, XLA otherwise).
+
+Masking semantics match torch's ``src_key_padding_mask``: padded *keys* are
+excluded from every query's softmax. Padded *query* rows produce finite
+garbage (torch emits NaN there with the math SDPA backend); both frameworks
+exclude those rows from the loss, and parity tests compare valid rows only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+NEG_INF = -1e9  # large-negative instead of -inf: keeps padded rows NaN-free
+
+
+def mha_xla(
+    q: Array,  # [B, T, H, Dh]
+    k: Array,  # [B, T, H, Dh]
+    v: Array,  # [B, T, H, Dh]
+    key_valid: Array,  # [B, T] bool — True where the key position is real
+    precision: str = "default",
+) -> Array:
+    """Reference XLA attention. Softmax in float32, output in q.dtype."""
+    dh = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    scores = scores * scale
+    bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF)
+    weights = jax.nn.softmax(scores + bias, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    return out.astype(q.dtype)
+
+
+def select_attention_impl(impl: str, seq_len: int, precision: str = "default") -> Callable:
+    """Resolve "auto"/"xla"/"pallas" to a callable (q, k, v, key_valid) -> out."""
+    if impl != "xla":
+        on_tpu = jax.default_backend() == "tpu"
+        if impl == "pallas" or (impl == "auto" and on_tpu and seq_len >= 512):
+            from repurpose_tpu.ops.flash_attention import mha_pallas
+
+            return mha_pallas
+    return functools.partial(mha_xla, precision=precision)

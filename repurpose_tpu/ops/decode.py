@@ -1,0 +1,125 @@
+"""Static-shape per-video decode: logits -> candidate segments -> Soft-NMS.
+
+Re-derivation of the reference's dynamic-shape decode
+(MMCTransformer.inference_single_video, models/MMCTransformer.py:181-229) and
+per-video budget logic (inference_, :231-275) as fixed-shape XLA programs:
+
+reference (dynamic)                       here (static, jit/vmap-able)
+-----------------------------------      ---------------------------------
+boolean filter prob > pre_nms_thresh      invalidate: score -> -1
+sort desc + truncate to pre_nms_topk      lax.top_k(K) (K static)
+boolean duration filter (compacting)      second top_k pass compacts valid
+                                          candidates to the front, preserving
+                                          descending-score order, so Soft-NMS
+                                          sees the same candidate sequence
+CPU numpy Soft-NMS per video              soft_nms_tpu (while_loop, on device)
+
+Everything runs on device under one jit; the host only converts the final
+fixed-size (segments, scores, labels, keep) arrays into per-video lists.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from repurpose_tpu.config import TestConfig
+from repurpose_tpu.ops.softnms import soft_nms_tpu
+
+Array = jax.Array
+
+
+class DecodeResult(NamedTuple):
+    """Fixed-size per-video results; only entries with keep=True are real."""
+
+    segments: Array  # [K, 2] float32
+    scores: Array  # [K] float32
+    labels: Array  # [K] int32 — source timestep index (reference 'labels')
+    keep: Array  # [K] bool
+
+
+def max_segments_for_duration(duration: Array, max_seg_per_min: float) -> Array:
+    """ceil((duration // 60) * rate) — MMCTransformer.py:255-257 semantics
+    (integer floor-division into whole minutes first)."""
+    mins = jnp.asarray(duration, jnp.int32) // 60
+    return jnp.ceil(mins.astype(jnp.float32) * max_seg_per_min).astype(jnp.int32)
+
+
+def decode_candidates(
+    cls_logits: Array,  # [T] float32
+    offsets: Array,  # [T, 2] float32
+    mask: Array,  # [T] bool
+    test_cfg: TestConfig,
+) -> tuple[Array, Array, Array, Array]:
+    """Candidate generation: threshold, top-k, segment build, duration gates,
+    then compaction. Returns (segments [K,2], scores [K], labels [K], valid [K])
+    with valid candidates first in descending-score order."""
+    t = cls_logits.shape[0]
+    k = min(test_cfg.pre_nms_topk, t)
+
+    prob = jax.nn.sigmoid(cls_logits) * mask.astype(jnp.float32)
+    gated = jnp.where(prob > test_cfg.pre_nms_thresh, prob, -1.0)
+    vals, idx = jax.lax.top_k(gated, k)
+
+    off = offsets[idx]
+    left = idx.astype(jnp.float32) - off[:, 0]
+    right = idx.astype(jnp.float32) + off[:, 1]
+    dur = right - left
+    valid = (
+        (vals > test_cfg.pre_nms_thresh)
+        & (dur > test_cfg.duration_thresh)
+        & (dur < test_cfg.duration_thresh_max)
+    )
+
+    # Compact: valid candidates to the front, preserving descending-score
+    # order (parity with the reference's boolean-mask compaction at
+    # MMCTransformer.py:218-220 — Soft-NMS's stale-length quirk is
+    # position-dependent, so candidate positions must match).
+    compact_key = jnp.where(valid, vals, -1.0)
+    _, perm = jax.lax.top_k(compact_key, k)
+    vals, idx, left, right, valid = (
+        vals[perm], idx[perm], left[perm], right[perm], valid[perm]
+    )
+
+    segments = jnp.where(
+        valid[:, None], jnp.stack([left, right], axis=-1), 0.0
+    )
+    scores = jnp.where(valid, vals, 0.0)
+    labels = jnp.where(valid, idx, -1).astype(jnp.int32)
+    return segments, scores, labels, valid
+
+
+@functools.partial(jax.jit, static_argnames=("test_cfg",))
+def decode_video(
+    cls_logits: Array,  # [T] float32
+    offsets: Array,  # [T, 2] float32
+    mask: Array,  # [T] bool
+    duration: Array,  # scalar int — true (unpadded) length in seconds
+    test_cfg: TestConfig,
+) -> DecodeResult:
+    """Full single-video decode + Soft-NMS on device."""
+    segments, scores, labels, _ = decode_candidates(cls_logits, offsets, mask, test_cfg)
+    max_segs = max_segments_for_duration(duration, test_cfg.max_seg_per_min)
+    nms = soft_nms_tpu(
+        scores, segments, max_segs,
+        sigma=test_cfg.nms_sigma, thresh=test_cfg.min_score,
+    )
+    # Kept entries carry their ORIGINAL scores: the reference indexes the
+    # pre-NMS score tensor with the keep indices (MMCTransformer.py:267-269;
+    # the device->CPU copy inside its Soft-NMS means decay never mutates the
+    # originals), so decayed scores are internal to the NMS only.
+    return DecodeResult(
+        segments=segments[nms.orig_idx],
+        scores=scores[nms.orig_idx],
+        labels=labels[nms.orig_idx],
+        keep=nms.keep,
+    )
+
+
+decode_batch = jax.jit(
+    jax.vmap(decode_video, in_axes=(0, 0, 0, 0, None)),
+    static_argnames=("test_cfg",),
+)

@@ -1,0 +1,69 @@
+"""Sharding rules: map parameter paths and batch tensors to PartitionSpecs.
+
+Tensor-parallel layout (Megatron-style column/row split over the ``model``
+axis; see jax-ml.github.io/scaling-book for the collective-placement recipe):
+
+- attention ``qkv`` kernel [d, 3d]: column-parallel — P(None, "model");
+  bias [3d]: P("model"). Heads (8) divide the model axis, so the [B,T,H,Dh]
+  reshape keeps the head dimension sharded with no resharding.
+- attention ``out`` kernel [d, d]: row-parallel — P("model", None); the
+  psum XLA inserts after it closes the TP region.
+- FFN ``linear1`` [d, d_ff]: column-parallel; ``linear2`` [d_ff, d]:
+  row-parallel (one psum per FFN).
+- everything else (LayerNorms, input projection, heads): replicated.
+
+Batch layout: batch dim over ``data`` (the reference's DDP), time dim over
+``seq`` (sequence sharding the reference lacks; XLA all-gathers K/V around
+attention as needed).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_sharding_rules(path: tuple[str, ...], value: Any) -> P:
+    """PartitionSpec for one parameter, keyed by its pytree path."""
+    names = [getattr(p, "key", str(p)) for p in path]
+    joined = "/".join(names)
+    if "attn/qkv" in joined:
+        return P(None, "model") if names[-1] == "kernel" else P("model")
+    if "attn/out" in joined:
+        return P("model", None) if names[-1] == "kernel" else P()
+    if "linear1" in joined:
+        return P(None, "model") if names[-1] == "kernel" else P("model")
+    if "linear2" in joined:
+        return P("model", None) if names[-1] == "kernel" else P()
+    return P()
+
+
+def param_specs(params) -> Any:
+    """Pytree of PartitionSpecs matching ``params``."""
+    return jax.tree_util.tree_map_with_path(param_sharding_rules, params)
+
+
+def param_shardings(params, mesh: Mesh) -> Any:
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: NamedSharding(mesh, param_sharding_rules(path, v)), params
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    """Place a parameter pytree onto the mesh per the TP rules."""
+    return jax.device_put(params, param_shardings(params, mesh))
+
+
+def batch_spec(seq_sharded: bool = True) -> P:
+    """[B, T, ...] activation spec: batch over data, optionally time over seq."""
+    return P("data", "seq" if seq_sharded else None)
+
+
+def batch_sharding(mesh: Mesh, seq_sharded: bool = True) -> NamedSharding:
+    return NamedSharding(mesh, batch_spec(seq_sharded))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,57 @@
+"""Train state: params + optimizer state + step, as one pytree.
+
+Optimizer parity with the reference (main.py:190-191): torch ``Adam(lr,
+weight_decay)`` applies L2 regularization *inside the gradient* (g + wd * p)
+before the moment updates — reproduced by putting
+``optax.add_decayed_weights`` *before* ``scale_by_adam`` in the chain (the
+decoupled-AdamW ordering would place it after and NOT match).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import optax
+
+from repurpose_tpu.config import ModelConfig, TrainConfig
+from repurpose_tpu.models.mmct import MMCT
+from repurpose_tpu.train.schedule import warmup_cosine_schedule
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(
+    train_cfg: TrainConfig, steps_per_epoch: int
+) -> tuple[optax.GradientTransformation, Callable]:
+    """Adam + warmup->cosine schedule (reference main.py:190-206)."""
+    total_steps = train_cfg.epochs * steps_per_epoch
+    warmup_steps = train_cfg.warmup_epochs * steps_per_epoch
+    schedule = warmup_cosine_schedule(train_cfg.lr, warmup_steps, total_steps)
+    tx = optax.chain(
+        optax.add_decayed_weights(train_cfg.weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale_by_learning_rate(schedule),
+    )
+    return tx, schedule
+
+
+def create_train_state(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    steps_per_epoch: int,
+    rng: jax.Array,
+) -> tuple[TrainState, optax.GradientTransformation, Callable]:
+    model = MMCT(model_cfg)
+    params = model.init_params(rng)
+    tx, schedule = make_optimizer(train_cfg, steps_per_epoch)
+    opt_state = tx.init(params)
+    import jax.numpy as jnp
+
+    return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0)), tx, schedule

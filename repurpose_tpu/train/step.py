@@ -1,0 +1,91 @@
+"""Jitted train / eval steps.
+
+Replaces the reference's per-iteration Python (main.py:294-412): forward,
+masked focal loss, backward, Adam update, and metric reduction run as ONE
+compiled XLA program per bucket shape. Under a multi-device mesh the same
+program is data/tensor-parallel — sharding constraints on params and batch
+make XLA insert the gradient all-reduces the reference got from DDP/NCCL.
+
+Loss normalization parity: the reference divides the summed focal loss by the
+*configured* batch size, not the actual one (main.py:331) — controlled by
+TrainConfig.loss_norm. Gradient-norm telemetry (reference main.py:345-367
+loops Linear modules on host) is computed on device in the same program.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from repurpose_tpu.config import ModelConfig, TrainConfig
+from repurpose_tpu.data.batching import Batch
+from repurpose_tpu.models.mmct import MMCT
+from repurpose_tpu.ops.losses import masked_cls_loss, masked_reg_loss
+from repurpose_tpu.train.state import TrainState
+
+
+def _loss_fn(model: MMCT, train_cfg: TrainConfig, params, batch: Batch, rng, train: bool):
+    out = model.apply(
+        {"params": params},
+        batch.visual, batch.audio, batch.text, batch.mask,
+        not train,
+        rngs={"dropout": rng} if train else None,
+    )
+    cls_loss = masked_cls_loss(out.cls_logits, batch.labels, batch.mask)
+    norm = (
+        float(train_cfg.batch_size)
+        if train_cfg.loss_norm == "config_batch_size"
+        else batch.visual.shape[0]
+    )
+    total = cls_loss / norm
+    aux = {"cls_loss": cls_loss, "loss": total}
+    if train_cfg.reg_loss_weight > 0.0:
+        reg_loss = masked_reg_loss(out.offsets, batch.segments, batch.labels, batch.mask)
+        total = total + train_cfg.reg_loss_weight * reg_loss / norm
+        aux["reg_loss"] = reg_loss
+        aux["loss"] = total
+    return total, aux
+
+
+def make_train_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    schedule: Callable | None = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    model = MMCT(model_cfg)
+
+    def train_step(state: TrainState, batch: Batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, aux), grads = jax.value_and_grad(
+            lambda p: _loss_fn(model, train_cfg, p, batch, rng, True), has_aux=True
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(aux)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        if schedule is not None:
+            metrics["learning_rate"] = schedule(state.step)
+        new_state = TrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
+    """Loss-only evaluation step (the reference's intra-epoch val probe,
+    main.py:414-490): (params, batch) -> metrics."""
+    model = MMCT(model_cfg)
+
+    def eval_step(params, batch: Batch):
+        _, aux = _loss_fn(model, train_cfg, params, batch, None, False)
+        return aux
+
+    return jax.jit(eval_step)

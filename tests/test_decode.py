@@ -1,0 +1,60 @@
+"""End-to-end inference parity: MMCT forward -> decode -> Soft-NMS vs the
+reference's inference_ outputs (tests/golden/tiny_inference.json)."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from repurpose_tpu.config import ModelConfig, TestConfig
+from repurpose_tpu.infer import InferencePipeline
+from repurpose_tpu.models import convert_reference_state_dict
+from repurpose_tpu.ops.decode import max_segments_for_duration
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+TINY_CFG = ModelConfig(
+    vis_dim=32, aud_dim=64, text_dim=16, d_model=64,
+    self_num_layers=2, num_heads=4, d_ff=128,
+    compute_dtype="float32", attention_impl="xla", matmul_precision="highest",
+)
+
+
+def test_inference_pipeline_matches_reference():
+    data = np.load(os.path.join(GOLDEN_DIR, "tiny_model.npz"))
+    golden = json.load(open(os.path.join(GOLDEN_DIR, "tiny_inference.json")))
+    params = convert_reference_state_dict(
+        {k[3:]: data[k] for k in data.files if k.startswith("sd/")}, TINY_CFG
+    )
+    test_cfg = TestConfig(**golden["test_cfg"])
+    pipe = InferencePipeline(TINY_CFG, params, test_cfg)
+    durations = [r["duration"] for r in golden["results"]]
+    results = pipe.score_batch(
+        data["visual"], data["audio"], data["text"], data["mask"],
+        durations, [r["video_id"] for r in golden["results"]],
+    )
+    assert len(results) == len(golden["results"])
+    for got, want in zip(results, golden["results"]):
+        assert got["video_id"] == want["video_id"]
+        want_segs = np.asarray(want["segments"], np.float32)
+        assert got["segments"].shape == want_segs.shape, (
+            f"{got['video_id']}: kept {got['segments'].shape[0]} segments, "
+            f"reference kept {want_segs.shape[0]}"
+        )
+        np.testing.assert_allclose(got["segments"], want_segs, atol=2e-3)
+        np.testing.assert_allclose(
+            got["scores"], np.asarray(want["scores"], np.float32), atol=1e-4
+        )
+        np.testing.assert_array_equal(got["labels"], np.asarray(want["labels"]))
+
+
+@pytest.mark.parametrize(
+    "duration,want",
+    [(0, 0), (59, 0), (60, 1), (119, 1), (600, 3), (1800, 9)],
+)
+def test_max_segments_budget(duration, want):
+    # ceil((duration // 60) * 0.3) — MMCTransformer.py:255-257.
+    got = int(max_segments_for_duration(jnp.asarray(duration), 0.3))
+    assert got == want

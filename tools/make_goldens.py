@@ -210,9 +210,104 @@ def make_metric_goldens():
     print(f"metrics: {len(cases)} cases")
 
 
+TINY_MODEL_KW = dict(
+    vis_dim=32, aud_dim=64, text_dim=16, d_model=64,
+    self_num_layers=2, text_num_layers=1, cross_num_layers=1, num_heads=4, d_ff=128,
+)
+
+
+def _build_tiny_reference_model(seed: int = 3):
+    sys.path.insert(0, REFERENCE)
+    import torch
+    from models.MMCTransformer import MMCTransformer
+
+    torch.manual_seed(seed)
+    model = MMCTransformer(**TINY_MODEL_KW)
+    model.eval()
+    return model
+
+
+def _tiny_batch(seed: int = 5, lens=(600, 480)):
+    import torch
+
+    rng = np.random.default_rng(seed)
+    b, t = len(lens), max(lens)
+    vis = rng.normal(0, 1, (b, t, 32))
+    aud = rng.normal(0, 1, (b, t, 64))
+    txt = rng.normal(0, 1, (b, t, 16))
+    mask = np.zeros((b, 1, t), bool)
+    labels = rng.integers(0, 2, (b, t)).astype(np.float64)
+    segments = np.abs(rng.normal(0, 10, (b, t, 2)))
+    for i, ln in enumerate(lens):
+        mask[i, 0, :ln] = True
+        vis[i, ln:] = aud[i, ln:] = txt[i, ln:] = 0.0
+    return {
+        "video_id": [f"vid{i}" for i in range(b)],
+        "duration": list(lens),
+        "visual_feats": torch.tensor(vis, dtype=torch.float32),
+        "audio_feats": torch.tensor(aud, dtype=torch.float32),
+        "text_feats": torch.tensor(txt, dtype=torch.float32),
+        "masks": torch.tensor(mask),
+        "labels": torch.tensor(labels, dtype=torch.float32),
+        "segments": torch.tensor(segments, dtype=torch.float32),
+    }
+
+
+def make_model_goldens():
+    """Tiny random-weight reference model: state dict + forward outputs."""
+    import torch
+
+    model = _build_tiny_reference_model()
+    batch = _tiny_batch()
+    with torch.no_grad():
+        masks, cls_logits, offsets, _, _, _ = model(batch)
+    arrays = {f"sd/{k}": v.numpy() for k, v in model.state_dict().items()}
+    arrays.update(
+        visual=batch["visual_feats"].numpy(),
+        audio=batch["audio_feats"].numpy(),
+        text=batch["text_feats"].numpy(),
+        mask=batch["masks"].numpy()[:, 0, :],
+        cls_logits=cls_logits.numpy(),
+        offsets=offsets.numpy(),
+    )
+    np.savez_compressed(os.path.join(OUT_DIR, "tiny_model.npz"), **arrays)
+    print("tiny model: params", sum(v.size for k, v in arrays.items() if k.startswith("sd/")))
+
+    # End-to-end inference golden through the reference decode + Soft-NMS.
+    test_cfg = {
+        "pre_nms_topk": 200,
+        "pre_nms_thresh": 0.3,
+        "duration_thresh": 0.001,
+        "duration_thresh_max": 90,
+        "max_seg_per_min": 0.5,
+        "nms_sigma": 0.5,
+        "min_score": 0.01,
+    }
+    with torch.no_grad():
+        results = model.inference_(batch, test_cfg)
+    golden = {
+        "test_cfg": test_cfg,
+        "results": [
+            {
+                "video_id": r["video_id"],
+                "duration": int(r["duration"]),
+                "segments": r["segments"].numpy().tolist(),
+                "scores": r["scores"].numpy().tolist(),
+                "labels": r["labels"].numpy().tolist(),
+            }
+            for r in results
+        ],
+    }
+    for r in golden["results"]:
+        print(f"  inference golden {r['video_id']}: {len(r['scores'])} segments kept")
+    with open(os.path.join(OUT_DIR, "tiny_inference.json"), "w") as f:
+        json.dump(golden, f)
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     make_softnms_goldens()
     make_focal_goldens()
     make_label_goldens()
     make_metric_goldens()
+    make_model_goldens()
