@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Standalone evaluation CLI (the reference's ``python inference.py
+--config_path ... --resume ckpt``, inference.py:23-55).
+
+Scores the test split and prints precision@tIoU {0.5..0.9} + the mean.
+Accepts either an Orbax checkpoint directory produced by train.py or a
+*reference PyTorch .pth checkpoint* (converted on the fly), so models trained
+with the original framework evaluate here directly.
+
+    python inference.py --config_path configs/repurpose.yaml --resume runs/x/ckpt
+    python inference.py --config_path configs/repurpose.yaml --torch_ckpt best.pth
+    python inference.py --synthetic 16        # smoke-run without data/weights
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import logging
+
+import jax
+import numpy as np
+
+from repurpose_tpu.config import load_config
+from repurpose_tpu.data.batching import collate
+from repurpose_tpu.infer import InferencePipeline
+from repurpose_tpu.models import MMCT, convert_reference_state_dict
+from repurpose_tpu.train.loop import TIOU_THRESHOLDS
+from repurpose_tpu.utils.metrics import calculate_tiou
+
+
+def load_params(args, cfg):
+    if args.torch_ckpt:
+        from repurpose_tpu.models.torch_convert import load_reference_checkpoint
+
+        return load_reference_checkpoint(args.torch_ckpt, cfg.model)
+    if args.resume:
+        from repurpose_tpu.train.checkpoint import Checkpointer
+        from repurpose_tpu.train.state import create_train_state
+
+        state, _, _ = create_train_state(cfg.model, cfg.train, 1, jax.random.key(0))
+        ckpt = Checkpointer(args.resume)
+        restored, _ = ckpt.restore(state)
+        return restored.params
+    logging.warning("no checkpoint given — using random init (smoke mode)")
+    return MMCT(cfg.model).init_params(jax.random.key(cfg.train.seed))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", default="configs/repurpose.yaml")
+    p.add_argument("--resume", default=None, help="Orbax checkpoint dir")
+    p.add_argument("--torch_ckpt", default=None, help="reference .pth checkpoint")
+    p.add_argument("--synthetic", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--log-level", default="INFO")
+    args = p.parse_args()
+    logging.basicConfig(level=args.log_level.upper())
+
+    from repurpose_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+
+    cfg = load_config(args.config_path)
+    if args.synthetic:
+        from repurpose_tpu.data.synthetic import SyntheticDataset
+
+        ds = SyntheticDataset(
+            np.random.default_rng(0).integers(60, cfg.train.buckets[-1], args.synthetic).tolist(),
+            cfg.model, seed=3,
+        )
+    else:
+        from repurpose_tpu.data.dataset import RepurposeDataset
+
+        ds = RepurposeDataset(cfg.test_dataset, validate=False, keep_gt_segments=True)
+
+    params = load_params(args, cfg)
+    pipe = InferencePipeline(
+        dataclasses.replace(cfg.model, dropout=0.0), params, cfg.test_cfg
+    )
+    bs = args.batch_size or cfg.train.batch_size
+    per_thr = {t: [] for t in TIOU_THRESHOLDS}
+    for i0 in range(0, len(ds), bs):
+        samples = [ds[i] for i in range(i0, min(i0 + bs, len(ds)))]
+        batch = collate(samples, cfg.train.buckets, bs)
+        results = pipe.score_batch(
+            batch.visual, batch.audio, batch.text, batch.mask,
+            batch.durations, [s["video_id"] for s in samples],
+        )
+        for s, r in zip(samples, results):
+            tiou = calculate_tiou(
+                s.get("gt_segments") or [], r["segments"].tolist(), TIOU_THRESHOLDS
+            )
+            for t in TIOU_THRESHOLDS:
+                per_thr[t].append(tiou[t])
+
+    means = {t: float(np.mean(v)) if v else 0.0 for t, v in per_thr.items()}
+    for t, v in means.items():
+        print(f"precision@tIoU={t}: {v:.4f}")
+    print(f"mean precision@tIoU: {float(np.mean(list(means.values()))):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Pre-flight validation suite (the reference's test_multi_gpu.py, run before
+training by its launchers). Checks, in order:
+
+1. device inventory + mesh construction,
+2. collective self-check (psum == device count),
+3. model construction with a reduced config (2 layers),
+4. synthetic data flow through collate + one jitted train step,
+5. (optional, --full) flagship-dims forward compile.
+
+Exit code 0 = good to train; non-zero aborts launch scripts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--full", action="store_true", help="also compile flagship dims")
+    args = p.parse_args()
+
+    results: list[tuple[str, bool, str]] = []
+
+    def check(name):
+        def deco(fn):
+            t0 = time.time()
+            try:
+                detail = fn() or ""
+                results.append((name, True, f"{detail} ({time.time()-t0:.1f}s)"))
+            except Exception as e:
+                results.append((name, False, str(e)))
+            return fn
+
+        return deco
+
+    import jax
+
+    from repurpose_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+
+    @check("devices + mesh")
+    def _devices():
+        from repurpose_tpu.parallel.mesh import create_mesh, describe_mesh
+
+        mesh = create_mesh()
+        print(describe_mesh(mesh))
+        return f"{mesh.devices.size} x {jax.devices()[0].device_kind}"
+
+    @check("collective self-check")
+    def _collectives():
+        from repurpose_tpu.parallel.mesh import create_mesh, mesh_self_check
+
+        return f"psum={mesh_self_check(create_mesh())}"
+
+    @check("reduced model + train step")
+    def _model():
+        from repurpose_tpu.config import ModelConfig, TrainConfig
+        from repurpose_tpu.data.batching import collate
+        from repurpose_tpu.data.synthetic import SyntheticDataset
+        from repurpose_tpu.train.state import create_train_state
+        from repurpose_tpu.train.step import make_train_step
+
+        mc = ModelConfig(self_num_layers=2)
+        tc = TrainConfig(batch_size=2, buckets=(256,))
+        ds = SyntheticDataset([100, 150], mc, seed=0)
+        batch = collate([ds[0], ds[1]], tc.buckets, 2)
+        state, tx, sched = create_train_state(mc, tc, 1, jax.random.key(0))
+        step = make_train_step(mc, tc, tx, sched, donate=False)
+        _, m = step(state, batch, jax.random.key(1))
+        loss = float(m["loss"])
+        assert loss > 0 and loss < 1e9
+        return f"loss={loss:.2f}"
+
+    if args.full:
+
+        @check("flagship forward compile")
+        def _flagship():
+            import __graft_entry__ as g
+
+            fn, fargs = g.entry()
+            out = jax.jit(fn)(*fargs)
+            return f"out={[tuple(o.shape) for o in out]}"
+
+    print("\n=== preflight summary ===")
+    ok = True
+    for name, passed, detail in results:
+        print(f"  [{'PASS' if passed else 'FAIL'}] {name}: {detail}")
+        ok &= passed
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

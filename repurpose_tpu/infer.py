@@ -72,12 +72,15 @@ class InferencePipeline:
         out = []
         for b in range(segments.shape[0]):
             k = keep[b]
+            has_id = video_ids is not None and b < len(video_ids)
             out.append(
                 {
                     "segments": segments[b][k],
                     "scores": scores[b][k],
                     "labels": labels[b][k],
-                    "video_id": video_ids[b] if video_ids is not None else str(b),
+                    # rows beyond len(video_ids) are batch padding (ragged
+                    # final batch padded to the static batch size)
+                    "video_id": video_ids[b] if has_id else str(b),
                     "duration": int(durations[b]),
                 }
             )

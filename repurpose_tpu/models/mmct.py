@@ -102,14 +102,19 @@ class MMCT(nn.Module):
         return MMCTOutput(cls_logits=cls_logits, offsets=offsets, feats=f)
 
     def init_params(self, rng: jax.Array, bucket: int = 64, batch: int = 1):
-        """Initialize a parameter pytree on tiny static shapes."""
+        """Initialize a parameter pytree on tiny static shapes (jitted: one
+        compiled program instead of hundreds of eager init ops)."""
         cfg = self.cfg
         dummy = lambda d: jnp.zeros((batch, bucket, d), jnp.float32)
-        return self.init(
-            rng,
-            dummy(cfg.vis_dim),
-            dummy(cfg.aud_dim),
-            dummy(cfg.text_dim),
-            jnp.ones((batch, bucket), bool),
-            True,
-        )["params"]
+
+        def init(rng):
+            return self.init(
+                rng,
+                dummy(cfg.vis_dim),
+                dummy(cfg.aud_dim),
+                dummy(cfg.text_dim),
+                jnp.ones((batch, bucket), bool),
+                True,
+            )["params"]
+
+        return jax.jit(init)(rng)

@@ -1,0 +1,140 @@
+"""Pallas fused masked attention for TPU.
+
+The reference's hot spot is 16 layers of dense O(T^2) attention over padded
+per-second sequences (models/MMCTransformer.py:135-138, T up to 1800). XLA's
+stock path materializes [B, H, T, T] score tensors in HBM; this kernel keeps
+everything in VMEM:
+
+- grid (B, H, T/Tq); each program owns one query block;
+- the full K and V for that (batch, head) sit in VMEM — at T=4096, Dh=64
+  that is ~4 MB including the fp32 score block, far under the ~16 MB budget,
+  so no online-softmax streaming is needed at Repurpose sequence lengths
+  (a T≲16k design; revisit with k-blocking for longer);
+- scores and softmax in float32 on the MXU/VPU, inputs/outputs in the
+  activation dtype (bfloat16 in production);
+- key-padding mask applied as a -1e9 additive bias (torch
+  src_key_padding_mask semantics; fully-padded query rows stay finite).
+
+Backward: custom VJP that recomputes attention with the XLA einsum path —
+correct everywhere; a fused Pallas backward is a follow-up optimization.
+Non-TPU backends and interpret mode fall back transparently, so the same
+model code runs in CPU tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from repurpose_tpu.ops.attention import NEG_INF, mha_xla
+
+Array = jax.Array
+
+DEFAULT_Q_BLOCK = 256
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+    # Block shapes: q_ref [1,1,Tq,Dh]; k_ref/v_ref [1,1,T,Dh]; mask_ref [1,1,T].
+    q = q_ref[0, 0]  # [Tq, Dh]
+    k = k_ref[0, 0]  # [T, Dh]
+    s = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s * scale
+    bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T] broadcasts over rows
+    s = s + bias
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / denom).astype(v_ref.dtype)
+    o = jax.lax.dot_general(
+        p, v_ref[0, 0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _flash_forward(
+    q: Array, k: Array, v: Array, key_valid: Array, q_block: int, interpret: bool
+) -> Array:
+    """q/k/v: [B, T, H, Dh] -> out [B, T, H, Dh]."""
+    b, t, h, dh = q.shape
+    q_block = min(q_block, t)
+    if t % q_block:
+        raise ValueError(f"T={t} not a multiple of q_block={q_block}")
+    scale = 1.0 / (dh ** 0.5)
+
+    # [B, H, T, Dh] layout: each (b, h) owns contiguous K/V slabs.
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    mask = key_valid[:, None, :].astype(jnp.int32)  # [B, 1, T]
+
+    grid = (b, h, t // q_block)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, q_block, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, t, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, t, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, t), lambda bi, hi, qi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, q_block, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, dh), q.dtype),
+        interpret=interpret,
+    )(qt, kt, vt, mask)
+    return out.transpose(0, 2, 1, 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _mha_pallas(q, k, v, key_valid, q_block, interpret):
+    return _flash_forward(q, k, v, key_valid, q_block, interpret)
+
+
+def _mha_fwd(q, k, v, key_valid, q_block, interpret):
+    return _flash_forward(q, k, v, key_valid, q_block, interpret), (q, k, v, key_valid)
+
+
+def _mha_bwd(q_block, interpret, res, g):
+    q, k, v, key_valid = res
+    _, vjp = jax.vjp(lambda a, b, c: mha_xla(a, b, c, key_valid), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_mha_pallas.defvjp(_mha_fwd, _mha_bwd)
+
+
+def mha_pallas(
+    q: Array, k: Array, v: Array, key_valid: Array,
+    q_block: int = DEFAULT_Q_BLOCK,
+    interpret: bool | None = None,
+) -> Array:
+    """Drop-in replacement for ``mha_xla`` (same signature/semantics on valid
+    rows). Runs interpreted off-TPU so CPU tests exercise the same code."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _mha_pallas(q, k, v, key_valid, q_block, interpret)

@@ -65,6 +65,13 @@ def create_mesh(
     mesh_cfg = mesh_cfg or MeshConfig()
     if devices is None:
         devices = jax.devices()
+    if -1 not in (mesh_cfg.data, mesh_cfg.model, mesh_cfg.seq):
+        # All axes fixed: use exactly that many devices (e.g. data=1 pins
+        # single-device training on a multi-device host).
+        need = mesh_cfg.data * mesh_cfg.model * mesh_cfg.seq
+        if need > len(devices):
+            raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
+        devices = devices[:need]
     sizes = mesh_cfg.axis_sizes(len(devices))
     dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, AXES)

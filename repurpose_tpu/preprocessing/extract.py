@@ -1,0 +1,237 @@
+"""Per-modality feature extraction drivers: video files -> per-second .npy.
+
+TPU-first counterparts of the reference's three extractor classes
+(SURVEY.md §2.5):
+
+- visual: the reference encodes CLIP frame-at-a-time on GPU
+  (visual_feature_extractor_clip.py:184-199 — unbatched H2D per frame!);
+  here frames buffer into large batches for one jitted encoder call.
+- audio: the reference rebuilds the PANNs model per video and loops 1-s
+  chunks (audio_feature_extractor.py:125,131-142); here all chunks batch
+  through CNN14 at once.
+- text: the reference SBERT-encodes each second's bin individually and needs
+  TWO passes per fresh video because embedding lives in the
+  transcript-already-cached branch (text_feature_extractor.py:310-386);
+  here transcribe->bin->embed is one pass (deliberate bug fix, documented)
+  and bins encode as one padded batch.
+
+Every driver: resumable via ProgressTracker, per-video .npy of shape
+(T_seconds, dim), same file layout the training dataset consumes
+(dataset paths: {dir}/{youtube_id}.npy, RepurposeClip.py:25-27).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Sequence
+
+import numpy as np
+
+from repurpose_tpu.preprocessing.media import chunk_waveform, frames_1fps, load_audio
+from repurpose_tpu.preprocessing.progress import ProgressTracker
+
+logger = logging.getLogger(__name__)
+
+
+def _resumable(kind: str):
+    """Wrap a per-video extractor into a dataset-level resumable driver."""
+
+    def run(
+        extract_fn: Callable[[str], np.ndarray],
+        video_ids: Sequence[str],
+        video_dir: str,
+        out_dir: str,
+        tracker: ProgressTracker | None = None,
+    ) -> dict:
+        os.makedirs(out_dir, exist_ok=True)
+        tracker = tracker or ProgressTracker(
+            os.path.join(out_dir, f"{kind}_progress.json"), len(video_ids)
+        )
+        for vid in video_ids:
+            out_path = os.path.join(out_dir, f"{vid}.npy")
+            if tracker.is_done(vid) and os.path.exists(out_path):
+                continue
+            src = os.path.join(video_dir, f"{vid}.mp4")
+            if not os.path.exists(src):
+                tracker.mark_failed(vid, "video file missing")
+                continue
+            try:
+                feats = extract_fn(src)
+                if feats.ndim != 2 or feats.shape[0] == 0:
+                    raise ValueError(f"bad feature shape {feats.shape}")
+                np.save(out_path, feats)
+                tracker.mark_completed(vid)
+            except Exception as e:
+                logger.warning("%s extraction failed for %s: %s", kind, vid, e)
+                tracker.mark_failed(vid, str(e))
+        return tracker.summary()
+
+    return run
+
+
+class VisualExtractor:
+    """video -> (T, 512) CLIP ViT-B/32 embeddings, 1 frame/s, L2-normalized."""
+
+    def __init__(self, params, batch_size: int = 128, compute_dtype: str = "bfloat16"):
+        import jax
+
+        from repurpose_tpu.extractors.clip_vit import (
+            CLIP_IMAGE_MEAN,
+            CLIP_IMAGE_STD,
+            CLIPVisionEncoder,
+        )
+
+        model = CLIPVisionEncoder(compute_dtype=compute_dtype)
+        self._encode = jax.jit(lambda imgs: model.apply({"params": params}, imgs))
+        self.batch_size = batch_size
+        self._mean, self._std = CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+
+    def extract(self, video_path: str) -> np.ndarray:
+        out, buf = [], []
+
+        def flush():
+            if not buf:
+                return
+            batch = (np.stack(buf).astype(np.float32) / 255.0 - self._mean) / self._std
+            n = len(batch)
+            if n < self.batch_size:  # pad to the static batch shape
+                batch = np.concatenate(
+                    [batch, np.zeros((self.batch_size - n, *batch.shape[1:]), np.float32)]
+                )
+            out.append(np.asarray(self._encode(batch))[:n])
+            buf.clear()
+
+        for frame in frames_1fps(video_path):
+            buf.append(frame)
+            if len(buf) == self.batch_size:
+                flush()
+        flush()
+        if not out:
+            return np.zeros((0, 512), np.float32)
+        return np.concatenate(out).astype(np.float32)
+
+    def run(self, video_ids, video_dir, out_dir, tracker=None) -> dict:
+        return _resumable("visual")(self.extract, video_ids, video_dir, out_dir, tracker)
+
+
+class AudioExtractor:
+    """video -> (T, 2048) CNN14 embeddings, one 1-s chunk per second."""
+
+    def __init__(self, params, batch_size: int = 64, sr: int = 22050,
+                 compute_dtype: str = "bfloat16"):
+        import jax
+
+        from repurpose_tpu.extractors.cnn14 import CNN14
+        from repurpose_tpu.extractors.audio_frontend import logmel
+
+        model = CNN14(compute_dtype=compute_dtype)
+        self._embed = jax.jit(
+            lambda wave: model.apply({"params": params}, logmel(wave))
+        )
+        self.batch_size = batch_size
+        self.sr = sr
+
+    def extract(self, video_path: str) -> np.ndarray:
+        chunks = chunk_waveform(load_audio(video_path, self.sr), self.sr)
+        outs = []
+        for i in range(0, len(chunks), self.batch_size):
+            b = chunks[i : i + self.batch_size]
+            n = len(b)
+            if n < self.batch_size:
+                b = np.concatenate(
+                    [b, np.zeros((self.batch_size - n, b.shape[1]), np.float32)]
+                )
+            outs.append(np.asarray(self._embed(b))[:n])
+        if not outs:
+            return np.zeros((0, 2048), np.float32)
+        return np.concatenate(outs).astype(np.float32)
+
+    def run(self, video_ids, video_dir, out_dir, tracker=None) -> dict:
+        return _resumable("audio")(self.extract, video_ids, video_dir, out_dir, tracker)
+
+
+def bin_transcript_per_second(
+    segments: Sequence[dict], duration_s: int
+) -> list[str]:
+    """Per-second text bins: concatenation of all transcript segments
+    overlapping each second, '' for silence (reference binning,
+    text_feature_extractor.py:338-360)."""
+    bins = [""] * duration_s
+    for seg in segments:
+        start = max(int(seg["start"]), 0)
+        end = min(int(seg["end"]), duration_s - 1)
+        for s in range(start, end + 1):
+            bins[s] = (bins[s] + " " + seg["text"].strip()).strip()
+    return bins
+
+
+class TextExtractor:
+    """transcript segments -> (T, 384) MiniLM embeddings (zero rows for
+    silent seconds). ASR (whisper) runs host-side via ``transcribe``."""
+
+    def __init__(self, params, tokenizer, batch_size: int = 256, max_tokens: int = 64):
+        import jax
+
+        from repurpose_tpu.extractors.minilm import MiniLMEncoder
+
+        model = MiniLMEncoder()
+        self._encode = jax.jit(
+            lambda ids, mask: model.apply({"params": params}, ids, mask)
+        )
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.max_tokens = max_tokens
+
+    def embed_bins(self, bins: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(bins), 384), np.float32)
+        nonempty = [(i, b) for i, b in enumerate(bins) if b]
+        for j in range(0, len(nonempty), self.batch_size):
+            chunk = nonempty[j : j + self.batch_size]
+            enc = self.tokenizer(
+                [b for _, b in chunk], padding="max_length", truncation=True,
+                max_length=self.max_tokens, return_tensors="np",
+            )
+            ids = enc["input_ids"]
+            mask = enc["attention_mask"]
+            n = len(chunk)
+            if n < self.batch_size:
+                pad = self.batch_size - n
+                ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+                mask = np.concatenate(
+                    [mask, np.zeros((pad, mask.shape[1]), mask.dtype)]
+                )
+                mask[n:, 0] = 1  # avoid all-masked rows
+            emb = np.asarray(self._encode(ids, mask))[:n]
+            for (i, _), e in zip(chunk, emb):
+                out[i] = e
+        return out
+
+    @staticmethod
+    def transcribe(audio_path: str, cache_path: str | None = None) -> list[dict]:
+        """Whisper ASR (optional dependency), with transcript JSON caching
+        (reference caches transcripts, text_feature_extractor.py:198-236).
+        ONE pass: a fresh video is transcribed AND embedded in the same call —
+        the reference needed two runs (its embedding code sits in the
+        transcript-already-exists branch, text_feature_extractor.py:310-386)."""
+        import json
+
+        if cache_path and os.path.exists(cache_path):
+            with open(cache_path) as f:
+                return json.load(f)
+        try:
+            import whisper  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "openai-whisper not installed; provide cached transcripts instead"
+            ) from e
+        model = whisper.load_model("base")
+        result = model.transcribe(audio_path)
+        segments = [
+            {"start": s["start"], "end": s["end"], "text": s["text"]}
+            for s in result["segments"]
+        ]
+        if cache_path:
+            with open(cache_path, "w") as f:
+                json.dump(segments, f)
+        return segments

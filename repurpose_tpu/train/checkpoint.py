@@ -1,0 +1,65 @@
+"""Orbax checkpointing.
+
+Replaces torch.save/load of {model, optimizer, schedulers, epoch, loss}
+(reference main.py:513-531, 213-228) with an Orbax CheckpointManager saving
+the whole TrainState pytree plus a JSON metadata blob (epoch, best metric).
+The schedule needs no state: it is a pure function of ``state.step``
+(vs the reference's two stateful torch schedulers).
+
+Multi-host safe: Orbax coordinates writes across processes; the "rank 0
+saves" logic of the reference is handled internally.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import orbax.checkpoint as ocp
+
+from repurpose_tpu.train.state import TrainState
+
+
+class Checkpointer:
+    def __init__(self, directory: str, max_to_keep: int | None = 5):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(directory),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+            ),
+        )
+
+    @property
+    def directory(self) -> str:
+        return str(self._mgr.directory)
+
+    def save(self, step: int, state: TrainState, metadata: dict | None = None) -> None:
+        args = {"state": ocp.args.StandardSave(state)}
+        if metadata is not None:
+            args["meta"] = ocp.args.JsonSave(metadata)
+        self._mgr.save(step, args=ocp.args.Composite(**args))
+        self._mgr.wait_until_finished()
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(
+        self, abstract_state: TrainState, step: int | None = None
+    ) -> tuple[TrainState, dict]:
+        """Restore into the structure of ``abstract_state`` (shapes/shardings
+        come from it, so restores land directly on the mesh)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.directory}")
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state),
+                meta=ocp.args.JsonRestore(),
+            ),
+        )
+        meta: Any = restored.get("meta") or {}
+        return restored["state"], dict(meta)
+
+    def close(self) -> None:
+        self._mgr.close()

@@ -1,0 +1,60 @@
+"""Metric logging: wandb when available/enabled, always JSONL + stdout.
+
+The reference logs batch/epoch/eval metrics and grad norms to wandb from rank
+0 (main.py:238-265, 345-367, 391-397, 746-759). Here the same stream goes to
+a JSONL file (machine-readable without external services) and optionally to
+wandb; only process 0 writes.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Mapping
+
+import jax
+
+logger = logging.getLogger(__name__)
+
+
+class MetricLogger:
+    def __init__(self, workdir: str, use_wandb: bool = False, config: Mapping | None = None):
+        self.is_main = jax.process_index() == 0
+        self._file = None
+        self._wandb = None
+        if not self.is_main:
+            return
+        os.makedirs(workdir, exist_ok=True)
+        self._file = open(os.path.join(workdir, "metrics.jsonl"), "a")
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "repurpose-tpu"),
+                    name=f"mmct_{time.strftime('%Y%m%d_%H%M%S')}",
+                    config=dict(config or {}),
+                    dir=workdir,
+                )
+            except Exception as e:
+                logger.warning("wandb unavailable (%s); JSONL logging only", e)
+
+    def log(self, metrics: Mapping[str, Any], step: int) -> None:
+        if not self.is_main:
+            return
+        record = {"step": step, "time": time.time()}
+        for k, v in metrics.items():
+            record[k] = float(v) if hasattr(v, "__float__") else v
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+        if self._wandb is not None:
+            self._wandb.log({k: v for k, v in record.items() if k != "time"}, step=step)
+
+    def close(self) -> None:
+        if self._file is not None:
+            self._file.close()
+        if self._wandb is not None:
+            self._wandb.finish()

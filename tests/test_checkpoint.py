@@ -1,0 +1,41 @@
+"""Orbax checkpoint save/restore roundtrip + resume metadata."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from repurpose_tpu.config import ModelConfig, TrainConfig
+from repurpose_tpu.train.checkpoint import Checkpointer
+from repurpose_tpu.train.state import create_train_state
+
+TINY = ModelConfig(
+    vis_dim=8, aud_dim=12, text_dim=4, d_model=16, self_num_layers=1,
+    num_heads=2, d_ff=32, hidden_dim=8,
+)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state, _, _ = create_train_state(TINY, TrainConfig(), 10, jax.random.key(0))
+    state = state.replace(step=jnp.int32(42))
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(42, state, {"epoch": 3, "best_tiou": 0.5})
+    assert ckpt.latest_step() == 42
+
+    fresh, _, _ = create_train_state(TINY, TrainConfig(), 10, jax.random.key(1))
+    restored, meta = ckpt.restore(fresh)
+    assert meta == {"epoch": 3, "best_tiou": 0.5}
+    assert int(restored.step) == 42
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()
+
+
+def test_max_to_keep(tmp_path):
+    state, _, _ = create_train_state(TINY, TrainConfig(), 10, jax.random.key(0))
+    ckpt = Checkpointer(str(tmp_path / "ckpt"), max_to_keep=2)
+    for s in (1, 2, 3):
+        ckpt.save(s, state.replace(step=jnp.int32(s)), {"epoch": s})
+    assert ckpt.latest_step() == 3
+    restored, meta = ckpt.restore(state)
+    assert meta["epoch"] == 3
+    ckpt.close()

@@ -1,0 +1,88 @@
+"""RepurposeDataset end-to-end on a synthetic on-disk corpus: filtering,
+cache, validation, and __getitem__ truncation semantics."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from repurpose_tpu.config import ModelConfig
+from repurpose_tpu.data.dataset import RepurposeDataset
+from repurpose_tpu.data.synthetic import write_synthetic_dataset
+
+TINY = ModelConfig(vis_dim=8, aud_dim=12, text_dim=4, d_model=16, self_num_layers=1, num_heads=2)
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    return write_synthetic_dataset(str(tmp_path), [100, 150, 80], TINY, seed=9)
+
+
+def test_loads_and_precomputes(corpus):
+    ds = RepurposeDataset(corpus, validate=True)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["visual"].shape[1] == 8 and s["audio"].shape[1] == 12
+    assert s["labels"].shape[0] == s["duration"] == s["segments"].shape[0]
+    # labels nonzero inside annotated segments
+    assert s["labels"].sum() > 0
+
+
+def test_missing_modality_filtered(corpus):
+    ds0 = RepurposeDataset(corpus, validate=False, use_cache=False)
+    entry = ds0.entries[0]
+    os.remove(os.path.join(corpus.audio_path, f"{entry['youtube_id']}.npy"))
+    ds = RepurposeDataset(corpus, validate=False, use_cache=False)
+    assert len(ds) == 2
+
+
+def test_validation_rejects_corrupt_features(corpus):
+    ds0 = RepurposeDataset(corpus, validate=False, use_cache=False)
+    vid = ds0.entries[1]["youtube_id"]
+    np.save(os.path.join(corpus.video_path, f"{vid}.npy"), np.zeros((0, 8), np.float32))
+    assert len(RepurposeDataset(corpus, validate=True, use_cache=False)) == 2
+    # without validation the reference's test class keeps it (existence only)
+    assert len(RepurposeDataset(corpus, validate=False, use_cache=False)) == 3
+
+
+def test_filter_cache_roundtrip(corpus):
+    ds1 = RepurposeDataset(corpus, validate=True)
+    cache_files = [
+        f for f in os.listdir(os.path.dirname(corpus.label_path))
+        if "filter_cache" in f
+    ]
+    assert len(cache_files) == 1
+    ds2 = RepurposeDataset(corpus, validate=True)  # cache hit
+    assert [e["youtube_id"] for e in ds1.entries] == [
+        e["youtube_id"] for e in ds2.entries
+    ]
+
+
+def test_cache_invalidated_on_label_change(corpus):
+    RepurposeDataset(corpus, validate=True)
+    entries = json.load(open(corpus.label_path))
+    with open(corpus.label_path, "w") as f:
+        json.dump(entries[:2], f)
+    os.utime(corpus.label_path, (0, 0))  # force different mtime key
+    ds = RepurposeDataset(corpus, validate=True)
+    assert len(ds) == 2
+
+
+def test_time_range_slicing(corpus):
+    entries = json.load(open(corpus.label_path))
+    entries[0]["timeRange"] = [10.0, 60.0]
+    entries[0]["timeRangeOffset"] = [0, 50.0]
+    entries[0]["segmentsOffset"] = [[5.0, 30.0]]
+    with open(corpus.label_path, "w") as f:
+        json.dump(entries, f)
+    ds = RepurposeDataset(corpus, validate=False, use_cache=False)
+    s = ds[0]
+    assert s["duration"] == 50  # sliced to timeRange window
+    assert s["labels"].shape[0] == 50
+
+
+def test_gt_segments_passthrough(corpus):
+    ds = RepurposeDataset(corpus, keep_gt_segments=True, use_cache=False)
+    s = ds[0]
+    assert isinstance(s["gt_segments"], list) and len(s["gt_segments"]) >= 1

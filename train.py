@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Training CLI (the reference's ``python main.py --config_path ...``).
+
+Examples:
+    python train.py --config_path configs/repurpose.yaml --workdir runs/full
+    python train.py --config_path configs/repurpose.yaml --resume
+    python train.py --synthetic 64 --epochs 2          # no real data needed
+
+The SLURM/torchrun launcher zoo of the reference (run_ddp.sh, slurm_*.sh,
+launch_training.py) is unnecessary on TPU: one process per host, and
+``jax.distributed.initialize()`` (called automatically) wires multi-host.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+from repurpose_tpu.config import Config, load_config
+from repurpose_tpu.parallel.mesh import maybe_initialize_distributed
+
+
+def build_datasets(cfg: Config, synthetic: int):
+    if synthetic:
+        import dataclasses
+
+        from repurpose_tpu.data.synthetic import SyntheticDataset
+        import numpy as np
+
+        rng = np.random.default_rng(cfg.train.seed)
+        durations = rng.integers(60, cfg.train.buckets[-1], synthetic).tolist()
+        mk = lambda n, s: SyntheticDataset(durations[:n], cfg.model, seed=s)
+        return mk(synthetic, 1), mk(max(synthetic // 8, 1), 2), mk(max(synthetic // 8, 1), 3)
+    from repurpose_tpu.data.dataset import RepurposeDataset
+
+    train_ds = RepurposeDataset(cfg.train_dataset, validate=True)
+    val_ds = RepurposeDataset(cfg.val_dataset, validate=True)
+    test_ds = RepurposeDataset(cfg.test_dataset, validate=False, keep_gt_segments=True)
+    return train_ds, val_ds, test_ds
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_path", default="configs/repurpose.yaml")
+    p.add_argument("--workdir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic videos instead of real features")
+    p.add_argument("--wandb", action="store_true")
+    p.add_argument("--log-level", default="INFO")
+    args = p.parse_args()
+
+    logging.basicConfig(level=args.log_level.upper(),
+                        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    maybe_initialize_distributed()
+
+    from repurpose_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+
+    cfg = load_config(args.config_path)
+    workdir = args.workdir or os.path.join(
+        "runs", time.strftime("ckpt_%Y%m%d_%H%M%S")
+    )
+    os.makedirs(workdir, exist_ok=True)
+    with open(os.path.join(workdir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    train_ds, val_ds, test_ds = build_datasets(cfg, args.synthetic)
+    from repurpose_tpu.train.loop import Trainer
+
+    trainer = Trainer(
+        cfg, workdir, train_ds, val_ds, test_ds,
+        use_wandb=args.wandb, self_check=True,
+    )
+    if args.resume:
+        trainer.resume()
+    summary = trainer.fit(epochs=args.epochs)
+    print("training done:", summary)
+
+
+if __name__ == "__main__":
+    main()
