@@ -1,0 +1,58 @@
+#!/usr/bin/env python
+"""Preprocessing CLI (the reference's ``python preprocessing/
+main_preprocessing.py --dataset ... [--steps ...] [--verify]``).
+
+    python preprocess.py --dataset data/train.json --steps download visual
+    python preprocess.py --dataset data/val.json --verify
+    python preprocess.py --split data/train.json --chunk-size 100 --out chunks/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import yaml
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", help="split JSON to process")
+    p.add_argument("--steps", nargs="+", default=["download", "visual", "audio", "text"])
+    p.add_argument("--config", default=None, help="preprocessing YAML config")
+    p.add_argument("--verify", action="store_true", help="completeness scan only")
+    p.add_argument("--split", help="shard a split JSON into chunks instead")
+    p.add_argument("--chunk-size", type=int, default=100)
+    p.add_argument("--out", default="chunks")
+    p.add_argument("--log-level", default="INFO")
+    args = p.parse_args()
+    logging.basicConfig(level=args.log_level.upper())
+
+    if args.split:
+        from repurpose_tpu.preprocessing.tools import split_dataset
+
+        paths = split_dataset(args.split, args.out, args.chunk_size)
+        print(f"wrote {len(paths)} chunks to {args.out}")
+        return
+
+    from repurpose_tpu.preprocessing.pipeline import (
+        PreprocessConfig,
+        PreprocessingPipeline,
+    )
+
+    raw = {}
+    if args.config:
+        with open(args.config) as f:
+            raw = yaml.safe_load(f) or {}
+    pipeline = PreprocessingPipeline(PreprocessConfig(**raw))
+
+    if args.verify:
+        print(json.dumps(pipeline.verify_features(args.dataset), indent=2))
+        return
+    results = pipeline.process_dataset(args.dataset, args.steps)
+    print(json.dumps(results, indent=2, default=str))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,199 @@
+"""Preprocessing orchestrator: dataset JSON -> downloaded videos -> per-second
+feature .npy files for all three modalities.
+
+Capability parity with the reference's PreprocessingPipeline
+(preprocessing/main_preprocessing.py:17-338): ordered steps
+[download, visual, audio, text] per dataset, default-config fallback, and a
+feature-completeness verifier (--verify, :268-314). Differences by design:
+
+- extractors are the batched JAX models (one device, large batches) instead
+  of per-frame/per-chunk GPU loops;
+- extractor weights load from local checkpoint files (HF/PANNs formats) via
+  the converters — this box has no network egress, so there is no implicit
+  download;
+- text runs transcribe -> bin -> embed in ONE pass (the reference needed two,
+  text_feature_extractor.py:310-386).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+STEPS = ("download", "visual", "audio", "text")
+
+
+@dataclass
+class PreprocessConfig:
+    video_dir: str = "data/videos"
+    visual_dir: str = "data/video_clip_features"
+    audio_dir: str = "data/audio_pann_features"
+    text_dir: str = "data/caption_features"
+    transcript_dir: str = "data/transcripts"
+    clip_checkpoint: str = ""  # HF CLIPVisionModelWithProjection dir/file
+    panns_checkpoint: str = ""  # PANNs Cnn14 .pth
+    minilm_checkpoint: str = ""  # HF all-MiniLM-L6-v2 dir
+    download_workers: int = 3
+    visual_batch: int = 128
+    audio_batch: int = 64
+    text_batch: int = 256
+    cookies_file: str | None = None
+
+
+def load_video_ids(dataset_json: str) -> list[str]:
+    with open(dataset_json) as f:
+        entries = json.load(f)
+    return sorted({e["youtube_id"] for e in entries})
+
+
+class PreprocessingPipeline:
+    def __init__(self, cfg: PreprocessConfig):
+        self.cfg = cfg
+        for d in (cfg.video_dir, cfg.visual_dir, cfg.audio_dir, cfg.text_dir,
+                  cfg.transcript_dir):
+            os.makedirs(d, exist_ok=True)
+
+    # -- weights ---------------------------------------------------------------
+
+    def _clip_params(self):
+        import torch
+
+        from repurpose_tpu.extractors.clip_vit import (
+            CLIPVisionConfig,
+            convert_hf_clip_vision,
+        )
+
+        sd = torch.load(self.cfg.clip_checkpoint, map_location="cpu", weights_only=True)
+        return convert_hf_clip_vision(
+            {k: v.numpy() for k, v in sd.items()}, CLIPVisionConfig()
+        )
+
+    def _panns_params(self):
+        import torch
+
+        from repurpose_tpu.extractors.cnn14 import convert_panns_cnn14
+
+        ckpt = torch.load(self.cfg.panns_checkpoint, map_location="cpu", weights_only=False)
+        sd = ckpt.get("model", ckpt)
+        return convert_panns_cnn14({k: v.numpy() for k, v in sd.items()})
+
+    def _minilm(self):
+        import torch
+        from transformers import AutoTokenizer
+
+        from repurpose_tpu.extractors.minilm import MiniLMConfig, convert_hf_bert
+
+        tok = AutoTokenizer.from_pretrained(self.cfg.minilm_checkpoint)
+        sd_path = os.path.join(self.cfg.minilm_checkpoint, "pytorch_model.bin")
+        sd = torch.load(sd_path, map_location="cpu", weights_only=True)
+        sd = {k.removeprefix("bert."): v for k, v in sd.items()}
+        return convert_hf_bert({k: v.numpy() for k, v in sd.items()}, MiniLMConfig()), tok
+
+    # -- steps ------------------------------------------------------------------
+
+    def run_download(self, video_ids: Sequence[str]) -> dict:
+        from repurpose_tpu.preprocessing.downloader import VideoDownloader
+
+        dl = VideoDownloader(
+            self.cfg.video_dir,
+            max_workers=self.cfg.download_workers,
+            cookies_file=self.cfg.cookies_file,
+        )
+        return dl.download_dataset(video_ids)
+
+    def run_visual(self, video_ids: Sequence[str]) -> dict:
+        from repurpose_tpu.preprocessing.extract import VisualExtractor
+
+        ex = VisualExtractor(self._clip_params(), batch_size=self.cfg.visual_batch)
+        return ex.run(video_ids, self.cfg.video_dir, self.cfg.visual_dir)
+
+    def run_audio(self, video_ids: Sequence[str]) -> dict:
+        from repurpose_tpu.preprocessing.extract import AudioExtractor
+
+        ex = AudioExtractor(self._panns_params(), batch_size=self.cfg.audio_batch)
+        return ex.run(video_ids, self.cfg.video_dir, self.cfg.audio_dir)
+
+    def run_text(self, video_ids: Sequence[str]) -> dict:
+        from repurpose_tpu.preprocessing.extract import (
+            TextExtractor,
+            bin_transcript_per_second,
+        )
+        from repurpose_tpu.preprocessing.media import probe_duration
+        from repurpose_tpu.preprocessing.progress import ProgressTracker
+
+        params, tok = self._minilm()
+        ex = TextExtractor(params, tok, batch_size=self.cfg.text_batch)
+        tracker = ProgressTracker(
+            os.path.join(self.cfg.text_dir, "text_progress.json"), len(video_ids)
+        )
+        for vid in video_ids:
+            out_path = os.path.join(self.cfg.text_dir, f"{vid}.npy")
+            if tracker.is_done(vid) and os.path.exists(out_path):
+                continue
+            src = os.path.join(self.cfg.video_dir, f"{vid}.mp4")
+            if not os.path.exists(src):
+                tracker.mark_failed(vid, "video file missing")
+                continue
+            try:
+                segments = ex.transcribe(
+                    src, os.path.join(self.cfg.transcript_dir, f"{vid}.json")
+                )
+                duration = int(np.ceil(probe_duration(src)))
+                bins = bin_transcript_per_second(segments, duration)
+                np.save(out_path, ex.embed_bins(bins))
+                tracker.mark_completed(vid)
+            except Exception as e:
+                tracker.mark_failed(vid, str(e))
+        return tracker.summary()
+
+    def process_dataset(self, dataset_json: str, steps: Sequence[str] = STEPS) -> dict:
+        video_ids = load_video_ids(dataset_json)
+        logger.info("processing %d videos from %s", len(video_ids), dataset_json)
+        results = {}
+        for step in steps:
+            if step not in STEPS:
+                raise ValueError(f"unknown step {step!r}; valid: {STEPS}")
+            logger.info("step: %s", step)
+            results[step] = getattr(self, f"run_{step}")(video_ids)
+        return results
+
+    # -- verification ----------------------------------------------------------
+
+    def verify_features(self, dataset_json: str) -> dict:
+        """Completeness scan (reference --verify,
+        main_preprocessing.py:268-314): per modality, which videos have a
+        loadable 2-D non-empty .npy."""
+        video_ids = load_video_ids(dataset_json)
+        dirs = {
+            "visual": self.cfg.visual_dir,
+            "audio": self.cfg.audio_dir,
+            "text": self.cfg.text_dir,
+        }
+        report: dict = {"total": len(video_ids)}
+        complete = set(video_ids)
+        for mod, d in dirs.items():
+            ok, missing, corrupt = [], [], []
+            for vid in video_ids:
+                p = os.path.join(d, f"{vid}.npy")
+                if not os.path.exists(p):
+                    missing.append(vid)
+                    continue
+                try:
+                    arr = np.load(p, mmap_mode="r", allow_pickle=True)
+                    if arr.ndim != 2 or arr.shape[0] == 0:
+                        corrupt.append(vid)
+                    else:
+                        ok.append(vid)
+                except Exception:
+                    corrupt.append(vid)
+            report[mod] = {"ok": len(ok), "missing": len(missing), "corrupt": len(corrupt)}
+            complete &= set(ok)
+        report["complete_all_modalities"] = len(complete)
+        return report

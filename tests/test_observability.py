@@ -1,0 +1,88 @@
+"""Debug visualizer, analysis tools, profiling utilities."""
+
+import json
+import os
+
+import numpy as np
+
+from repurpose_tpu.utils.analysis import (
+    feature_label_analysis,
+    lag_analysis,
+    modality_correlation,
+    render_projection,
+)
+from repurpose_tpu.utils.debug_viz import ValidationDebugger
+from repurpose_tpu.utils.profiling import StepTimer
+
+
+def _sample(rng, t=120, collapse=False):
+    probs = rng.uniform(0, 1, t)
+    offsets = np.zeros((t, 2)) if collapse else rng.uniform(0, 30, (t, 2))
+    gt_labels = (rng.uniform(size=t) > 0.7).astype(float)
+    gt_offsets = rng.uniform(0, 30, (t, 2))
+    return probs, offsets, gt_labels, gt_offsets
+
+
+def test_debugger_renders_and_logs(tmp_path, rng):
+    dbg = ValidationDebugger(str(tmp_path), tag="t")
+    p, o, gl, go = _sample(rng)
+    dbg.add_sample("vid1", p, o, gl, go,
+                   pred_segments=np.array([[10.0, 40.0]]),
+                   gt_segments=[[12.0, 38.0]], loss=1.5)
+    paths = dbg.render()
+    assert len(paths) == 1 and os.path.exists(paths[0])
+    log_path = dbg.write_log()
+    summary = json.load(open(log_path))
+    assert summary["n_samples"] == 1
+    assert summary["loss"]["mean"] == 1.5
+    assert summary["collapse_warnings"] == []
+
+
+def test_debugger_collapse_warning(tmp_path, rng):
+    dbg = ValidationDebugger(str(tmp_path), tag="t")
+    p, o, gl, go = _sample(rng, collapse=True)
+    dbg.add_sample("flat", p, o, gl, go)
+    warnings = dbg.check_model_collapse()
+    assert len(warnings) == 1 and "flat" in warnings[0]
+
+
+def test_feature_label_analysis_separable(tmp_path, rng):
+    t, d = 200, 16
+    labels = (rng.uniform(size=t) > 0.5).astype(int)
+    feats = rng.normal(0, 1, (t, d))
+    feats[:, 0] += labels * 3.0  # dim 0 is highly informative
+    out = feature_label_analysis(feats, labels)
+    assert out["separability_acc"] > 0.8
+    assert 0 in out["top_correlated_dims"][:3]
+    img = render_projection(out, labels, str(tmp_path / "proj.png"))
+    assert os.path.exists(img)
+
+
+def test_modality_correlation_aligned_beats_shifted(rng):
+    t = 300
+    base = rng.normal(0, 1, t).cumsum()  # smooth shared signal
+    vis = base[:, None] * rng.uniform(0.5, 1, 8)[None] + rng.normal(0, 0.1, (t, 8))
+    aud = base[:, None] * rng.uniform(0.5, 1, 4)[None] + rng.normal(0, 0.1, (t, 4))
+    labels = (base > np.median(base)).astype(int)
+    out = modality_correlation({"visual": vis, "audio": aud}, labels)
+    pair = out["pairs"]["audio/visual"]
+    assert pair["aligned_beats_shifted"]
+    assert "highlight_separation" in out
+
+
+def test_lag_analysis_detects_shift(rng):
+    t = 400
+    sig = np.abs(rng.normal(0, 1, t + 5).cumsum())
+    a = sig[5:, None] * np.ones(3)
+    b = sig[:-5, None] * np.ones(3)  # b lags a by 5
+    out = lag_analysis(a, b, max_lag=8)
+    assert out["best_lag"] == -5
+    assert out["best_corr"] > 0.9
+
+
+def test_step_timer():
+    timer = StepTimer(window=4)
+    for _ in range(5):
+        timer.tick()
+    assert timer.mean >= 0 and timer.p50 >= 0
+    assert set(timer.summary()) == {"step_time_mean_s", "step_time_p50_s"}
