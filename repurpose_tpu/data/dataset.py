@@ -182,12 +182,24 @@ class RepurposeDataset:
         by the loader for bucket-aware batch grouping."""
         return [len(e["_labels"]) for e in self.entries]
 
+    def _load_feature(self, path: str) -> np.ndarray:
+        """float32 .npy via the native pread loader when available
+        (csrc/npy_loader.cc); numpy otherwise."""
+        from repurpose_tpu import native
+
+        info = native.probe_npy(path) if native.available() else None
+        if info is not None:
+            rows, cols = info
+            loaded = native.batch_load_npy([path], t=rows, d=cols, n_threads=1)
+            if loaded is not None:
+                return loaded[0][0]
+        return np.load(path, allow_pickle=True)
+
     def __getitem__(self, idx: int) -> dict:
         e = self.entries[idx]
         vid = e["youtube_id"]
         feats = {
-            m: np.load(fmt.format(vid), allow_pickle=True)
-            for m, fmt in self._fmt.items()
+            m: self._load_feature(fmt.format(vid)) for m, fmt in self._fmt.items()
         }
         tr = e["timeRange"]
         if tr[0] != 0:

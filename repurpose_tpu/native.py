@@ -1,0 +1,142 @@
+"""ctypes bindings for the native runtime (csrc/librepurpose_native.so).
+
+Two accelerated host paths, both with pure-Python fallbacks so the framework
+works without a toolchain:
+
+- ``batch_load_npy``: K float32 .npy files -> one pre-zeroed [B, T, D] numpy
+  buffer via threaded pread (the collate hot loop);
+- ``soft_nms_native``: C++ Soft-NMS with oracle semantics for the host
+  evaluation path.
+
+The library auto-builds on first use when g++ is available (make -C csrc).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import shutil
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+_SO = os.path.join(_CSRC, "librepurpose_native.so")
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def _build() -> bool:
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _CSRC, "-s"], check=True, capture_output=True
+        )
+        return True
+    except subprocess.CalledProcessError as e:
+        logger.warning("native build failed: %s", e.stderr.decode()[-500:])
+        return False
+
+
+def get_lib() -> ctypes.CDLL | None:
+    """Load (building if needed) the native library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError as e:
+            logger.warning("native library unloadable: %s", e)
+            return None
+        lib.npy_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.npy_probe.restype = ctypes.c_int
+        lib.npy_load_f32.argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.npy_load_f32.restype = ctypes.c_int64
+        lib.npy_batch_load_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int,
+        ]
+        lib.npy_batch_load_f32.restype = ctypes.c_int
+        lib.soft_nms_f32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_float,
+            ctypes.c_float, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.soft_nms_f32.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def probe_npy(path: str) -> tuple[int, int] | None:
+    """(rows, cols) of a float32 C-order 2-D .npy, or None on any mismatch."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = ctypes.c_int64()
+    cols = ctypes.c_int64()
+    if lib.npy_probe(path.encode(), ctypes.byref(rows), ctypes.byref(cols)) != 0:
+        return None
+    return int(rows.value), int(cols.value)
+
+
+def batch_load_npy(
+    paths: list[str], t: int, d: int, n_threads: int = 4
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Load files into a zero-padded [len(paths), t, d] float32 batch.
+    Returns (batch, rows per file) or None to signal numpy fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(paths)
+    out = np.zeros((n, t, d), np.float32)
+    rows = np.zeros(n, np.int64)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    rc = lib.npy_batch_load_f32(
+        arr, n, out.ctypes.data_as(ctypes.c_void_p), t, d,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads,
+    )
+    if rc != 0:
+        return None
+    return out, rows
+
+
+def soft_nms_native(
+    scores: np.ndarray,
+    segments: np.ndarray,
+    sigma: float,
+    thresh: float,
+    max_seg_num: int,
+) -> np.ndarray | None:
+    """C++ Soft-NMS; returns kept original indices, or None for fallback."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(scores, np.float32)
+    g = np.ascontiguousarray(segments, np.float32)
+    n = s.shape[0]
+    keep = np.zeros(max(n, 1), np.int64)
+    n_keep = lib.soft_nms_f32(
+        s.ctypes.data_as(ctypes.c_void_p), g.ctypes.data_as(ctypes.c_void_p),
+        n, sigma, thresh, max_seg_num, keep.ctypes.data_as(ctypes.c_void_p),
+    )
+    return keep[:n_keep].copy()
