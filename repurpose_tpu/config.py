@@ -58,16 +58,25 @@ class ModelConfig:
     """XLA dot precision: "default" lets the backend use fast reduced-precision
     passes (bf16 on the MXU); "highest" forces true float32 accumulation —
     required for bit-level parity against the fp32 torch reference."""
+    modalities: tuple[str, ...] = ("visual", "audio", "text")
+    """Modality ablation: which feature streams feed the fusion concat
+    (e.g. ("visual",) for visual-only). Disabled streams are dropped before
+    the input projection, so ablated models are smaller, not zero-padded."""
 
     @property
     def concat_dim(self) -> int:
-        return self.vis_dim + self.aud_dim + self.text_dim
+        dims = {"visual": self.vis_dim, "audio": self.aud_dim, "text": self.text_dim}
+        return sum(dims[m] for m in self.modalities)
 
     def __post_init__(self) -> None:
         if self.d_model % self.num_heads != 0:
             raise ValueError(
                 f"d_model={self.d_model} not divisible by num_heads={self.num_heads}"
             )
+        bad = set(self.modalities) - {"visual", "audio", "text"}
+        if bad or not self.modalities:
+            raise ValueError(f"bad modalities: {self.modalities}")
+        object.__setattr__(self, "modalities", tuple(self.modalities))
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"bad compute_dtype: {self.compute_dtype}")
         if self.attention_impl not in ("auto", "xla", "pallas"):
@@ -207,10 +216,15 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
     model_raw.update(
         {
             k: tpu[k]
-            for k in ("compute_dtype", "attention_impl", "remat", "matmul_precision")
+            for k in (
+                "compute_dtype", "attention_impl", "remat",
+                "matmul_precision", "modalities",
+            )
             if k in tpu
         }
     )
+    if "modalities" in model_raw and model_raw["modalities"] is not None:
+        model_raw["modalities"] = tuple(model_raw["modalities"])
     train_raw = dict(raw.get("train") or {})
     train_raw.update(
         {k: tpu[k] for k in ("buckets", "loss_norm", "reg_loss_weight") if k in tpu}

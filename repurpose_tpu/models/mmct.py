@@ -80,8 +80,9 @@ class MMCT(nn.Module):
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
+        streams = {"visual": visual, "audio": audio, "text": text}
         x = jnp.concatenate(
-            [visual.astype(dtype), audio.astype(dtype), text.astype(dtype)], axis=-1
+            [streams[m].astype(dtype) for m in cfg.modalities], axis=-1
         )
         x = nn.Dense(cfg.d_model, dtype=dtype, name="input_projection", **dense_kw(cfg))(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="input_norm")(x)

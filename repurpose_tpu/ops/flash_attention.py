@@ -109,19 +109,118 @@ def _flash_forward(
     return out.transpose(0, 2, 1, 3)
 
 
+def _flash_bwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref,
+    dq_ref, dk_ref, dv_ref, *, scale: float,
+):
+    """Backward for one query block; dk/dv accumulate across the q-block grid
+    dimension (TPU grid steps run sequentially, so += into the same output
+    block is safe; initialized at the first step).
+
+    Math (softmax recomputed — full K/V are already VMEM-resident, so no
+    saved logsumexp is needed):
+      p  = softmax(q k^T * scale + bias)
+      dv += p^T g
+      dp = g v^T
+      D  = rowsum(g * o)
+      ds = p * (dp - D) * scale
+      dq = ds k ; dk += ds^T q
+    """
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    g = g_ref[0, 0].astype(jnp.float32)
+    o = o_ref[0, 0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = s + jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [Tq, T] fp32
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dv_ref[0, 0] += jax.lax.dot_general(
+        p, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d = jnp.sum(g * o, axis=-1, keepdims=True)
+    ds = p * (dp - d) * scale  # [Tq, T]
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dq_ref.dtype)
+    dk_ref[0, 0] += jax.lax.dot_general(
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _flash_backward(q, k, v, key_valid, o, g, q_block: int, interpret: bool):
+    b, t, h, dh = q.shape
+    q_block = min(q_block, t)
+    scale = 1.0 / (dh ** 0.5)
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    ot = o.transpose(0, 2, 1, 3)
+    gt = g.transpose(0, 2, 1, 3)
+    mask = key_valid[:, None, :].astype(jnp.int32)
+
+    blk_q = pl.BlockSpec(
+        (1, 1, q_block, dh), lambda bi, hi, qi: (bi, hi, qi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    blk_full = pl.BlockSpec(
+        (1, 1, t, dh), lambda bi, hi, qi: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    blk_mask = pl.BlockSpec(
+        (1, 1, t), lambda bi, hi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_kernel, scale=scale),
+        grid=(b, h, t // q_block),
+        in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_q, blk_q],
+        out_specs=(blk_q, blk_full, blk_full),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h, t, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, h, t, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t, dh), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt, mask, ot, gt)
+    return (
+        dq.transpose(0, 2, 1, 3),
+        dk.transpose(0, 2, 1, 3).astype(k.dtype),
+        dv.transpose(0, 2, 1, 3).astype(v.dtype),
+    )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _mha_pallas(q, k, v, key_valid, q_block, interpret):
     return _flash_forward(q, k, v, key_valid, q_block, interpret)
 
 
 def _mha_fwd(q, k, v, key_valid, q_block, interpret):
-    return _flash_forward(q, k, v, key_valid, q_block, interpret), (q, k, v, key_valid)
+    o = _flash_forward(q, k, v, key_valid, q_block, interpret)
+    return o, (q, k, v, key_valid, o)
 
 
 def _mha_bwd(q_block, interpret, res, g):
-    q, k, v, key_valid = res
-    _, vjp = jax.vjp(lambda a, b, c: mha_xla(a, b, c, key_valid), q, k, v)
-    dq, dk, dv = vjp(g)
+    q, k, v, key_valid, o = res
+    dq, dk, dv = _flash_backward(q, k, v, key_valid, o, g, q_block, interpret)
     return dq, dk, dv, None
 
 

@@ -143,6 +143,12 @@ def soft_nms_tpu(
         ratio = jnp.where(total > 0, overlap / total, 0.0)
         weight = jnp.exp(-(ratio * ratio) / sigma)
         s = jnp.where(tail & ~done, s * weight, s)
+        # Early exit once no tail candidate can still pass the threshold:
+        # later pivots would be <= thresh (never counted) and decay only
+        # shrinks scores further, so the keep set is already final. Saves
+        # O(K) iterations when few candidates clear the threshold.
+        no_tail_left = ~jnp.any(jnp.where(pos_ids > i, s, 0.0) > thresh)
+        done = done | no_tail_left
         return i + 1, s, b, e, idx, selected, done
 
     init = (
