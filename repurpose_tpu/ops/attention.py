@@ -57,11 +57,17 @@ def mha_xla(
 
 
 def select_attention_impl(impl: str, seq_len: int, precision: str = "default") -> Callable:
-    """Resolve "auto"/"xla"/"pallas" to a callable (q, k, v, key_valid) -> out."""
+    """Resolve "auto"/"xla"/"pallas"/"pallas_full" to a callable
+    (q, k, v, key_valid) -> out. "pallas" uses the fused forward with an
+    XLA-recompute backward (fastest measured training config); "pallas_full"
+    also uses the fused Pallas backward."""
     if impl != "xla":
         on_tpu = jax.default_backend() == "tpu"
-        if impl == "pallas" or (impl == "auto" and on_tpu and seq_len >= 512):
+        if impl in ("pallas", "pallas_full") or (
+            impl == "auto" and on_tpu and seq_len >= 512
+        ):
             from repurpose_tpu.ops.flash_attention import mha_pallas
 
-            return mha_pallas
+            backward = "pallas" if impl == "pallas_full" else "xla"
+            return functools.partial(mha_pallas, backward=backward)
     return functools.partial(mha_xla, precision=precision)

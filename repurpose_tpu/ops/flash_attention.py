@@ -208,19 +208,31 @@ def _flash_backward(q, k, v, key_valid, o, g, q_block: int, interpret: bool):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _mha_pallas(q, k, v, key_valid, q_block, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _mha_pallas(q, k, v, key_valid, q_block, interpret, backward):
     return _flash_forward(q, k, v, key_valid, q_block, interpret)
 
 
-def _mha_fwd(q, k, v, key_valid, q_block, interpret):
+def _mha_fwd(q, k, v, key_valid, q_block, interpret, backward):
     o = _flash_forward(q, k, v, key_valid, q_block, interpret)
     return o, (q, k, v, key_valid, o)
 
 
-def _mha_bwd(q_block, interpret, res, g):
+def _mha_bwd(q_block, interpret, backward, res, g):
     q, k, v, key_valid, o = res
-    dq, dk, dv = _flash_backward(q, k, v, key_valid, o, g, q_block, interpret)
+    if backward == "pallas":
+        dq, dk, dv = _flash_backward(
+            q, k, v, key_valid, o, g, min(q_block, 128), interpret
+        )
+    else:
+        # XLA-recompute backward: measured FASTER than the fused Pallas
+        # backward at T=2048 on v5e (666 vs 1334 ms/step for the 16-layer
+        # model) — XLA's scheduling of the five bwd matmuls beats the
+        # VMEM-constrained single-kernel formulation. Costs [B,H,T,T] HBM
+        # traffic in the backward only; revisit with a two-kernel
+        # (dq | dk/dv) Pallas design.
+        _, vjp = jax.vjp(lambda a, b, c: mha_xla(a, b, c, key_valid), q, k, v)
+        dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
 
@@ -231,9 +243,11 @@ def mha_pallas(
     q: Array, k: Array, v: Array, key_valid: Array,
     q_block: int = DEFAULT_Q_BLOCK,
     interpret: bool | None = None,
+    backward: str = "xla",
 ) -> Array:
     """Drop-in replacement for ``mha_xla`` (same signature/semantics on valid
-    rows). Runs interpreted off-TPU so CPU tests exercise the same code."""
+    rows). Runs interpreted off-TPU so CPU tests exercise the same code.
+    ``backward``: "xla" (default, recompute) or "pallas" (fused kernel)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _mha_pallas(q, k, v, key_valid, q_block, interpret)
+    return _mha_pallas(q, k, v, key_valid, q_block, interpret, backward)

@@ -44,11 +44,12 @@ def test_forward_bf16(rng):
     )
 
 
-def test_gradients_match_xla(rng):
+@pytest.mark.parametrize("backward", ["xla", "pallas"])
+def test_gradients_match_xla(rng, backward):
     q, k, v, mask = _inputs(rng, t=128)
 
     def loss_pallas(q, k, v):
-        out = mha_pallas(q, k, v, mask, q_block=128)
+        out = mha_pallas(q, k, v, mask, q_block=64, backward=backward)
         return jnp.sum(jnp.where(mask[..., None, None], out, 0.0) ** 2)
 
     def loss_xla(q, k, v):
