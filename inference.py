@@ -24,7 +24,7 @@ import numpy as np
 from repurpose_tpu.config import load_config
 from repurpose_tpu.data.batching import collate
 from repurpose_tpu.infer import InferencePipeline
-from repurpose_tpu.models import MMCT, convert_reference_state_dict
+from repurpose_tpu.models import build_model, init_model_params
 from repurpose_tpu.train.loop import TIOU_THRESHOLDS
 from repurpose_tpu.utils.metrics import calculate_tiou
 
@@ -43,7 +43,8 @@ def load_params(args, cfg):
         restored, _ = ckpt.restore(state)
         return restored.params
     logging.warning("no checkpoint given — using random init (smoke mode)")
-    return MMCT(cfg.model).init_params(jax.random.key(cfg.train.seed))
+    model = build_model(cfg.model)
+    return init_model_params(model, cfg.model, jax.random.key(cfg.train.seed))
 
 
 def main() -> None:

@@ -62,6 +62,11 @@ class ModelConfig:
     """Modality ablation: which feature streams feed the fusion concat
     (e.g. ("visual",) for visual-only). Disabled streams are dropped before
     the input projection, so ablated models are smaller, not zero-padded."""
+    fusion: str = "concat"
+    """"concat" = the reference's shipped early-fusion MMCT; "cross" = the
+    cross-modal attention architecture its unused models/transformer.py
+    library and text_num_layers/cross_num_layers knobs describe
+    (models.cross_modal.MMCTCross)."""
 
     @property
     def concat_dim(self) -> int:
@@ -77,6 +82,8 @@ class ModelConfig:
         if bad or not self.modalities:
             raise ValueError(f"bad modalities: {self.modalities}")
         object.__setattr__(self, "modalities", tuple(self.modalities))
+        if self.fusion not in ("concat", "cross"):
+            raise ValueError(f"bad fusion: {self.fusion}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"bad compute_dtype: {self.compute_dtype}")
         if self.attention_impl not in ("auto", "xla", "pallas", "pallas_full"):
@@ -218,7 +225,7 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
             k: tpu[k]
             for k in (
                 "compute_dtype", "attention_impl", "remat",
-                "matmul_precision", "modalities",
+                "matmul_precision", "modalities", "fusion",
             )
             if k in tpu
         }

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from repurpose_tpu.config import ModelConfig, TestConfig
-from repurpose_tpu.models.mmct import MMCT
+from repurpose_tpu.models import build_model
 from repurpose_tpu.ops.decode import DecodeResult, decode_batch
 
 
@@ -31,7 +31,7 @@ class InferencePipeline:
         self.cfg = cfg
         self.test_cfg = test_cfg
         self.params = params
-        model = MMCT(cfg)
+        model = build_model(cfg)
 
         @jax.jit
         def _forward_and_decode(params, visual, audio, text, mask, durations):

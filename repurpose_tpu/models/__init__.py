@@ -1,2 +1,29 @@
+import jax
+import jax.numpy as jnp
+
+from repurpose_tpu.config import ModelConfig
 from repurpose_tpu.models.mmct import MMCT  # noqa: F401
 from repurpose_tpu.models.torch_convert import convert_reference_state_dict  # noqa: F401
+
+
+def build_model(cfg: ModelConfig):
+    """Model factory: the parity-exact concat-fusion MMCT (default) or the
+    cross-modal attention variant (cfg.fusion == "cross")."""
+    if cfg.fusion == "cross":
+        from repurpose_tpu.models.cross_modal import MMCTCross
+
+        return MMCTCross(cfg)
+    return MMCT(cfg)
+
+
+def init_model_params(model, cfg: ModelConfig, rng, bucket: int = 64, batch: int = 1):
+    """Jitted parameter init for any model with the MMCT call signature."""
+    dummy = lambda d: jnp.zeros((batch, bucket, d), jnp.float32)
+
+    def init(r):
+        return model.init(
+            r, dummy(cfg.vis_dim), dummy(cfg.aud_dim), dummy(cfg.text_dim),
+            jnp.ones((batch, bucket), bool), True,
+        )["params"]
+
+    return jax.jit(init)(rng)

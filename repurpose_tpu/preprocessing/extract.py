@@ -116,23 +116,34 @@ class VisualExtractor:
 
 
 class AudioExtractor:
-    """video -> (T, 2048) CNN14 embeddings, one 1-s chunk per second."""
+    """video -> (T, 2048) CNN14 embeddings, one 1-s chunk per second.
+
+    With ``params=None`` falls back to classical DSP features (MFCC/chroma/
+    contrast/tonnetz zero-padded to 2048 — the reference's librosa fallback,
+    audio_feature_extractor.py:159-239, rebuilt in extractors.fallback_audio).
+    """
 
     def __init__(self, params, batch_size: int = 64, sr: int = 22050,
                  compute_dtype: str = "bfloat16"):
-        import jax
-
-        from repurpose_tpu.extractors.cnn14 import CNN14
-        from repurpose_tpu.extractors.audio_frontend import logmel
-
-        model = CNN14(compute_dtype=compute_dtype)
-        self._embed = jax.jit(
-            lambda wave: model.apply({"params": params}, logmel(wave))
-        )
         self.batch_size = batch_size
         self.sr = sr
+        self._embed = None
+        if params is not None:
+            import jax
+
+            from repurpose_tpu.extractors.cnn14 import CNN14
+            from repurpose_tpu.extractors.audio_frontend import logmel
+
+            model = CNN14(compute_dtype=compute_dtype)
+            self._embed = jax.jit(
+                lambda wave: model.apply({"params": params}, logmel(wave))
+            )
 
     def extract(self, video_path: str) -> np.ndarray:
+        if self._embed is None:
+            from repurpose_tpu.extractors.fallback_audio import fallback_features
+
+            return fallback_features(load_audio(video_path, self.sr), self.sr)
         chunks = chunk_waveform(load_audio(video_path, self.sr), self.sr)
         outs = []
         for i in range(0, len(chunks), self.batch_size):

@@ -96,6 +96,12 @@ class Trainer:
             self.state.params,
             cfg.test_cfg,
         )
+        from repurpose_tpu.models import build_model
+
+        _fwd_model = build_model(cfg.model)
+        self._fwd = jax.jit(
+            lambda p, v, a, t, m: _fwd_model.apply({"params": p}, v, a, t, m, True)
+        )
         self.best_tiou = 0.0
         self.best_epoch = -1
         self.start_epoch = 0
@@ -119,6 +125,12 @@ class Trainer:
             labels=jax.device_put(batch.labels, sh),
             segments=jax.device_put(batch.segments, sh),
             durations=jax.device_put(batch.durations, rep),
+        )
+
+    def eval_forward(self, batch: Batch):
+        """Raw model outputs for debugging/visualization."""
+        return self._fwd(
+            self.state.params, batch.visual, batch.audio, batch.text, batch.mask
         )
 
     # -- checkpointing ---------------------------------------------------------
@@ -162,8 +174,19 @@ class Trainer:
 
     # -- evaluation ---------------------------------------------------------------
 
-    def evaluate(self, dataset=None, max_videos: int | None = None) -> dict:
-        """Precision@tIoU over the given dataset (default: test split)."""
+    def evaluate(
+        self,
+        dataset=None,
+        max_videos: int | None = None,
+        debug_viz: bool = False,
+        max_debug_samples: int = 10,
+    ) -> dict:
+        """Precision@tIoU over the given dataset (default: test split).
+
+        ``debug_viz`` renders per-sample prediction figures + JSON health log
+        for the first batches (the reference visualizes 10 test batches each
+        eval, main.py:648-666) including the model-collapse check.
+        """
         ds = dataset if dataset is not None else self.test_ds
         if ds is None:
             return {}
@@ -171,6 +194,11 @@ class Trainer:
         bs = self.cfg.train.batch_size
         per_thr: dict[float, list[float]] = {t: [] for t in TIOU_THRESHOLDS}
         n = len(ds) if max_videos is None else min(len(ds), max_videos)
+        debugger = None
+        if debug_viz and jax.process_index() == 0:
+            from repurpose_tpu.utils.debug_viz import ValidationDebugger
+
+            debugger = ValidationDebugger(self.workdir)
         for i0 in range(0, n, bs):
             samples = [ds[i] for i in range(i0, min(i0 + bs, n))]
             batch = collate(samples, self.cfg.train.buckets, bs)
@@ -183,6 +211,24 @@ class Trainer:
                 tiou = calculate_tiou(gt, r["segments"].tolist(), TIOU_THRESHOLDS)
                 for t in TIOU_THRESHOLDS:
                     per_thr[t].append(tiou[t])
+            if debugger is not None and len(debugger.samples) < max_debug_samples:
+                fwd = self.eval_forward(batch)
+                for j, (s, r) in enumerate(zip(samples, results)):
+                    if len(debugger.samples) >= max_debug_samples:
+                        break
+                    d = int(batch.durations[j])
+                    debugger.add_sample(
+                        s["video_id"],
+                        probs=jax.nn.sigmoid(fwd.cls_logits[j, :d, 0]),
+                        offsets=fwd.offsets[j, :d],
+                        gt_labels=batch.labels[j, :d],
+                        gt_offsets=batch.segments[j, :d],
+                        pred_segments=r["segments"],
+                        gt_segments=s.get("gt_segments"),
+                    )
+        if debugger is not None:
+            debugger.render(max_debug_samples)
+            debugger.write_log()
         out = {f"tiou/{t}": float(np.mean(v)) if v else 0.0 for t, v in per_thr.items()}
         out["tiou/mean"] = float(np.mean([out[f"tiou/{t}"] for t in TIOU_THRESHOLDS]))
         return out

@@ -16,7 +16,7 @@ import jax
 import optax
 
 from repurpose_tpu.config import ModelConfig, TrainConfig
-from repurpose_tpu.models.mmct import MMCT
+from repurpose_tpu.models import build_model, init_model_params
 from repurpose_tpu.train.schedule import warmup_cosine_schedule
 
 
@@ -48,8 +48,8 @@ def create_train_state(
     steps_per_epoch: int,
     rng: jax.Array,
 ) -> tuple[TrainState, optax.GradientTransformation, Callable]:
-    model = MMCT(model_cfg)
-    params = model.init_params(rng)
+    model = build_model(model_cfg)
+    params = init_model_params(model, model_cfg, rng)
     tx, schedule = make_optimizer(train_cfg, steps_per_epoch)
     opt_state = tx.init(params)
     import jax.numpy as jnp

@@ -22,12 +22,12 @@ import optax
 
 from repurpose_tpu.config import ModelConfig, TrainConfig
 from repurpose_tpu.data.batching import Batch
-from repurpose_tpu.models.mmct import MMCT
+from repurpose_tpu.models import build_model
 from repurpose_tpu.ops.losses import masked_cls_loss, masked_reg_loss
 from repurpose_tpu.train.state import TrainState
 
 
-def _loss_fn(model: MMCT, train_cfg: TrainConfig, params, batch: Batch, rng, train: bool):
+def _loss_fn(model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bool):
     out = model.apply(
         {"params": params},
         batch.visual, batch.audio, batch.text, batch.mask,
@@ -58,7 +58,7 @@ def make_train_step(
     donate: bool = True,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
-    model = MMCT(model_cfg)
+    model = build_model(model_cfg)
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -82,7 +82,7 @@ def make_train_step(
 def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
     """Loss-only evaluation step (the reference's intra-epoch val probe,
     main.py:414-490): (params, batch) -> metrics."""
-    model = MMCT(model_cfg)
+    model = build_model(model_cfg)
 
     def eval_step(params, batch: Batch):
         _, aux = _loss_fn(model, train_cfg, params, batch, None, False)

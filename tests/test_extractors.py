@@ -189,3 +189,31 @@ def test_preprocess_frames_shape():
     out = preprocess_frames(frames)
     assert out.shape == (2, 224, 224, 3)
     assert np.isfinite(out).all() and abs(float(out.mean())) < 5
+
+
+# -- fallback audio features ----------------------------------------------------
+
+def test_fallback_features_shape_and_pitch():
+    from repurpose_tpu.extractors.fallback_audio import (
+        fallback_features,
+        fallback_features_window,
+    )
+
+    sr = 22050
+    t = np.arange(sr) / sr
+    a440 = np.sin(2 * np.pi * 440.0 * t).astype(np.float32)
+    a554 = np.sin(2 * np.pi * 554.37 * t).astype(np.float32)  # C#5
+
+    fa = fallback_features_window(a440, sr)
+    fc = fallback_features_window(a554, sr)
+    assert fa.shape == (2048,)
+    assert np.isfinite(fa).all()
+    assert not fa[38:].any()  # informative dims only, zero-padded
+    # chroma lives at dims 13..25; A (pitch class 9) vs C# (pitch class 1)
+    chroma_a = fa[13:25]
+    chroma_c = fc[13:25]
+    assert int(np.argmax(chroma_a)) == 9
+    assert int(np.argmax(chroma_c)) == 1
+
+    full = fallback_features(np.concatenate([a440, a554, a440[: sr // 2]]), sr)
+    assert full.shape == (3, 2048)

@@ -79,3 +79,16 @@ def test_checkpoints_written_and_resume(run):
         np.asarray(t2.state.params["input_projection"]["kernel"]).ravel(),
     ):
         assert a == b
+
+
+def test_evaluate_with_debug_viz(run):
+    workdir, trainer, _ = run
+    out = trainer.evaluate(debug_viz=True, max_debug_samples=2)
+    assert "tiou/mean" in out
+    import glob
+
+    pngs = glob.glob(os.path.join(workdir, "debug", "*", "visualizations", "*.png"))
+    logs = glob.glob(os.path.join(workdir, "debug", "*", "logs", "summary.json"))
+    assert len(pngs) >= 1 and len(logs) == 1
+    summary = json.load(open(logs[0]))
+    assert summary["n_samples"] == 2
