@@ -239,6 +239,22 @@ class Trainer:
         tc = self.cfg.train
         epochs = epochs if epochs is not None else tc.epochs
         final_eval: dict = {}
+
+        # Preemption-safe training (capability beyond the reference, which
+        # loses up to save_epochs of work on eviction): SIGTERM checkpoints
+        # the current state before exiting.
+        import signal
+
+        preempted = {"flag": False}
+
+        def _on_sigterm(signum, frame):
+            preempted["flag"] = True
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # non-main thread (tests)
+            prev_handler = None
+
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             epoch_losses = []
@@ -262,6 +278,11 @@ class Trainer:
                     val_loss = self._val_probe()
                     if val_loss is not None:
                         self.metrics.log({"val/loss": val_loss}, step)
+                if preempted["flag"]:
+                    logger.warning("SIGTERM received: checkpointing and exiting")
+                    self._save(epoch, {"preempted": True})
+                    self.metrics.close()
+                    return {"preempted": True, "epoch": epoch}
             epoch_loss = float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
             self.metrics.log(
                 {"epoch": epoch + 1, "epoch/loss": epoch_loss,
@@ -278,6 +299,8 @@ class Trainer:
                     self.best_tiou = final_eval["tiou/mean"]
                     self.best_epoch = epoch
                     self._save(epoch, {"best": True})
+        if prev_handler is not None:
+            signal.signal(signal.SIGTERM, prev_handler)
         self.metrics.close()
         return {
             "best_tiou": self.best_tiou,

@@ -56,6 +56,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     schedule: Callable | None = None,
     donate: bool = True,
+    per_layer_grad_norms: bool = False,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
     model = build_model(model_cfg)
@@ -69,6 +70,15 @@ def make_train_step(
         params = optax.apply_updates(state.params, updates)
         metrics = dict(aux)
         metrics["grad_norm"] = optax.global_norm(grads)
+        if per_layer_grad_norms:
+            # Per-kernel gradient norms (reference logs per-Linear-layer norms
+            # every 10 iters on host, main.py:345-367; here they ride the same
+            # compiled program).
+            flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+            for path, g in flat:
+                name = "/".join(getattr(p, "key", str(p)) for p in path)
+                if name.endswith("kernel"):
+                    metrics[f"grad_norm/{name}"] = jnp.linalg.norm(g)
         if schedule is not None:
             metrics["learning_rate"] = schedule(state.step)
         new_state = TrainState(

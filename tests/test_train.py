@@ -127,3 +127,16 @@ def test_reg_loss_optional(setup):
     eval_fn = make_eval_step(TINY, cfg)
     out = eval_fn(state.params, batch)
     assert "reg_loss" in out and np.isfinite(float(out["reg_loss"]))
+
+
+def test_per_layer_grad_norms(setup):
+    from repurpose_tpu.train.state import make_optimizer
+
+    _, state, _, _, batch = setup
+    tx, sched = make_optimizer(TRAIN, 2)
+    step = make_train_step(TINY, TRAIN, tx, sched, donate=False, per_layer_grad_norms=True)
+    _, m = step(state, batch, jax.random.key(3))
+    layer_keys = [k for k in m if k.startswith("grad_norm/")]
+    assert any("input_projection" in k for k in layer_keys)
+    assert any("cls_head" in k for k in layer_keys)
+    assert all(np.isfinite(float(m[k])) for k in layer_keys)
