@@ -227,8 +227,9 @@ class Trainer:
                         gt_segments=s.get("gt_segments"),
                     )
         if debugger is not None:
-            debugger.render(max_debug_samples)
+            paths = debugger.render(max_debug_samples)
             debugger.write_log()
+            self.metrics.log_images(paths, int(self.state.step))
         out = {f"tiou/{t}": float(np.mean(v)) if v else 0.0 for t, v in per_thr.items()}
         out["tiou/mean"] = float(np.mean([out[f"tiou/{t}"] for t in TIOU_THRESHOLDS]))
         return out
@@ -264,6 +265,12 @@ class Trainer:
                 )
                 step = int(self.state.step)
                 epoch_losses.append(m["loss"])
+                if step % 50 == 1 and not np.isfinite(float(m["loss"])):
+                    # Fail fast on divergence instead of training on NaN for
+                    # the rest of the epoch (a guard the reference lacks).
+                    raise FloatingPointError(
+                        f"non-finite loss {float(m['loss'])} at step {step}"
+                    )
                 if i % 10 == 0:
                     self.metrics.log(
                         {
@@ -293,7 +300,9 @@ class Trainer:
             if (epoch + 1) % tc.save_epochs == 0:
                 self._save(epoch)
             if self.test_ds is not None and (epoch + 1) % tc.eval_freq == 0:
-                final_eval = self.evaluate()
+                final_eval = self.evaluate(
+                    debug_viz=getattr(self, "debug_viz", False)
+                )
                 self.metrics.log(final_eval, int(self.state.step))
                 if final_eval.get("tiou/mean", 0.0) > self.best_tiou:
                     self.best_tiou = final_eval["tiou/mean"]

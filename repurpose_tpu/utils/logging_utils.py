@@ -53,6 +53,18 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log({k: v for k, v in record.items() if k != "time"}, step=step)
 
+    def log_images(self, paths: list[str], step: int, key: str = "debug") -> None:
+        """Upload debug figures (reference: wandb.Image uploads of the
+        ValidationDebugger renders, main.py:776-784)."""
+        if self._wandb is None:
+            return
+        try:
+            self._wandb.log(
+                {key: [self._wandb.Image(p) for p in paths]}, step=step
+            )
+        except Exception as e:
+            logger.warning("wandb image upload failed: %s", e)
+
     def close(self) -> None:
         if self._file is not None:
             self._file.close()

@@ -50,6 +50,10 @@ def main() -> None:
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic videos instead of real features")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the first epoch")
+    p.add_argument("--debug-viz", action="store_true",
+                   help="render prediction figures at each eval")
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args()
 
@@ -76,9 +80,18 @@ def main() -> None:
         cfg, workdir, train_ds, val_ds, test_ds,
         use_wandb=args.wandb, self_check=True,
     )
+    trainer.debug_viz = args.debug_viz
     if args.resume:
         trainer.resume()
-    summary = trainer.fit(epochs=args.epochs)
+    if args.profile:
+        from repurpose_tpu.utils.profiling import trace
+
+        with trace(os.path.join(workdir, "profile")):
+            summary = trainer.fit(epochs=min(args.epochs or 1, 1))
+        if (args.epochs or cfg.train.epochs) > 1:
+            summary = trainer.fit(epochs=args.epochs)
+    else:
+        summary = trainer.fit(epochs=args.epochs)
     print("training done:", summary)
 
 
