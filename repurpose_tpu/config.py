@@ -66,7 +66,8 @@ class ModelConfig:
     """"concat" = the reference's shipped early-fusion MMCT; "cross" = the
     cross-modal attention architecture its unused models/transformer.py
     library and text_num_layers/cross_num_layers knobs describe
-    (models.cross_modal.MMCTCross)."""
+    (models.cross_modal.MMCTCross); "bottleneck" = MBT-style bottleneck-token
+    fusion (models.bottleneck.MMCTBottleneck, arXiv 2107.00135)."""
 
     @property
     def concat_dim(self) -> int:
@@ -82,7 +83,7 @@ class ModelConfig:
         if bad or not self.modalities:
             raise ValueError(f"bad modalities: {self.modalities}")
         object.__setattr__(self, "modalities", tuple(self.modalities))
-        if self.fusion not in ("concat", "cross"):
+        if self.fusion not in ("concat", "cross", "bottleneck"):
             raise ValueError(f"bad fusion: {self.fusion}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"bad compute_dtype: {self.compute_dtype}")

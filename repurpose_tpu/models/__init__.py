@@ -13,6 +13,10 @@ def build_model(cfg: ModelConfig):
         from repurpose_tpu.models.cross_modal import MMCTCross
 
         return MMCTCross(cfg)
+    if cfg.fusion == "bottleneck":
+        from repurpose_tpu.models.bottleneck import MMCTBottleneck
+
+        return MMCTBottleneck(cfg)
     return MMCT(cfg)
 
 

@@ -73,7 +73,15 @@ def create_mesh(
             raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
         devices = devices[:need]
     sizes = mesh_cfg.axis_sizes(len(devices))
-    dev_array = np.asarray(devices).reshape(sizes)
+    try:
+        # Topology-aware ordering: the model/seq axes (heaviest collectives —
+        # per-layer psums and K/V gathers) land on adjacent ICI links, data
+        # gradients ride the remainder (jax-ml.github.io/scaling-book recipe).
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh(sizes, devices=list(devices))
+    except Exception:  # heterogeneous/virtual device sets
+        dev_array = np.asarray(devices).reshape(sizes)
     return Mesh(dev_array, AXES)
 
 

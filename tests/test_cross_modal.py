@@ -71,3 +71,32 @@ def test_unimodal_encoder_masking(rng):
     np.testing.assert_allclose(
         np.asarray(o1)[0, :10], np.asarray(o2)[0, :10], atol=1e-5
     )
+
+
+def test_bottleneck_model_forward_and_grads(rng):
+    import dataclasses
+
+    from repurpose_tpu.models import build_model
+    from repurpose_tpu.ops.losses import masked_cls_loss
+
+    cfg = dataclasses.replace(TINY, fusion="bottleneck")
+    model = build_model(cfg)
+    vis, aud, txt, mask = _batch(rng)
+    labels = jnp.asarray(rng.integers(0, 2, (2, 32)), jnp.float32)
+    params = jax.jit(
+        lambda r: model.init(r, vis, aud, txt, mask, True)["params"]
+    )(jax.random.key(0))
+    assert "bottleneck_tokens" in params
+
+    out = jax.jit(lambda p: model.apply({"params": p}, vis, aud, txt, mask, True))(params)
+    assert out.cls_logits.shape == (2, 32, 1)
+    assert np.isfinite(np.asarray(out.cls_logits)).all()
+
+    @jax.jit
+    def loss_fn(p):
+        o = model.apply({"params": p}, vis, aud, txt, mask, True)
+        return masked_cls_loss(o.cls_logits, labels, mask)
+
+    g = jax.jit(jax.grad(loss_fn))(params)
+    # the bottleneck tokens must receive gradient (fusion actually flows)
+    assert float(jnp.abs(g["bottleneck_tokens"]).max()) > 0
