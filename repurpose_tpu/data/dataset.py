@@ -195,6 +195,66 @@ class RepurposeDataset:
                 return loaded[0][0]
         return np.load(path, allow_pickle=True)
 
+    def load_batch(self, indices, buckets, batch_size: int | None = None):
+        """Whole-batch fast path: the three feature streams of every sample
+        pread directly into the zero-padded [B, T, D] batch buffers by the
+        native loader (csrc/npy_loader.cc), one threaded call per modality.
+        Returns a Batch, or None when the fast path does not apply (native
+        library missing, or a sample needs timeRange slicing)."""
+        from repurpose_tpu import native
+        from repurpose_tpu.data.batching import Batch, pick_bucket
+
+        if not native.available():
+            return None
+        entries = [self.entries[i] for i in indices]
+        if any(e["timeRange"][0] != 0 for e in entries):
+            return None
+        n = len(entries)
+        b = batch_size or n
+        # Lengths: label length bounds the sample; true length is the min
+        # with each stream's rows (reference min-len truncation,
+        # RepurposeClip.py:432-437) — resolved after loading.
+        t = pick_bucket(max(len(e["_labels"]) for e in entries), buckets)
+
+        dims = {"visual": None, "audio": None, "text": None}
+        arrays = {}
+        rows = {}
+        for m, fmt in self._fmt.items():
+            paths = [fmt.format(e["youtube_id"]) for e in entries]
+            info = native.probe_npy(paths[0])
+            if info is None:
+                return None
+            dims[m] = info[1]
+            loaded = native.batch_load_npy(paths, t=t, d=info[1], n_threads=4)
+            if loaded is None:
+                return None
+            arr, r = loaded
+            if b > n:
+                arr = np.concatenate(
+                    [arr, np.zeros((b - n, t, info[1]), np.float32)]
+                )
+            arrays[m], rows[m] = arr, r
+
+        mask = np.zeros((b, t), bool)
+        labels = np.zeros((b, t), np.float32)
+        segments = np.zeros((b, t, 2), np.float32)
+        durations = np.zeros((b,), np.int32)
+        for i, e in enumerate(entries):
+            ln = min(
+                int(rows["visual"][i]), int(rows["audio"][i]),
+                len(e["_labels"]), len(e["_offsets"]), t,
+            )
+            mask[i, :ln] = True
+            labels[i, :ln] = e["_labels"][:ln]
+            segments[i, :ln] = e["_offsets"][:ln]
+            durations[i] = ln
+            for m in arrays:  # zero out rows past the common length
+                arrays[m][i, ln:] = 0.0
+        return Batch(
+            visual=arrays["visual"], audio=arrays["audio"], text=arrays["text"],
+            mask=mask, labels=labels, segments=segments, durations=durations,
+        )
+
     def __getitem__(self, idx: int) -> dict:
         e = self.entries[idx]
         vid = e["youtube_id"]

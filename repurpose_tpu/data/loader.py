@@ -92,18 +92,23 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        load_batch = getattr(self.dataset, "load_batch", None)
+        pad_b = self.batch_size if self.pad_last else None
+
         def worker():
             try:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    samples = [self.dataset[i] for i in idxs]
-                    q.put(
-                        collate(
-                            samples, self.buckets,
-                            self.batch_size if self.pad_last else None,
-                        )
+                    batch = (
+                        load_batch(idxs, self.buckets, pad_b)
+                        if load_batch is not None
+                        else None
                     )
+                    if batch is None:  # per-sample fallback path
+                        samples = [self.dataset[i] for i in idxs]
+                        batch = collate(samples, self.buckets, pad_b)
+                    q.put(batch)
                 q.put(None)
             except BaseException as e:  # surface loader errors to the consumer
                 q.put(e)

@@ -86,3 +86,33 @@ def test_gt_segments_passthrough(corpus):
     ds = RepurposeDataset(corpus, keep_gt_segments=True, use_cache=False)
     s = ds[0]
     assert isinstance(s["gt_segments"], list) and len(s["gt_segments"]) >= 1
+
+
+def test_native_batch_path_matches_per_sample(corpus):
+    from repurpose_tpu import native
+    from repurpose_tpu.data.batching import collate
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    ds = RepurposeDataset(corpus, use_cache=False)
+    idxs = list(range(len(ds)))
+    fast = ds.load_batch(idxs, buckets=(256,), batch_size=4)
+    assert fast is not None
+    slow = collate([ds[i] for i in idxs], buckets=(256,), batch_size=4)
+    for a, b, name in zip(fast, slow, fast._fields):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_native_batch_path_declines_time_range_slice(corpus):
+    import json as _json
+
+    from repurpose_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    entries = _json.load(open(corpus.label_path))
+    entries[0]["timeRange"] = [10.0, 60.0]
+    with open(corpus.label_path, "w") as f:
+        _json.dump(entries, f)
+    ds = RepurposeDataset(corpus, use_cache=False)
+    assert ds.load_batch([0, 1], buckets=(256,)) is None  # falls back
