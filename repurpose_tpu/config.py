@@ -62,6 +62,11 @@ class ModelConfig:
     """Modality ablation: which feature streams feed the fusion concat
     (e.g. ("visual",) for visual-only). Disabled streams are dropped before
     the input projection, so ablated models are smaller, not zero-padded."""
+    reg_activation: str = "relu"
+    """Final activation of the boundary-regression head. "relu" matches the
+    reference (models/MMCTransformer.py:92) but its zero-gradient region can
+    leave offset units permanently dead when the reg loss is enabled;
+    "softplus" is the recommended smooth alternative for real reg training."""
     fusion: str = "concat"
     """"concat" = the reference's shipped early-fusion MMCT; "cross" = the
     cross-modal attention architecture its unused models/transformer.py
@@ -83,6 +88,8 @@ class ModelConfig:
         if bad or not self.modalities:
             raise ValueError(f"bad modalities: {self.modalities}")
         object.__setattr__(self, "modalities", tuple(self.modalities))
+        if self.reg_activation not in ("relu", "softplus"):
+            raise ValueError(f"bad reg_activation: {self.reg_activation}")
         if self.fusion not in ("concat", "cross", "bottleneck"):
             raise ValueError(f"bad fusion: {self.fusion}")
         if self.compute_dtype not in ("float32", "bfloat16"):
@@ -226,7 +233,7 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
             k: tpu[k]
             for k in (
                 "compute_dtype", "attention_impl", "remat",
-                "matmul_precision", "modalities", "fusion",
+                "matmul_precision", "modalities", "fusion", "reg_activation",
             )
             if k in tpu
         }

@@ -38,9 +38,18 @@ def synthetic_entry(rng: np.random.Generator, duration: int) -> dict:
 
 
 def synthetic_sample(
-    rng: np.random.Generator, duration: int, model_cfg: ModelConfig
+    rng: np.random.Generator,
+    duration: int,
+    model_cfg: ModelConfig,
+    signal: float = 0.0,
 ) -> dict:
-    """In-memory sample dict matching RepurposeDataset.__getitem__ output."""
+    """In-memory sample dict matching RepurposeDataset.__getitem__ output.
+
+    ``signal`` > 0 makes the corpus LEARNABLE: seconds inside annotated clips
+    get a fixed per-modality direction added to their features (strength
+    ``signal``), so a working train->decode->NMS stack must recover the clips
+    and drive tIoU up — the end-to-end learning test uses this.
+    """
     from repurpose_tpu.data.labels import (
         generate_regression_offsets,
         generate_time_status_list,
@@ -55,11 +64,19 @@ def synthetic_sample(
         entry["timeRangeOffset"], entry["segmentsOffset"]
     )
     n = min(t, len(labels))
+    dims = {"visual": model_cfg.vis_dim, "audio": model_cfg.aud_dim,
+            "text": model_cfg.text_dim}
+    feats = {m: rng.normal(0, 1, (n, d)).astype(np.float32) for m, d in dims.items()}
+    if signal > 0.0:
+        sig_rng = np.random.default_rng(777)  # fixed directions across samples
+        lab = np.asarray(labels[:n], np.float32)[:, None]
+        for m, d in dims.items():
+            direction = sig_rng.normal(0, 1, d).astype(np.float32)
+            direction /= np.linalg.norm(direction)
+            feats[m] = feats[m] + signal * lab * direction
     return {
         "video_id": entry["youtube_id"],
-        "visual": rng.normal(0, 1, (n, model_cfg.vis_dim)).astype(np.float32),
-        "audio": rng.normal(0, 1, (n, model_cfg.aud_dim)).astype(np.float32),
-        "text": rng.normal(0, 1, (n, model_cfg.text_dim)).astype(np.float32),
+        **feats,
         "labels": np.asarray(labels[:n], np.float32),
         "segments": np.asarray(offsets[:n], np.float32),
         "duration": n,
@@ -77,9 +94,12 @@ class SyntheticDataset:
         durations: Sequence[int],
         model_cfg: ModelConfig,
         seed: int = 0,
+        signal: float = 0.0,
     ):
         rng = np.random.default_rng(seed)
-        self.samples = [synthetic_sample(rng, d, model_cfg) for d in durations]
+        self.samples = [
+            synthetic_sample(rng, d, model_cfg, signal=signal) for d in durations
+        ]
 
     def __len__(self) -> int:
         return len(self.samples)

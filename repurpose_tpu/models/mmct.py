@@ -45,7 +45,12 @@ class MMCTOutput(NamedTuple):
 
 class _Head(nn.Module):
     """LN -> Dense(hidden) -> relu -> drop -> Dense(hidden) -> relu -> drop
-    -> Dense(out) — the reference's cls/reg head shape (MMCTransformer.py:71-93)."""
+    -> Dense(out) — the reference's cls/reg head shape (MMCTransformer.py:71-93).
+
+    ``final_relu`` heads (the reg head) can use softplus instead via
+    ModelConfig.reg_activation: the reference's final ReLU has a zero-gradient
+    region that leaves offset units permanently dead once the reg loss is on.
+    """
 
     cfg: ModelConfig
     out_dim: int
@@ -61,7 +66,7 @@ class _Head(nn.Module):
             y = nn.Dropout(cfg.dropout, deterministic=deterministic)(y)
         y = nn.Dense(self.out_dim, dtype=jnp.float32, name="out", **dense_kw(cfg))(y)
         if self.final_relu:
-            y = nn.relu(y)
+            y = nn.relu(y) if cfg.reg_activation == "relu" else jax.nn.softplus(y)
         return y.astype(jnp.float32)
 
 
