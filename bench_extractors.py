@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Secondary benchmark: feature-extractor throughput on TPU.
+
+The reference extracts features one frame / one chunk / one sentence at a
+time on GPU (SURVEY.md §3.4 hot spots: unbatched per-frame CLIP encode at
+visual_feature_extractor_clip.py:184-199, per-video PANNs reconstruction,
+per-second SBERT encodes). Here everything runs as large jitted batches;
+this script reports items/s per extractor (random weights — architecture
+throughput, independent of checkpoints).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bench(fn, *args, n=10):
+    jax.block_until_ready(fn(*args))  # compile
+    t0 = time.perf_counter()
+    for _ in range(n):
+        # sync every call: async dispatch through the device tunnel otherwise
+        # under-reports (block on the last output alone proved unreliable)
+        jax.block_until_ready(fn(*args))
+    return (time.perf_counter() - t0) / n
+
+
+def main() -> None:
+    from repurpose_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    rng = np.random.default_rng(0)
+
+    # CLIP ViT-B/32: 1 frame = 1 video-second of the visual stream.
+    from repurpose_tpu.extractors.clip_vit import CLIPVisionEncoder
+
+    clip = CLIPVisionEncoder()
+    b = 256
+    imgs = jnp.asarray(rng.normal(0, 1, (b, 224, 224, 3)), jnp.float32)
+    params = jax.jit(lambda r: clip.init(r, imgs[:8])["params"])(jax.random.key(0))
+    dt = _bench(jax.jit(lambda p, x: clip.apply({"params": p}, x)), params, imgs)
+    print(f"CLIP ViT-B/32: {b / dt:,.0f} frames/s (batch {b})")
+
+    # CNN14: 1 chunk = 1 video-second of the audio stream (22050 samples).
+    from repurpose_tpu.extractors.audio_frontend import logmel
+    from repurpose_tpu.extractors.cnn14 import CNN14
+
+    cnn = CNN14()
+    bw = 128
+    waves = jnp.asarray(rng.normal(0, 0.1, (bw, 22050)), jnp.float32)
+    mel8 = logmel(waves[:8])
+    aparams = jax.jit(lambda r: cnn.init(r, mel8)["params"])(jax.random.key(1))
+    fn = jax.jit(lambda p, w: cnn.apply({"params": p}, logmel(w)))
+    dt = _bench(fn, aparams, waves)
+    print(f"CNN14: {bw / dt:,.0f} audio-seconds/s (batch {bw})")
+
+    # MiniLM: 1 sentence = 1 transcribed video-second of the text stream.
+    from repurpose_tpu.extractors.minilm import MiniLMEncoder
+
+    mlm = MiniLMEncoder()
+    bt, tl = 512, 64
+    ids = jnp.asarray(rng.integers(0, 30000, (bt, tl)), jnp.int32)
+    mask = jnp.ones((bt, tl), jnp.int32)
+    tparams = jax.jit(lambda r: mlm.init(r, ids[:8], mask[:8])["params"])(jax.random.key(2))
+    dt = _bench(jax.jit(lambda p, i, m: mlm.apply({"params": p}, i, m)), tparams, ids, mask)
+    print(f"MiniLM-L6: {bt / dt:,.0f} sentences/s (batch {bt})")
+
+
+if __name__ == "__main__":
+    main()

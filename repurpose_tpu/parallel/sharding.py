@@ -67,3 +67,33 @@ def batch_sharding(mesh: Mesh, seq_sharded: bool = True) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def make_global_batch(batch, mesh: Mesh, seq_sharded: bool = False):
+    """Assemble a device-resident (and, multi-host, globally-sharded) Batch.
+
+    Single-process: plain device_put with the data-axis sharding. Multi-host:
+    each process contributes its LOCAL batch as one shard of a global array
+    whose batch dimension is local_batch * process_count — the jax-native
+    replacement for the reference's DistributedSampler+DDP input flow
+    (each rank feeding its own loader shard)."""
+    sh = batch_sharding(mesh, seq_sharded)
+    rep = replicated(mesh)
+    n_proc = jax.process_count()
+
+    def put(x, sharding):
+        if n_proc == 1:
+            return jax.device_put(x, sharding)
+        global_shape = (x.shape[0] * n_proc, *x.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    vec = NamedSharding(mesh, P("data"))  # 1-D per-sample fields (durations)
+    fields = {}
+    for name, x in zip(batch._fields, batch):
+        if getattr(x, "ndim", 0) >= 2:
+            fields[name] = put(x, sh)
+        elif n_proc > 1:
+            fields[name] = put(x, vec)
+        else:
+            fields[name] = jax.device_put(x, rep)
+    return type(batch)(**fields)

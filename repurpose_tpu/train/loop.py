@@ -115,17 +115,9 @@ class Trainer:
         return TrainState(params=params, opt_state=state.opt_state, step=state.step)
 
     def _device_batch(self, batch: Batch) -> Batch:
-        sh = batch_sharding(self.mesh, seq_sharded=False)
-        rep = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec())
-        return Batch(
-            visual=jax.device_put(batch.visual, sh),
-            audio=jax.device_put(batch.audio, sh),
-            text=jax.device_put(batch.text, sh),
-            mask=jax.device_put(batch.mask, sh),
-            labels=jax.device_put(batch.labels, sh),
-            segments=jax.device_put(batch.segments, sh),
-            durations=jax.device_put(batch.durations, rep),
-        )
+        from repurpose_tpu.parallel.sharding import make_global_batch
+
+        return make_global_batch(batch, self.mesh, seq_sharded=False)
 
     def eval_forward(self, batch: Batch):
         """Raw model outputs for debugging/visualization."""

@@ -35,8 +35,11 @@ def _loss_fn(model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bo
         rngs={"dropout": rng} if train else None,
     )
     cls_loss = masked_cls_loss(out.cls_logits, batch.labels, batch.mask)
+    # Multi-host: batch_size is per-process (DistributedSampler semantics);
+    # dividing the GLOBAL summed loss by batch_size * process_count matches
+    # the reference's per-rank loss/batch_size with DDP gradient averaging.
     norm = (
-        float(train_cfg.batch_size)
+        float(train_cfg.batch_size) * jax.process_count()
         if train_cfg.loss_norm == "config_batch_size"
         else batch.visual.shape[0]
     )

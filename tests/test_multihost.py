@@ -1,0 +1,88 @@
+"""Multi-host (multi-process) training smoke: 2 processes x 4 virtual CPU
+devices, one global (data=8) mesh.
+
+Each process runs its own BatchLoader shard (the DistributedSampler analog),
+assembles the global batch via make_global_batch, and takes jitted train
+steps over the cross-process mesh (collectives ride Gloo on CPU). Both
+processes must observe identical finite losses.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+WORKER = r"""
+import os, sys
+pid = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="localhost:29517", num_processes=2, process_id=pid
+)
+import numpy as np
+sys.path.insert(0, os.environ["REPO"])
+from repurpose_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from repurpose_tpu.data.loader import BatchLoader
+from repurpose_tpu.data.synthetic import SyntheticDataset
+from repurpose_tpu.parallel.mesh import create_mesh, mesh_self_check
+from repurpose_tpu.parallel.sharding import make_global_batch, shard_params
+from repurpose_tpu.train.state import create_train_state
+from repurpose_tpu.train.step import make_train_step
+import dataclasses
+
+mc = ModelConfig(vis_dim=8, aud_dim=12, text_dim=4, d_model=16, self_num_layers=1,
+                 num_heads=2, d_ff=32, hidden_dim=8, compute_dtype="float32",
+                 attention_impl="xla")
+tc = TrainConfig(batch_size=4, buckets=(64,), epochs=1)  # 4 per process -> global 8
+
+mesh = create_mesh(MeshConfig(data=-1))
+assert mesh.devices.size == 8, mesh.devices.size
+mesh_self_check(mesh)
+
+ds = SyntheticDataset([50, 40, 60, 55], mc, seed=4)
+loader = BatchLoader(ds, batch_size=4, buckets=tc.buckets, shuffle=False,
+                     process_index=jax.process_index(), process_count=2)
+state, tx, sched = create_train_state(mc, tc, 2, jax.random.key(0))
+state = dataclasses.replace(state, params=shard_params(state.params, mesh))
+step = make_train_step(mc, tc, tx, sched, donate=False)
+losses = []
+for epoch in range(3):
+    for batch in loader.epoch(epoch):
+        gb = make_global_batch(batch, mesh)
+        assert gb.visual.shape[0] == 8  # global batch spans both processes
+        state, m = step(state, gb, jax.random.key(1))
+        losses.append(float(m["loss"]))
+print("LOSSES", " ".join(f"{l:.6f}" for l in losses), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_training(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    env = dict(
+        os.environ,
+        REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        PALLAS_AXON_POOL_IPS="",  # keep the TPU-tunnel plugin out of workers
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    loss_lines = [
+        [l for l in out.splitlines() if l.startswith("LOSSES")] for out in outs
+    ]
+    assert loss_lines[0] and loss_lines[1], (outs[0][-500:], outs[1][-500:])
+    assert loss_lines[0][0] == loss_lines[1][0]  # identical global losses
+    values = [float(v) for v in loss_lines[0][0].split()[1:]]
+    assert len(values) == 3 and all(v > 0 for v in values)
+    assert values[-1] < values[0]  # training progresses
