@@ -39,12 +39,22 @@ DURATIONS = [1800, 1313, 900, 1800, 600, 1500, 1100, 1750]  # ~p50/p90 mix
 
 
 def _bench(fn, args, n_iters: int = 10) -> float:
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm cache
+    import numpy as _np
+
+    def sync(out):
+        # Fetch one small leaf instead of block_until_ready: through a
+        # remote-device tunnel, block alone has been observed to return
+        # before the remote step completes; a data fetch cannot. Device
+        # execution is stream-ordered, so fetching the LAST output forces
+        # every dispatched iteration, amortizing the one RPC round trip.
+        _np.asarray(jax.tree.leaves(out)[0])
+
+    sync(fn(*args))  # compile + warm cache
     t0 = time.perf_counter()
+    out = None
     for _ in range(n_iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / n_iters
 
 

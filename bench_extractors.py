@@ -19,12 +19,15 @@ import numpy as np
 
 
 def _bench(fn, *args, n=10):
-    jax.block_until_ready(fn(*args))  # compile
+    # Fetch (not block_until_ready) forces remote completion through the
+    # device tunnel; stream ordering means fetching the LAST output syncs
+    # every dispatched iteration with one amortized RPC.
+    np.asarray(fn(*args))  # compile + fetch
     t0 = time.perf_counter()
+    out = None
     for _ in range(n):
-        # sync every call: async dispatch through the device tunnel otherwise
-        # under-reports (block on the last output alone proved unreliable)
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    np.asarray(out)
     return (time.perf_counter() - t0) / n
 
 
