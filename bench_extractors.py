@@ -52,7 +52,7 @@ def main() -> None:
     from repurpose_tpu.extractors.cnn14 import CNN14
 
     cnn = CNN14()
-    bw = 128
+    bw = 512
     waves = jnp.asarray(rng.normal(0, 0.1, (bw, 22050)), jnp.float32)
     mel8 = logmel(waves[:8])
     aparams = jax.jit(lambda r: cnn.init(r, mel8)["params"])(jax.random.key(1))

@@ -85,3 +85,49 @@ class InferencePipeline:
                 }
             )
         return out
+
+    def score_stream(self, batches, depth: int = 2):
+        """Pipelined scoring: yields per-video result lists for an iterator of
+        (visual, audio, text, mask, durations, video_ids) tuples, keeping up
+        to ``depth`` batches in flight so host staging/unpacking overlaps
+        device compute (JAX dispatch is async; only the result unpack syncs).
+        """
+        import collections
+
+        pending: collections.deque = collections.deque()
+
+        def dispatch(item):
+            visual, audio, text, mask, durations, video_ids = item
+            res = self._fn(
+                self.params,
+                jnp.asarray(visual), jnp.asarray(audio), jnp.asarray(text),
+                jnp.asarray(mask, bool), jnp.asarray(durations, jnp.int32),
+            )
+            return res, list(durations), video_ids
+
+        def unpack(res, durations, video_ids):
+            segments = np.asarray(res.segments)
+            scores = np.asarray(res.scores)
+            labels = np.asarray(res.labels)
+            keep = np.asarray(res.keep)
+            out = []
+            for b in range(segments.shape[0]):
+                k = keep[b]
+                has_id = video_ids is not None and b < len(video_ids)
+                out.append(
+                    {
+                        "segments": segments[b][k],
+                        "scores": scores[b][k],
+                        "labels": labels[b][k],
+                        "video_id": video_ids[b] if has_id else str(b),
+                        "duration": int(durations[b]),
+                    }
+                )
+            return out
+
+        for item in batches:
+            pending.append(dispatch(item))
+            if len(pending) > depth:
+                yield unpack(*pending.popleft())
+        while pending:
+            yield unpack(*pending.popleft())

@@ -123,7 +123,7 @@ class AudioExtractor:
     audio_feature_extractor.py:159-239, rebuilt in extractors.fallback_audio).
     """
 
-    def __init__(self, params, batch_size: int = 64, sr: int = 22050,
+    def __init__(self, params, batch_size: int = 512, sr: int = 22050,
                  compute_dtype: str = "bfloat16"):
         self.batch_size = batch_size
         self.sr = sr

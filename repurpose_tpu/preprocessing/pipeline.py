@@ -42,7 +42,7 @@ class PreprocessConfig:
     minilm_checkpoint: str = ""  # HF all-MiniLM-L6-v2 dir
     download_workers: int = 3
     visual_batch: int = 128
-    audio_batch: int = 64
+    audio_batch: int = 512
     text_batch: int = 256
     cookies_file: str | None = None
 

@@ -4,6 +4,7 @@ reference's inference_ outputs (tests/golden/tiny_inference.json)."""
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -58,3 +59,45 @@ def test_max_segments_budget(duration, want):
     # ceil((duration // 60) * 0.3) — MMCTransformer.py:255-257.
     got = int(max_segments_for_duration(jnp.asarray(duration), 0.3))
     assert got == want
+
+
+def test_score_stream_matches_score_batch():
+    import numpy as np
+
+    from repurpose_tpu.config import ModelConfig
+    from repurpose_tpu.infer import InferencePipeline
+    from repurpose_tpu.models import MMCT
+
+    cfg = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=4, d_model=16, self_num_layers=1,
+        num_heads=2, d_ff=32, hidden_dim=8, compute_dtype="float32",
+        attention_impl="xla",
+    )
+    params = MMCT(cfg).init_params(jax.random.key(0))
+    test_cfg = TestConfig(
+        pre_nms_topk=64, pre_nms_thresh=0.2, duration_thresh=0.001,
+        duration_thresh_max=90, max_seg_per_min=1.0,
+    )
+    pipe = InferencePipeline(cfg, params, test_cfg)
+    rng = np.random.default_rng(0)
+
+    def make(i):
+        b, t = 2, 128
+        mask = np.zeros((b, t), bool)
+        mask[0, :100] = True
+        mask[1, :120] = True
+        return (
+            rng.normal(0, 1, (b, t, 8)).astype(np.float32),
+            rng.normal(0, 1, (b, t, 12)).astype(np.float32),
+            rng.normal(0, 1, (b, t, 4)).astype(np.float32),
+            mask, [100, 120], [f"v{i}a", f"v{i}b"],
+        )
+
+    batches = [make(i) for i in range(4)]
+    streamed = [r for out in pipe.score_stream(iter(batches)) for r in out]
+    direct = [r for bt in batches for r in pipe.score_batch(*bt)]
+    assert len(streamed) == len(direct) == 8
+    for s, d in zip(streamed, direct):
+        assert s["video_id"] == d["video_id"]
+        np.testing.assert_array_equal(s["segments"], d["segments"])
+        np.testing.assert_array_equal(s["scores"], d["scores"])
