@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from repurpose_tpu.extractors.audio_frontend import logmel, mel_filterbank
+from repurpose_tpu.extractors.audio_frontend import logmel
 
 Array = jax.Array
 

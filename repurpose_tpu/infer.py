@@ -52,12 +52,14 @@ class InferencePipeline:
         mask: Any,  # [B, T] bool
         durations: Sequence[int],
         video_ids: Sequence[str] | None = None,
+        params: Any = None,
     ) -> list[dict]:
         """Returns one dict per video: {segments (N,2), scores (N,), labels (N,),
         video_id, duration} — the reference's per-video result schema
-        (MMCTransformer.py:226-228, 270-272)."""
+        (MMCTransformer.py:226-228, 270-272). ``params`` overrides the
+        instance params (e.g. the current train state during eval)."""
         res: DecodeResult = self._fn(
-            self.params,
+            params if params is not None else self.params,
             jnp.asarray(visual),
             jnp.asarray(audio),
             jnp.asarray(text),

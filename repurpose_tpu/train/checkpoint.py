@@ -21,11 +21,18 @@ from repurpose_tpu.train.state import TrainState
 
 
 class Checkpointer:
-    def __init__(self, directory: str, max_to_keep: int | None = 5):
+    def __init__(
+        self, directory: str, max_to_keep: int | None = 5, async_save: bool = False
+    ):
+        """``async_save`` overlaps checkpoint writes with training (Orbax
+        async); save() then returns before the write finishes and
+        wait_until_finished happens at the next save/close."""
+        self._async = async_save
         self._mgr = ocp.CheckpointManager(
             os.path.abspath(directory),
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=async_save,
             ),
         )
 
@@ -38,7 +45,8 @@ class Checkpointer:
         if metadata is not None:
             args["meta"] = ocp.args.JsonSave(metadata)
         self._mgr.save(step, args=ocp.args.Composite(**args))
-        self._mgr.wait_until_finished()
+        if not self._async:
+            self._mgr.wait_until_finished()
 
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
@@ -62,4 +70,5 @@ class Checkpointer:
         return restored["state"], dict(meta)
 
     def close(self) -> None:
+        self._mgr.wait_until_finished()
         self._mgr.close()

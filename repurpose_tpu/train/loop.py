@@ -182,7 +182,6 @@ class Trainer:
         ds = dataset if dataset is not None else self.test_ds
         if ds is None:
             return {}
-        self.pipeline.params = self.state.params
         bs = self.cfg.train.batch_size
         per_thr: dict[float, list[float]] = {t: [] for t in TIOU_THRESHOLDS}
         n = len(ds) if max_videos is None else min(len(ds), max_videos)
@@ -197,6 +196,7 @@ class Trainer:
             results = self.pipeline.score_batch(
                 batch.visual, batch.audio, batch.text, batch.mask,
                 batch.durations, [s["video_id"] for s in samples],
+                params=self.state.params,
             )
             for s, r in zip(samples, results):
                 gt = s.get("gt_segments") or []
