@@ -52,7 +52,7 @@ class ModelConfig:
     max_len: int = 5000
     # TPU-native additions (not in the reference schema):
     compute_dtype: str = "bfloat16"  # activations; params stay float32
-    attention_impl: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_full"
+    attention_impl: str = "auto"  # "auto" | "xla" | "pallas" | "pallas_full" | "ring"
     remat: bool = False  # jax.checkpoint each encoder layer
     matmul_precision: str = "default"
     """XLA dot precision: "default" lets the backend use fast reduced-precision
@@ -99,7 +99,7 @@ class ModelConfig:
             raise ValueError(f"bad fusion: {self.fusion}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"bad compute_dtype: {self.compute_dtype}")
-        if self.attention_impl not in ("auto", "xla", "pallas", "pallas_full"):
+        if self.attention_impl not in ("auto", "xla", "pallas", "pallas_full", "ring"):
             raise ValueError(f"bad attention_impl: {self.attention_impl}")
         if self.matmul_precision not in ("default", "float32", "highest"):
             raise ValueError(f"bad matmul_precision: {self.matmul_precision}")

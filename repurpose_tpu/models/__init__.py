@@ -6,9 +6,10 @@ from repurpose_tpu.models.mmct import MMCT  # noqa: F401
 from repurpose_tpu.models.torch_convert import convert_reference_state_dict  # noqa: F401
 
 
-def build_model(cfg: ModelConfig):
+def build_model(cfg: ModelConfig, mesh=None):
     """Model factory: the parity-exact concat-fusion MMCT (default) or the
-    cross-modal attention variant (cfg.fusion == "cross")."""
+    cross-modal / bottleneck fusion variants. ``mesh`` is required for
+    attention_impl="ring" (sequence-parallel attention needs the ring axis)."""
     if cfg.fusion == "cross":
         from repurpose_tpu.models.cross_modal import MMCTCross
 
@@ -17,7 +18,7 @@ def build_model(cfg: ModelConfig):
         from repurpose_tpu.models.bottleneck import MMCTBottleneck
 
         return MMCTBottleneck(cfg)
-    return MMCT(cfg)
+    return MMCT(cfg, mesh=mesh)
 
 
 def init_model_params(model, cfg: ModelConfig, rng, bucket: int = 64, batch: int = 1):

@@ -20,6 +20,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from typing import Any
+
 from repurpose_tpu.config import ModelConfig
 from repurpose_tpu.ops.attention import select_attention_impl
 
@@ -45,6 +47,7 @@ class SelfAttention(nn.Module):
     """Packed-QKV multi-head self-attention (torch MHA layout parity)."""
 
     cfg: ModelConfig
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: Array, key_valid: Array, deterministic: bool) -> Array:
@@ -57,8 +60,15 @@ class SelfAttention(nn.Module):
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
-        attn = select_attention_impl(cfg.attention_impl, t, cfg.matmul_precision)
-        out = attn(q, k, v, key_valid)
+        if cfg.attention_impl == "ring":
+            if self.mesh is None:
+                raise ValueError('attention_impl="ring" needs build_model(cfg, mesh=...)')
+            from repurpose_tpu.ops.ring_attention import ring_attention
+
+            out = ring_attention(q, k, v, key_valid, self.mesh)
+        else:
+            attn = select_attention_impl(cfg.attention_impl, t, cfg.matmul_precision)
+            out = attn(q, k, v, key_valid)
         # Attention-weight dropout (torch MHA's `dropout` arg) is not applied
         # inside the fused kernel; it is approximated by dropout on the
         # attention output, which the reference also applies (dropout1).
@@ -71,12 +81,13 @@ class EncoderLayer(nn.Module):
     """x + Drop(SA(LN1(x))); x + Drop(FFN(LN2(x))) — pre-LN residual block."""
 
     cfg: ModelConfig
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: Array, key_valid: Array, deterministic: bool) -> Array:
         cfg = self.cfg
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
-        y = SelfAttention(cfg, name="attn")(y, key_valid, deterministic)
+        y = SelfAttention(cfg, mesh=self.mesh, name="attn")(y, key_valid, deterministic)
         y = nn.Dropout(cfg.dropout, deterministic=deterministic)(y)
         x = x + y
 
@@ -93,6 +104,7 @@ class Encoder(nn.Module):
     """Stack of pre-LN layers (reference: 16, models/MMCTransformer.py:51-55)."""
 
     cfg: ModelConfig
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, x: Array, key_valid: Array, deterministic: bool) -> Array:
@@ -100,5 +112,7 @@ class Encoder(nn.Module):
         if self.cfg.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
         for i in range(self.cfg.self_num_layers):
-            x = layer_cls(self.cfg, name=f"layer_{i}")(x, key_valid, deterministic)
+            x = layer_cls(self.cfg, mesh=self.mesh, name=f"layer_{i}")(
+                x, key_valid, deterministic
+            )
         return x

@@ -24,7 +24,7 @@ Xavier-uniform kernels, zero biases, unit LayerNorm.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import flax.linen as nn
 import jax
@@ -72,6 +72,7 @@ class _Head(nn.Module):
 
 class MMCT(nn.Module):
     cfg: ModelConfig
+    mesh: Any = None  # required for attention_impl="ring" (static, hashable)
 
     @nn.compact
     def __call__(
@@ -94,7 +95,7 @@ class MMCT(nn.Module):
         pe = sinusoidal_positional_encoding(x.shape[1], cfg.d_model)
         x = (x + pe[None]).astype(dtype)
 
-        x = Encoder(cfg, name="encoder")(x, mask, deterministic)
+        x = Encoder(cfg, mesh=self.mesh, name="encoder")(x, mask, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_norm")(x).astype(dtype)
 
         # feature_map: Dense -> LN -> relu -> drop (MMCTransformer.py:63-68)

@@ -83,10 +83,17 @@ class Trainer:
         steps_per_epoch = max(self.train_loader.batches_per_epoch(0), 1)
         self.steps_per_epoch = steps_per_epoch
         rng = jax.random.key(tc.seed)
-        state, tx, schedule = create_train_state(cfg.model, tc, steps_per_epoch, rng)
+        self._seq_sharded = (
+            cfg.model.attention_impl == "ring"
+            and dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get("seq", 1) > 1
+        )
+        model_mesh = self.mesh if cfg.model.attention_impl == "ring" else None
+        state, tx, schedule = create_train_state(
+            cfg.model, tc, steps_per_epoch, rng, mesh=model_mesh
+        )
         self.state = self._place(state)
-        self.train_step = make_train_step(cfg.model, tc, tx, schedule)
-        self.eval_step = make_eval_step(cfg.model, tc)
+        self.train_step = make_train_step(cfg.model, tc, tx, schedule, mesh=model_mesh)
+        self.eval_step = make_eval_step(cfg.model, tc, mesh=model_mesh)
         self.step_rng = jax.random.key(tc.seed + 1)
 
         self.checkpointer = Checkpointer(workdir + "/ckpt")
@@ -117,7 +124,7 @@ class Trainer:
     def _device_batch(self, batch: Batch) -> Batch:
         from repurpose_tpu.parallel.sharding import make_global_batch
 
-        return make_global_batch(batch, self.mesh, seq_sharded=False)
+        return make_global_batch(batch, self.mesh, seq_sharded=self._seq_sharded)
 
     def eval_forward(self, batch: Batch):
         """Raw model outputs for debugging/visualization."""

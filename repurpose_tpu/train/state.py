@@ -47,8 +47,9 @@ def create_train_state(
     train_cfg: TrainConfig,
     steps_per_epoch: int,
     rng: jax.Array,
+    mesh=None,
 ) -> tuple[TrainState, optax.GradientTransformation, Callable]:
-    model = build_model(model_cfg)
+    model = build_model(model_cfg, mesh=mesh)
     params = init_model_params(model, model_cfg, rng)
     tx, schedule = make_optimizer(train_cfg, steps_per_epoch)
     opt_state = tx.init(params)

@@ -60,9 +60,10 @@ def make_train_step(
     schedule: Callable | None = None,
     donate: bool = True,
     per_layer_grad_norms: bool = False,
+    mesh=None,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
-    model = build_model(model_cfg)
+    model = build_model(model_cfg, mesh=mesh)
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -92,10 +93,10 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig) -> Callable:
+def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh=None) -> Callable:
     """Loss-only evaluation step (the reference's intra-epoch val probe,
     main.py:414-490): (params, batch) -> metrics."""
-    model = build_model(model_cfg)
+    model = build_model(model_cfg, mesh=mesh)
 
     def eval_step(params, batch: Batch):
         _, aux = _loss_fn(model, train_cfg, params, batch, None, False)

@@ -88,3 +88,34 @@ def test_train_step_matches_single_device(mesh_cfg):
         np.testing.assert_allclose(
             float(got_m["grad_norm"]), float(ref_m["grad_norm"]), rtol=1e-2
         )
+
+
+def test_ring_attention_training_matches_single_device():
+    """attention_impl='ring' on a (data=2, seq=4) mesh must reproduce the
+    single-device xla-attention training trajectory."""
+    ds = SyntheticDataset([50, 40, 60, 55, 45, 58, 52, 48], TINY, seed=4)
+    batch = collate([ds[i] for i in range(8)], TRAIN.buckets, 8)
+    rng = jax.random.key(7)
+
+    state0, tx, sched = create_train_state(TINY, TRAIN, 2, jax.random.key(0))
+    step_ref = make_train_step(TINY, TRAIN, tx, sched, donate=False)
+
+    mesh = create_mesh(MeshConfig(data=2, model=1, seq=4))
+    ring_cfg = dataclasses.replace(TINY, attention_impl="ring")
+    step_ring = make_train_step(ring_cfg, TRAIN, tx, sched, donate=False, mesh=mesh)
+
+    from repurpose_tpu.parallel.sharding import make_global_batch
+
+    sharded = dataclasses.replace(state0, params=shard_params(state0.params, mesh))
+    dev_batch = make_global_batch(batch, mesh, seq_sharded=True)
+
+    ref_state, ring_state = state0, sharded
+    for _ in range(4):
+        ref_state, ref_m = step_ref(ref_state, batch, rng)
+        ring_state, ring_m = step_ring(ring_state, dev_batch, rng)
+        np.testing.assert_allclose(
+            float(ring_m["loss"]), float(ref_m["loss"]), rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            float(ring_m["grad_norm"]), float(ref_m["grad_norm"]), rtol=1e-2
+        )
