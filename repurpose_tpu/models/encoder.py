@@ -60,7 +60,9 @@ class SelfAttention(nn.Module):
         q = q.reshape(b, t, h, dh)
         k = k.reshape(b, t, h, dh)
         v = v.reshape(b, t, h, dh)
-        if cfg.attention_impl == "ring":
+        if cfg.attention_impl == "ring" and not self.is_initializing():
+            # (init traces with dummy batch-1 shapes that need not divide the
+            # mesh; attention holds no params, so init uses the XLA path.)
             if self.mesh is None:
                 raise ValueError('attention_impl="ring" needs build_model(cfg, mesh=...)')
             from repurpose_tpu.ops.ring_attention import ring_attention

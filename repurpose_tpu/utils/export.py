@@ -1,0 +1,73 @@
+"""Clip export: scored predictions -> shareable artifacts.
+
+The reference stops at printed metrics; in production the point of the
+pipeline is the clips themselves. This module turns per-video results
+(InferencePipeline.score_batch output) into:
+
+- a clips JSON manifest (video_id, start/end seconds, score, rank);
+- optional ffmpeg trim commands (stream-copy, no re-encode) to cut the
+  actual short-form files.
+"""
+
+from __future__ import annotations
+
+import json
+import shlex
+from typing import Sequence
+
+
+def results_to_manifest(
+    results: Sequence[dict], min_score: float = 0.0, clamp_start: bool = True
+) -> list[dict]:
+    """Flatten per-video results into ranked clip records."""
+    clips = []
+    for r in results:
+        order = sorted(
+            range(len(r["scores"])), key=lambda i: -float(r["scores"][i])
+        )
+        for rank, i in enumerate(order):
+            score = float(r["scores"][i])
+            if score < min_score:
+                continue
+            start = float(r["segments"][i][0])
+            end = float(r["segments"][i][1])
+            if clamp_start:
+                start = max(start, 0.0)
+                end = min(end, float(r["duration"]))
+            if end <= start:
+                continue
+            clips.append(
+                {
+                    "video_id": r["video_id"],
+                    "rank": rank,
+                    "start": round(start, 2),
+                    "end": round(end, 2),
+                    "duration": round(end - start, 2),
+                    "score": round(score, 4),
+                }
+            )
+    return clips
+
+
+def write_manifest(results: Sequence[dict], path: str, **kw) -> list[dict]:
+    clips = results_to_manifest(results, **kw)
+    with open(path, "w") as f:
+        json.dump(clips, f, indent=2)
+    return clips
+
+
+def ffmpeg_cut_commands(
+    clips: Sequence[dict], video_dir: str, out_dir: str
+) -> list[str]:
+    """Stream-copy trim command per clip (run them, or pipe to xargs/parallel)."""
+    cmds = []
+    for c in clips:
+        src = f"{video_dir}/{c['video_id']}.mp4"
+        dst = f"{out_dir}/{c['video_id']}_r{c['rank']:02d}.mp4"
+        cmds.append(
+            "ffmpeg -v error -y -ss {start} -to {end} -i {src} -c copy {dst}".format(
+                start=c["start"], end=c["end"],
+                src=shlex.quote(src), dst=shlex.quote(dst),
+            )
+        )
+    return cmds

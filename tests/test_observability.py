@@ -86,3 +86,31 @@ def test_step_timer():
         timer.tick()
     assert timer.mean >= 0 and timer.p50 >= 0
     assert set(timer.summary()) == {"step_time_mean_s", "step_time_p50_s"}
+
+
+def test_clip_export(tmp_path):
+    from repurpose_tpu.utils.export import (
+        ffmpeg_cut_commands,
+        results_to_manifest,
+        write_manifest,
+    )
+
+    results = [
+        {
+            "video_id": "vidA",
+            "segments": np.array([[-2.0, 30.0], [100.0, 160.0]]),
+            "scores": np.array([0.6, 0.9]),
+            "labels": np.array([5, 120]),
+            "duration": 150,
+        }
+    ]
+    clips = results_to_manifest(results, min_score=0.5)
+    assert [c["rank"] for c in clips] == [0, 1]
+    assert clips[0]["score"] == 0.9
+    assert clips[0]["start"] == 100.0 and clips[0]["end"] == 150.0  # clamped
+    assert clips[1]["start"] == 0.0  # negative start clamped
+    path = str(tmp_path / "clips.json")
+    write_manifest(results, path)
+    assert json.load(open(path))
+    cmds = ffmpeg_cut_commands(clips, "videos", "out")
+    assert len(cmds) == 2 and "vidA_r00.mp4" in cmds[0] and "-c copy" in cmds[0]
