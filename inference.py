@@ -54,6 +54,8 @@ def main() -> None:
     p.add_argument("--torch_ckpt", default=None, help="reference .pth checkpoint")
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--export", default=None,
+                   help="write a ranked clips JSON manifest to this path")
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args()
     logging.basicConfig(level=args.log_level.upper())
@@ -81,6 +83,7 @@ def main() -> None:
     )
     bs = args.batch_size or cfg.train.batch_size
     per_thr = {t: [] for t in TIOU_THRESHOLDS}
+    all_results = []
     for i0 in range(0, len(ds), bs):
         samples = [ds[i] for i in range(i0, min(i0 + bs, len(ds)))]
         batch = collate(samples, cfg.train.buckets, bs)
@@ -88,12 +91,19 @@ def main() -> None:
             batch.visual, batch.audio, batch.text, batch.mask,
             batch.durations, [s["video_id"] for s in samples],
         )
+        all_results.extend(results[: len(samples)])
         for s, r in zip(samples, results):
             tiou = calculate_tiou(
                 s.get("gt_segments") or [], r["segments"].tolist(), TIOU_THRESHOLDS
             )
             for t in TIOU_THRESHOLDS:
                 per_thr[t].append(tiou[t])
+
+    if args.export:
+        from repurpose_tpu.utils.export import write_manifest
+
+        clips = write_manifest(all_results, args.export)
+        print(f"wrote {len(clips)} clips to {args.export}")
 
     means = {t: float(np.mean(v)) if v else 0.0 for t, v in per_thr.items()}
     for t, v in means.items():

@@ -21,6 +21,8 @@ import time
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--full", action="store_true", help="also compile flagship dims")
+    p.add_argument("--output-json", default=None,
+                   help="also write results as JSON (reference detect_gpu_setup.py flag)")
     args = p.parse_args()
 
     results: list[tuple[str, bool, str]] = []
@@ -91,6 +93,14 @@ def main() -> int:
     for name, passed, detail in results:
         print(f"  [{'PASS' if passed else 'FAIL'}] {name}: {detail}")
         ok &= passed
+    if args.output_json:
+        import json
+
+        with open(args.output_json, "w") as f:
+            json.dump(
+                [{"check": n, "passed": p, "detail": d} for n, p, d in results], f,
+                indent=2,
+            )
     return 0 if ok else 1
 
 
