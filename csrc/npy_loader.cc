@@ -67,12 +67,9 @@ int parse_header(int fd, NpyInfo* info) {
   auto rp = header.find(')', sp);
   if (lp == std::string::npos || rp == std::string::npos) return -EINVAL;
   std::string shape = header.substr(lp + 1, rp - lp - 1);
-  long long r = 0, c = 0;
-  int n = sscanf(shape.c_str(), "%lld , %lld", &r, &c);
-  if (n == 1) {  // 1-D array: treat as [rows, 1]? corpus is 2-D; reject.
-    return -ENOTSUP;
-  }
-  if (n != 2) return -EINVAL;
+  long long r = 0, c = 0, extra = 0;
+  int n = sscanf(shape.c_str(), "%lld , %lld , %lld", &r, &c, &extra);
+  if (n != 2) return -ENOTSUP;  // 1-D or >=3-D: numpy fallback handles it
   info->rows = r;
   info->cols = c;
   info->data_offset = header_start + hlen;

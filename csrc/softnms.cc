@@ -54,8 +54,12 @@ int64_t soft_nms_f32(const float* scores_in, const float* segments_in,
       double ov = std::min(e[i], e[j]) - std::max(b[i], b[j]);
       if (ov < 0) ov = 0;
       double total = len0[i] + len0[j] - ov;  // stale lengths (quirk)
-      double ratio = total > 0 ? ov / total : 0.0;
-      s[j] *= std::exp(-(ratio * ratio) / sigma);
+      if (total > 0) {
+        double ratio = ov / total;
+        s[j] *= std::exp(-(ratio * ratio) / sigma);
+      } else {
+        s[j] = 0.0;  // reference NaN-poisons here; drop NaN-free (PARITY.md)
+      }
     }
   }
   int64_t n_keep = 0;

@@ -63,11 +63,17 @@ def collate(
 
     for i, s in enumerate(samples):
         ln = min(int(s["duration"]), t)
-        visual[i, :ln] = s["visual"][:ln]
-        audio[i, :ln] = s["audio"][:ln]
-        text[i, :ln] = s["text"][:ln]
-        labels[i, :ln] = s["labels"][:ln]
-        segments[i, :ln] = s["segments"][:ln]
+        # Streams may individually be SHORTER than the sample duration: the
+        # duration min deliberately excludes text (reference quirk,
+        # RepurposeClip.py:432-437), and the reference pads each stream
+        # independently (preprocessing(), :466-485) — so clamp per stream
+        # and zero-fill the tail instead of crashing on short text.
+        for dst, src in (
+            (visual[i], s["visual"]), (audio[i], s["audio"]), (text[i], s["text"]),
+            (labels[i], s["labels"]), (segments[i], s["segments"]),
+        ):
+            n_rows = min(ln, len(src))
+            dst[:n_rows] = src[:n_rows]
         mask[i, :ln] = True
         durations[i] = ln
     return Batch(visual, audio, text, mask, labels, segments, durations)

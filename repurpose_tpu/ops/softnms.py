@@ -23,6 +23,12 @@ test suite):
    *before* applying decay for that pivot (softnms.py:26-29);
 4. the kept set is "score still > thresh" in post-swap array order, truncated
    to ``max_seg_num`` (softnms.py:37).
+
+ONE documented deviation (PARITY.md): when the stale-lengths quirk makes the
+union denominator non-positive, the reference divides by <= 0 and NaN-poisons
+the candidate's score (permanently dropping it, with NaNs then leaking into
+later argmax calls); all implementations here set the decay weight to 0
+instead — same terminal drop, no NaN propagation.
 """
 
 from __future__ import annotations
@@ -77,9 +83,15 @@ def soft_nms_cpu(
                 break  # quirk 3: no decay for this pivot
         overlap = np.clip(np.minimum(end[i], end[pos:]) - np.maximum(begin[i], begin[pos:]), 0.0, None)
         total = lengths[i] + lengths[pos:] - overlap
+        # total <= 0 is reachable via the stale-lengths quirk; the reference
+        # NaN-poisons the score there (0/0), permanently dropping the
+        # candidate — weight 0 reproduces that terminal effect NaN-free
+        # (documented deviation, PARITY.md).
         with np.errstate(divide="ignore", invalid="ignore"):
-            ratio = np.where(total > 0, overlap / total, 0.0)
-        scores[pos:] *= np.exp(-(ratio * ratio) / sigma)
+            weight = np.where(
+                total > 0, np.exp(-(overlap / total) ** 2 / sigma), 0.0
+            )
+        scores[pos:] *= weight
 
     keep_positions = np.nonzero(scores > thresh)[0][:max_segments]
     return orig_idx[keep_positions]
@@ -102,8 +114,8 @@ def soft_nms_tpu(
     thresh: float = 0.001,
 ) -> SoftNMSResult:
     """Static-shape Soft-NMS for TPU. Padded candidates must carry score 0 and
-    segment (0, 0); they decay nothing (zero overlap => weight 1) and are never
-    selected (0 < thresh). ``max_seg_num`` may be a traced scalar, so one
+    segment (0, 0); they never decay real candidates (zero overlap) and are
+    never selected (0 < thresh). ``max_seg_num`` may be a traced scalar, so one
     compiled program serves every per-video budget (MMCTransformer.py:255-257
     derives it from video length at runtime).
     """
@@ -140,8 +152,9 @@ def soft_nms_tpu(
 
         overlap = jnp.clip(jnp.minimum(e[i], e) - jnp.maximum(b[i], b), 0.0, None)
         total = lengths[i] + lengths - overlap
-        ratio = jnp.where(total > 0, overlap / total, 0.0)
-        weight = jnp.exp(-(ratio * ratio) / sigma)
+        ratio = overlap / jnp.where(total > 0, total, 1.0)
+        # total <= 0 (stale-lengths quirk) drops the candidate (PARITY.md).
+        weight = jnp.where(total > 0, jnp.exp(-(ratio * ratio) / sigma), 0.0)
         s = jnp.where(tail & ~done, s * weight, s)
         # Early exit once no tail candidate can still pass the threshold:
         # later pivots would be <= thresh (never counted) and decay only

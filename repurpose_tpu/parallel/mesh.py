@@ -45,17 +45,23 @@ AXES = ("data", "model", "seq")
 def maybe_initialize_distributed() -> None:
     """Multi-host bootstrap. JAX auto-detects SLURM/GCE/TPU-pod environments
     (the reference hand-rolled this: detect_slurm_env + MASTER_ADDR parsing,
-    utils/distributed.py:32-74); no-op when single-process or already done."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    utils/distributed.py:32-74); no-op when single-process or already done.
+
+    Decides from ENV VARS ONLY — touching jax.process_count() here would
+    initialize the local backend and make a later initialize() impossible.
+    """
+    multi = os.environ.get("JAX_NUM_PROCESSES") or os.environ.get("SLURM_NTASKS")
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "SLURM_STEP_NODELIST"
     )
-    if coord and os.environ.get("SLURM_NTASKS", "1") != "1":
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # pragma: no cover - env specific
-            logger.warning("jax.distributed.initialize failed: %s", e)
+    if not coord or not multi or multi == "1":
+        return
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:  # already initialized by the launcher
+        logger.info("jax.distributed.initialize skipped: %s", e)
+    except Exception as e:  # pragma: no cover - env specific
+        logger.warning("jax.distributed.initialize failed: %s", e)
 
 
 def create_mesh(

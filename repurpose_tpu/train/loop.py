@@ -98,14 +98,20 @@ class Trainer:
 
         self.checkpointer = Checkpointer(workdir + "/ckpt")
         self.metrics = MetricLogger(workdir, use_wandb=use_wandb, config=cfg.to_dict())
+        # Eval runs on replicated single-program batches, so ring attention
+        # (which needs seq-sharded inputs) falls back to "auto" there — same
+        # math, different partitioning.
+        eval_model_cfg = dataclasses.replace(
+            cfg.model, dropout=0.0,
+            attention_impl="auto" if cfg.model.attention_impl == "ring"
+            else cfg.model.attention_impl,
+        )
         self.pipeline = InferencePipeline(
-            dataclasses.replace(cfg.model, dropout=0.0),
-            self.state.params,
-            cfg.test_cfg,
+            eval_model_cfg, self.state.params, cfg.test_cfg
         )
         from repurpose_tpu.models import build_model
 
-        _fwd_model = build_model(cfg.model)
+        _fwd_model = build_model(dataclasses.replace(eval_model_cfg, dropout=cfg.model.dropout))
         self._fwd = jax.jit(
             lambda p, v, a, t, m: _fwd_model.apply({"params": p}, v, a, t, m, True)
         )
@@ -287,7 +293,7 @@ class Trainer:
                 if preempted["flag"]:
                     logger.warning("SIGTERM received: checkpointing and exiting")
                     self._save(epoch, {"preempted": True})
-                    self.metrics.close()
+                    self.close()
                     return {"preempted": True, "epoch": epoch}
             epoch_loss = float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
             self.metrics.log(
@@ -309,9 +315,13 @@ class Trainer:
                     self._save(epoch, {"best": True})
         if prev_handler is not None:
             signal.signal(signal.SIGTERM, prev_handler)
-        self.metrics.close()
+        self.start_epoch = epochs  # resumable: a later fit() continues from here
         return {
             "best_tiou": self.best_tiou,
             "best_epoch": self.best_epoch,
             **final_eval,
         }
+
+    def close(self) -> None:
+        self.metrics.close()
+        self.checkpointer.close()

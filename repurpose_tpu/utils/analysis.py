@@ -49,8 +49,7 @@ def feature_label_analysis(
     sep = None
     if 0 < labels.sum() < len(labels):
         probe = LogisticRegression(max_iter=200)
-        folds = min(5, int(labels.sum()), int((1 - labels).sum() + (labels == 0).sum()))
-        folds = max(2, min(folds, 5))
+        folds = max(2, min(5, int(labels.sum()), int((labels == 0).sum())))
         try:
             sep = float(np.mean(cross_val_score(probe, x, labels, cv=folds)))
         except ValueError as e:

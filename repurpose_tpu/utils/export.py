@@ -25,7 +25,8 @@ def results_to_manifest(
         order = sorted(
             range(len(r["scores"])), key=lambda i: -float(r["scores"][i])
         )
-        for rank, i in enumerate(order):
+        kept = []
+        for i in order:
             score = float(r["scores"][i])
             if score < min_score:
                 continue
@@ -36,6 +37,9 @@ def results_to_manifest(
                 end = min(end, float(r["duration"]))
             if end <= start:
                 continue
+            kept.append((score, start, end))
+        # rank surviving clips densely so rank 0 always exists per video
+        for rank, (score, start, end) in enumerate(kept):
             clips.append(
                 {
                     "video_id": r["video_id"],

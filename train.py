@@ -59,11 +59,12 @@ def main() -> None:
 
     logging.basicConfig(level=args.log_level.upper(),
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
-    maybe_initialize_distributed()
 
+    # Platform pin must precede ANY jax backend touch (incl. distributed init).
     from repurpose_tpu.utils.platform import honor_jax_platforms_env
 
     honor_jax_platforms_env()
+    maybe_initialize_distributed()
 
     cfg = load_config(args.config_path)
     workdir = args.workdir or os.path.join(
@@ -87,11 +88,12 @@ def main() -> None:
         from repurpose_tpu.utils.profiling import trace
 
         with trace(os.path.join(workdir, "profile")):
-            summary = trainer.fit(epochs=min(args.epochs or 1, 1))
-        if (args.epochs or cfg.train.epochs) > 1:
+            summary = trainer.fit(epochs=trainer.start_epoch + 1)  # one epoch
+        if (args.epochs or cfg.train.epochs) > trainer.start_epoch:
             summary = trainer.fit(epochs=args.epochs)
     else:
         summary = trainer.fit(epochs=args.epochs)
+    trainer.close()
     print("training done:", summary)
 
 
