@@ -102,7 +102,11 @@ def main() -> None:
     if args.export:
         from repurpose_tpu.utils.export import write_manifest
 
-        clips = write_manifest(all_results, args.export)
+        offsets = {}
+        for i in range(len(ds)):
+            smp = ds[i]
+            offsets[smp["video_id"]] = smp.get("time_offset", 0.0)
+        clips = write_manifest(all_results, args.export, time_offsets=offsets)
         print(f"wrote {len(clips)} clips to {args.export}")
 
     means = {t: float(np.mean(v)) if v else 0.0 for t, v in per_thr.items()}

@@ -273,6 +273,9 @@ class RepurposeDataset:
         )
         sample = {
             "video_id": vid,
+            # features were sliced from timeRange[0]; decode outputs are on the
+            # feature grid, so absolute video time = grid time + time_offset
+            "time_offset": float(tr[0]),
             "visual": np.asarray(feats["visual"][:min_len], np.float32),
             "audio": np.asarray(feats["audio"][:min_len], np.float32),
             "text": np.asarray(feats["text"][:min_len], np.float32),

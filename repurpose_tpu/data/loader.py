@@ -4,24 +4,30 @@ background prefetch.
 Replaces the reference's DataLoader + DistributedSampler stack
 (utils/distributed.py:435-473, main.py:157-187):
 
-- **per-host sharding**: each JAX process reads a disjoint strided slice of
-  the epoch permutation (what DistributedSampler did per rank);
-- **bucket-aware grouping**: within a shuffled window, samples are grouped by
+- **globally consistent batching**: the epoch permutation, bucket grouping,
+  and batch composition are computed identically on every process from
+  (seed, epoch) alone; each GLOBAL batch is then sliced into per-process
+  local shards. All processes therefore agree on batch count, bucket shape,
+  and which samples form global batch k — the invariants
+  ``make_global_batch`` and cross-process collectives require. (A naive
+  per-process shard-then-group, like DistributedSampler + dynamic batching,
+  produces divergent shapes/counts and deadlocks multi-host training.)
+- **bucket-aware grouping**: within a shuffled window, samples group by
   length bucket so batches pad to the smallest static shape (the reference
-  padded to the per-batch max, a dynamic shape XLA can't cache);
+  padded to the per-batch max, a dynamic shape XLA can't cache).
 - **background prefetch**: a thread keeps ``prefetch`` collated numpy batches
-  ready while the device computes (the reference used worker processes;
-  feature loading here is numpy-mmap-bound, so threads suffice and avoid
-  fork overhead).
+  ready while the device computes; abandoning the iterator early (e.g. the
+  val probe's islice) shuts the worker down instead of leaking it blocked on
+  the queue.
 
-Deterministic across hosts: the permutation is seeded by (seed, epoch) only.
+Deterministic across hosts: everything derives from (seed, epoch).
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Iterator, Sequence
+from typing import Iterator, Sequence
 
 import numpy as np
 
@@ -44,7 +50,7 @@ class BatchLoader:
         bucket_window: int = 64,
     ):
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # per process
         self.buckets = tuple(buckets)
         self.shuffle = shuffle
         self.seed = seed
@@ -53,65 +59,82 @@ class BatchLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
-        self.bucket_window = max(bucket_window, batch_size)
+        self.bucket_window = max(bucket_window, batch_size * process_count)
         self._lengths = dataset.lengths() if hasattr(dataset, "lengths") else None
 
-    def _epoch_batches(self, epoch: int) -> list[list[int]]:
+    def _epoch_batches(self, epoch: int) -> list[tuple[int, list[int]]]:
+        """GLOBAL batch plan: [(bucket, sample_indices)] — identical on every
+        process. Each entry holds up to batch_size * process_count samples."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
             rng = np.random.default_rng((self.seed, epoch))
             order = rng.permutation(n)
-        order = order[self.process_index :: self.process_count]
-        batches: list[list[int]] = []
+        gbs = self.batch_size * self.process_count
+        batches: list[tuple[int, list[int]]] = []
         if self._lengths is None:
-            chunks = [order[i : i + self.batch_size] for i in range(0, len(order), self.batch_size)]
-            batches = [list(c) for c in chunks]
+            for i in range(0, len(order), gbs):
+                idxs = [int(j) for j in order[i : i + gbs]]
+                batches.append((self.buckets[-1], idxs))
         else:
-            # Group by bucket within a shuffled window: keeps randomness while
-            # minimizing padding waste.
             for w0 in range(0, len(order), self.bucket_window):
                 window = order[w0 : w0 + self.bucket_window]
                 by_bucket: dict[int, list[int]] = {}
                 for i in window:
                     b = pick_bucket(self._lengths[int(i)], self.buckets)
                     by_bucket.setdefault(b, []).append(int(i))
-                for idxs in by_bucket.values():
-                    for j in range(0, len(idxs), self.batch_size):
-                        batches.append(idxs[j : j + self.batch_size])
+                for bucket, idxs in by_bucket.items():
+                    for j in range(0, len(idxs), gbs):
+                        batches.append((bucket, idxs[j : j + gbs]))
         if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+            batches = [b for b in batches if len(b[1]) == gbs]
+        elif self.process_count > 1:
+            # Every process must contribute >= 1 real sample to each global
+            # batch (an all-padding shard has no sample to derive dims from),
+            # so drop ragged tails smaller than the process count.
+            batches = [b for b in batches if len(b[1]) >= self.process_count]
         return batches
 
     def batches_per_epoch(self, epoch: int = 0) -> int:
         return len(self._epoch_batches(epoch))
 
     def epoch(self, epoch: int = 0) -> Iterator[Batch]:
-        """Iterate collated batches for one epoch, prefetched by a thread."""
+        """Iterate this process's shard of each global batch, prefetched."""
         batches = self._epoch_batches(epoch)
+        load_batch = getattr(self.dataset, "load_batch", None)
+        pad_b = self.batch_size if self.pad_last else None
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        load_batch = getattr(self.dataset, "load_batch", None)
-        pad_b = self.batch_size if self.pad_last else None
+        def put(item) -> bool:
+            """Queue-put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
-                for idxs in batches:
+                for bucket, idxs in batches:
                     if stop.is_set():
                         return
+                    local = idxs[self.process_index :: self.process_count]
                     batch = (
-                        load_batch(idxs, self.buckets, pad_b)
+                        load_batch(local, (bucket,), pad_b)
                         if load_batch is not None
                         else None
                     )
                     if batch is None:  # per-sample fallback path
-                        samples = [self.dataset[i] for i in idxs]
-                        batch = collate(samples, self.buckets, pad_b)
-                    q.put(batch)
-                q.put(None)
+                        samples = [self.dataset[i] for i in local]
+                        batch = collate(samples, (bucket,), pad_b)
+                    if not put(batch):
+                        return
+                put(None)
             except BaseException as e:  # surface loader errors to the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -125,3 +148,8 @@ class BatchLoader:
                 yield item
         finally:
             stop.set()
+            while True:  # unblock a worker mid-put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

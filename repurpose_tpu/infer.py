@@ -20,6 +20,29 @@ from repurpose_tpu.models import build_model
 from repurpose_tpu.ops.decode import DecodeResult, decode_batch
 
 
+def _unpack(res: DecodeResult, durations, video_ids) -> list[dict]:
+    """Fixed-size decode output -> per-video result dicts (rows beyond
+    len(video_ids) are batch padding from ragged final batches)."""
+    segments = np.asarray(res.segments)
+    scores = np.asarray(res.scores)
+    labels = np.asarray(res.labels)
+    keep = np.asarray(res.keep)
+    out = []
+    for b in range(segments.shape[0]):
+        k = keep[b]
+        has_id = video_ids is not None and b < len(video_ids)
+        out.append(
+            {
+                "segments": segments[b][k],
+                "scores": scores[b][k],
+                "labels": labels[b][k],
+                "video_id": video_ids[b] if has_id else str(b),
+                "duration": int(durations[b]),
+            }
+        )
+    return out
+
+
 class InferencePipeline:
     """Scores batches of per-second features and returns ranked clip lists.
 
@@ -66,29 +89,9 @@ class InferencePipeline:
             jnp.asarray(mask, bool),
             jnp.asarray(durations, jnp.int32),
         )
-        segments = np.asarray(res.segments)
-        scores = np.asarray(res.scores)
-        labels = np.asarray(res.labels)
-        keep = np.asarray(res.keep)
+        return _unpack(res, durations, video_ids)
 
-        out = []
-        for b in range(segments.shape[0]):
-            k = keep[b]
-            has_id = video_ids is not None and b < len(video_ids)
-            out.append(
-                {
-                    "segments": segments[b][k],
-                    "scores": scores[b][k],
-                    "labels": labels[b][k],
-                    # rows beyond len(video_ids) are batch padding (ragged
-                    # final batch padded to the static batch size)
-                    "video_id": video_ids[b] if has_id else str(b),
-                    "duration": int(durations[b]),
-                }
-            )
-        return out
-
-    def score_stream(self, batches, depth: int = 2):
+    def score_stream(self, batches, depth: int = 2, params: Any = None):
         """Pipelined scoring: yields per-video result lists for an iterator of
         (visual, audio, text, mask, durations, video_ids) tuples, keeping up
         to ``depth`` batches in flight so host staging/unpacking overlaps
@@ -96,40 +99,21 @@ class InferencePipeline:
         """
         import collections
 
+        p = params if params is not None else self.params
         pending: collections.deque = collections.deque()
 
         def dispatch(item):
             visual, audio, text, mask, durations, video_ids = item
             res = self._fn(
-                self.params,
+                p,
                 jnp.asarray(visual), jnp.asarray(audio), jnp.asarray(text),
                 jnp.asarray(mask, bool), jnp.asarray(durations, jnp.int32),
             )
             return res, list(durations), video_ids
 
-        def unpack(res, durations, video_ids):
-            segments = np.asarray(res.segments)
-            scores = np.asarray(res.scores)
-            labels = np.asarray(res.labels)
-            keep = np.asarray(res.keep)
-            out = []
-            for b in range(segments.shape[0]):
-                k = keep[b]
-                has_id = video_ids is not None and b < len(video_ids)
-                out.append(
-                    {
-                        "segments": segments[b][k],
-                        "scores": scores[b][k],
-                        "labels": labels[b][k],
-                        "video_id": video_ids[b] if has_id else str(b),
-                        "duration": int(durations[b]),
-                    }
-                )
-            return out
-
         for item in batches:
             pending.append(dispatch(item))
             if len(pending) > depth:
-                yield unpack(*pending.popleft())
+                yield _unpack(*pending.popleft())
         while pending:
-            yield unpack(*pending.popleft())
+            yield _unpack(*pending.popleft())

@@ -106,9 +106,9 @@ class Trainer:
             attention_impl="auto" if cfg.model.attention_impl == "ring"
             else cfg.model.attention_impl,
         )
-        self.pipeline = InferencePipeline(
-            eval_model_cfg, self.state.params, cfg.test_cfg
-        )
+        # params=None: the initial params get DONATED by the first train
+        # step; evaluate() always passes the live ones explicitly.
+        self.pipeline = InferencePipeline(eval_model_cfg, None, cfg.test_cfg)
         from repurpose_tpu.models import build_model
 
         _fwd_model = build_model(dataclasses.replace(eval_model_cfg, dropout=cfg.model.dropout))
@@ -174,7 +174,10 @@ class Trainer:
         )
         for batch in itertools.islice(loader.epoch(0), max_batches):
             out = self.eval_step(self.state.params, self._device_batch(batch))
-            losses.append(float(out["loss"]))
+            # Reference normalizes the val probe by the ACTUAL batch size
+            # (main.py:460-463), not the configured one.
+            n_real = max(int((batch.durations > 0).sum()), 1)
+            losses.append(float(out["cls_loss"]) / n_real)
         return float(np.mean(losses)) if losses else None
 
     # -- evaluation ---------------------------------------------------------------
@@ -261,6 +264,15 @@ class Trainer:
         except ValueError:  # non-main thread (tests)
             prev_handler = None
 
+        try:
+            return self._fit_loop(epochs, preempted)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _fit_loop(self, epochs: int, preempted: dict) -> dict:
+        tc = self.cfg.train
+        final_eval: dict = {}
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             epoch_losses = []
@@ -313,8 +325,6 @@ class Trainer:
                     self.best_tiou = final_eval["tiou/mean"]
                     self.best_epoch = epoch
                     self._save(epoch, {"best": True})
-        if prev_handler is not None:
-            signal.signal(signal.SIGTERM, prev_handler)
         self.start_epoch = epochs  # resumable: a later fit() continues from here
         return {
             "best_tiou": self.best_tiou,

@@ -28,7 +28,10 @@ def warmup_cosine_schedule(
             warm = (step + 1.0) / warmup_steps
         else:
             warm = 1.0
-        cos_step = jnp.maximum(step - warmup_steps, 0.0)
+        # Clamp: if actual steps exceed the estimate (per-epoch batch counts
+        # can vary with bucket grouping), hold the LR at the annealed floor
+        # instead of cycling back up (torch's recursion would rise again).
+        cos_step = jnp.clip(step - warmup_steps, 0.0, total_steps)
         cosine = 0.5 * (1.0 + jnp.cos(jnp.pi * cos_step / total_steps))
         return base_lr * jnp.where(step < warmup_steps, warm, cosine)
 

@@ -17,11 +17,20 @@ from typing import Sequence
 
 
 def results_to_manifest(
-    results: Sequence[dict], min_score: float = 0.0, clamp_start: bool = True
+    results: Sequence[dict],
+    min_score: float = 0.0,
+    clamp_start: bool = True,
+    time_offsets: dict | None = None,
 ) -> list[dict]:
-    """Flatten per-video results into ranked clip records."""
+    """Flatten per-video results into ranked clip records.
+
+    ``time_offsets`` maps video_id -> timeRange[0]: decode outputs live on the
+    feature grid, which starts at that offset inside the original file
+    (dataset timeRange slicing) — clips are exported in ABSOLUTE video time.
+    """
     clips = []
     for r in results:
+        t0 = float((time_offsets or {}).get(r["video_id"], 0.0))
         order = sorted(
             range(len(r["scores"])), key=lambda i: -float(r["scores"][i])
         )
@@ -37,7 +46,7 @@ def results_to_manifest(
                 end = min(end, float(r["duration"]))
             if end <= start:
                 continue
-            kept.append((score, start, end))
+            kept.append((score, start + t0, end + t0))
         # rank surviving clips densely so rank 0 always exists per video
         for rank, (score, start, end) in enumerate(kept):
             clips.append(

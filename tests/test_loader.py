@@ -35,17 +35,51 @@ def test_all_samples_covered_once():
     assert sorted(seen) == sorted(ds.lengths())
 
 
-def test_host_sharding_disjoint():
+def test_host_sharding_disjoint_and_consistent():
     ds = _ds(16)
-    all_seen = []
-    for pi in range(4):
-        loader = BatchLoader(
+    loaders = [
+        BatchLoader(
             ds, batch_size=2, buckets=BUCKETS, seed=5,
             process_index=pi, process_count=4,
         )
-        for batch in loader.epoch(0):
-            all_seen.extend(d for d in batch.durations.tolist() if d > 0)
-    assert sorted(all_seen) == sorted(ds.lengths())
+        for pi in range(4)
+    ]
+    # All processes agree on the GLOBAL batch plan (count + buckets + members).
+    plans = [ld._epoch_batches(0) for ld in loaders]
+    assert all(p == plans[0] for p in plans[1:])
+    planned = [i for _, idxs in plans[0] for i in idxs]
+    assert len(planned) == len(set(planned))  # no duplicates
+
+    per_process = [list(ld.epoch(0)) for ld in loaders]
+    counts = {len(b) for b in per_process}
+    assert counts == {len(plans[0])}  # identical batch counts per process
+    all_seen = []
+    for k in range(len(plans[0])):
+        shapes = {per_process[pi][k].visual.shape for pi in range(4)}
+        assert len(shapes) == 1  # identical global shapes per step
+        for pi in range(4):
+            all_seen.extend(
+                d for d in per_process[pi][k].durations.tolist() if d > 0
+            )
+    # Every planned sample is consumed exactly once across processes (ragged
+    # tails smaller than process_count are dropped by design).
+    assert sorted(all_seen) == sorted(ds.lengths()[i] for i in planned)
+
+
+def test_loader_early_abandonment_stops_worker():
+    import threading
+
+    ds = _ds(24)
+    loader = BatchLoader(ds, batch_size=2, buckets=BUCKETS, prefetch=2)
+    before = threading.active_count()
+    for _ in range(3):
+        it = loader.epoch(0)
+        next(it)
+        it.close()  # abandon early (the val-probe islice pattern)
+    import time
+
+    time.sleep(1.0)
+    assert threading.active_count() <= before + 1  # workers exited, no leak
 
 
 def test_bucket_grouping_minimizes_padding():
