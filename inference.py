@@ -84,8 +84,11 @@ def main() -> None:
     bs = args.batch_size or cfg.train.batch_size
     per_thr = {t: [] for t in TIOU_THRESHOLDS}
     all_results = []
+    time_offsets = {}
     for i0 in range(0, len(ds), bs):
         samples = [ds[i] for i in range(i0, min(i0 + bs, len(ds)))]
+        for smp in samples:
+            time_offsets[smp["video_id"]] = smp.get("time_offset", 0.0)
         batch = collate(samples, cfg.train.buckets, bs)
         results = pipe.score_batch(
             batch.visual, batch.audio, batch.text, batch.mask,
@@ -102,11 +105,7 @@ def main() -> None:
     if args.export:
         from repurpose_tpu.utils.export import write_manifest
 
-        offsets = {}
-        for i in range(len(ds)):
-            smp = ds[i]
-            offsets[smp["video_id"]] = smp.get("time_offset", 0.0)
-        clips = write_manifest(all_results, args.export, time_offsets=offsets)
+        clips = write_manifest(all_results, args.export, time_offsets=time_offsets)
         print(f"wrote {len(clips)} clips to {args.export}")
 
     means = {t: float(np.mean(v)) if v else 0.0 for t, v in per_thr.items()}

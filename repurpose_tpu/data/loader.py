@@ -92,7 +92,17 @@ class BatchLoader:
             # Every process must contribute >= 1 real sample to each global
             # batch (an all-padding shard has no sample to derive dims from),
             # so drop ragged tails smaller than the process count.
-            batches = [b for b in batches if len(b[1]) >= self.process_count]
+            kept = [b for b in batches if len(b[1]) >= self.process_count]
+            dropped = sum(len(b[1]) for b in batches) - sum(len(b[1]) for b in kept)
+            if dropped:
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "multi-host loader: dropped %d samples in (window, bucket) "
+                    "tails smaller than process_count=%d this epoch",
+                    dropped, self.process_count,
+                )
+            batches = kept
         return batches
 
     def batches_per_epoch(self, epoch: int = 0) -> int:

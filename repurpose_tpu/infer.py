@@ -51,6 +51,12 @@ class InferencePipeline:
     """
 
     def __init__(self, cfg: ModelConfig, params, test_cfg: TestConfig):
+        import dataclasses
+
+        if cfg.attention_impl == "ring":
+            # Inference batches are replicated, not seq-sharded; gather
+            # attention computes the same values.
+            cfg = dataclasses.replace(cfg, attention_impl="auto")
         self.cfg = cfg
         self.test_cfg = test_cfg
         self.params = params

@@ -33,7 +33,7 @@ from repurpose_tpu.ops.attention import NEG_INF
 Array = jax.Array
 
 
-def _ring_body(q, k, v, key_valid, axis_name: str, batch_axis: str):
+def _ring_body(q, k, v, key_valid, axis_name: str, batch_axis: str, model_axis: str):
     """Per-shard computation: q [B, Tq, H, Dh] local; k/v/mask rotate."""
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
@@ -66,8 +66,8 @@ def _ring_body(q, k, v, key_valid, axis_name: str, batch_axis: str):
 
     # Accumulator inits must be marked device-varying over the ring axis so
     # the scan carry type stays consistent after the first ppermute.
-    # Outputs become varying over both mesh axes (q/k are data+seq varying).
-    vary = lambda x: jax.lax.pvary(x, (axis_name, batch_axis))
+    # Outputs vary over every axis the inputs vary over (data, seq, model).
+    vary = lambda x: jax.lax.pvary(x, (axis_name, batch_axis, model_axis))
     init = (
         k, v, key_valid,
         vary(jnp.zeros((b, h, tq, dh), jnp.float32)),
@@ -82,12 +82,18 @@ def _ring_body(q, k, v, key_valid, axis_name: str, batch_axis: str):
 def ring_attention(
     q: Array, k: Array, v: Array, key_valid: Array,
     mesh: Mesh, seq_axis: str = "seq", batch_axis: str = "data",
+    model_axis: str = "model",
 ) -> Array:
     """[B, T, H, Dh] x3 + mask [B, T], T sharded over ``seq_axis`` ->
     [B, T, H, Dh] with the same sharding. Call from traced (jit) code."""
-    qkv_spec = P(batch_axis, seq_axis, None, None)
+    # Heads shard over the model axis: TP's qkv projection already produces
+    # head-sharded activations, and attention is independent per head, so the
+    # ring runs on local heads with no gather (exact under any model size).
+    qkv_spec = P(batch_axis, seq_axis, model_axis, None)
     mask_spec = P(batch_axis, seq_axis)
-    body = functools.partial(_ring_body, axis_name=seq_axis, batch_axis=batch_axis)
+    body = functools.partial(
+        _ring_body, axis_name=seq_axis, batch_axis=batch_axis, model_axis=model_axis
+    )
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, mask_spec),

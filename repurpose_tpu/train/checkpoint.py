@@ -70,5 +70,8 @@ class Checkpointer:
         return restored["state"], dict(meta)
 
     def close(self) -> None:
+        if self._mgr is None:
+            return
         self._mgr.wait_until_finished()
         self._mgr.close()
+        self._mgr = None

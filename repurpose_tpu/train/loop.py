@@ -171,13 +171,14 @@ class Trainer:
             batch_size=self.cfg.train.batch_size,
             buckets=self.cfg.train.buckets,
             shuffle=False,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         for batch in itertools.islice(loader.epoch(0), max_batches):
             out = self.eval_step(self.state.params, self._device_batch(batch))
             # Reference normalizes the val probe by the ACTUAL batch size
-            # (main.py:460-463), not the configured one.
-            n_real = max(int((batch.durations > 0).sum()), 1)
-            losses.append(float(out["cls_loss"]) / n_real)
+            # (main.py:460-463); n_real counts real samples in the GLOBAL batch.
+            losses.append(float(out["cls_loss"]) / max(int(out["n_real"]), 1))
         return float(np.mean(losses)) if losses else None
 
     # -- evaluation ---------------------------------------------------------------
@@ -305,7 +306,6 @@ class Trainer:
                 if preempted["flag"]:
                     logger.warning("SIGTERM received: checkpointing and exiting")
                     self._save(epoch, {"preempted": True})
-                    self.close()
                     return {"preempted": True, "epoch": epoch}
             epoch_loss = float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
             self.metrics.log(

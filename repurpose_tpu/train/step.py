@@ -44,7 +44,13 @@ def _loss_fn(model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bo
         else batch.visual.shape[0]
     )
     total = cls_loss / norm
-    aux = {"cls_loss": cls_loss, "loss": total}
+    aux = {
+        "cls_loss": cls_loss,
+        "loss": total,
+        # global count of real (non-padding) samples — the correct val-loss
+        # denominator under multi-host global batches
+        "n_real": jnp.sum(batch.durations > 0),
+    }
     if train_cfg.reg_loss_weight > 0.0:
         reg_loss = masked_reg_loss(out.offsets, batch.segments, batch.labels, batch.mask)
         total = total + train_cfg.reg_loss_weight * reg_loss / norm
@@ -63,6 +69,11 @@ def make_train_step(
     mesh=None,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    if model_cfg.quantize != "none":
+        raise ValueError(
+            "quantize is inference-only: int8 round() has zero gradient, so "
+            "training would silently not learn — train with quantize='none'"
+        )
     model = build_model(model_cfg, mesh=mesh)
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):

@@ -77,9 +77,11 @@ def ffmpeg_cut_commands(
     for c in clips:
         src = f"{video_dir}/{c['video_id']}.mp4"
         dst = f"{out_dir}/{c['video_id']}_r{c['rank']:02d}.mp4"
+        # -ss before -i (fast seek) + -t duration after: portable to
+        # ffmpeg 4.x, where -to is not an input option.
         cmds.append(
-            "ffmpeg -v error -y -ss {start} -to {end} -i {src} -c copy {dst}".format(
-                start=c["start"], end=c["end"],
+            "ffmpeg -v error -y -ss {start} -i {src} -t {dur} -c copy {dst}".format(
+                start=c["start"], dur=c["duration"],
                 src=shlex.quote(src), dst=shlex.quote(dst),
             )
         )

@@ -68,5 +68,7 @@ class MetricLogger:
     def close(self) -> None:
         if self._file is not None:
             self._file.close()
+            self._file = None
         if self._wandb is not None:
             self._wandb.finish()
+            self._wandb = None

@@ -89,7 +89,9 @@ def main() -> None:
 
         with trace(os.path.join(workdir, "profile")):
             summary = trainer.fit(epochs=trainer.start_epoch + 1)  # one epoch
-        if (args.epochs or cfg.train.epochs) > trainer.start_epoch:
+        if not summary.get("preempted") and (
+            (args.epochs or cfg.train.epochs) > trainer.start_epoch
+        ):
             summary = trainer.fit(epochs=args.epochs)
     else:
         summary = trainer.fit(epochs=args.epochs)
