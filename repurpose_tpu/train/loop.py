@@ -199,6 +199,16 @@ class Trainer:
         ds = dataset if dataset is not None else self.test_ds
         if ds is None:
             return {}
+        if jax.process_count() > 1:
+            # decode+NMS eval runs per-process on replicated batches, which
+            # would need the (possibly TP-sharded) params gathered host-local.
+            # Multi-host pattern for now: train multi-host, evaluate from
+            # checkpoints single-host (docs/DISTRIBUTED.md); the intra-epoch
+            # val-loss probe IS multi-host aware.
+            raise NotImplementedError(
+                "Trainer.evaluate is single-host; restore the checkpoint in a "
+                "single-process run for tIoU evaluation (ROADMAP.md)"
+            )
         bs = self.cfg.train.batch_size
         per_thr: dict[float, list[float]] = {t: [] for t in TIOU_THRESHOLDS}
         n = len(ds) if max_videos is None else min(len(ds), max_videos)
