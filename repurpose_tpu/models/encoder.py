@@ -67,7 +67,9 @@ class SelfAttention(nn.Module):
                 raise ValueError('attention_impl="ring" needs build_model(cfg, mesh=...)')
             from repurpose_tpu.ops.ring_attention import ring_attention
 
-            out = ring_attention(q, k, v, key_valid, self.mesh)
+            out = ring_attention(
+                q, k, v, key_valid, self.mesh, precision=cfg.matmul_precision
+            )
         else:
             attn = select_attention_impl(cfg.attention_impl, t, cfg.matmul_precision)
             out = attn(q, k, v, key_valid)

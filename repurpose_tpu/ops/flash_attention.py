@@ -42,6 +42,15 @@ DEFAULT_Q_BLOCK = 256
 DEFAULT_K_BLOCK = 256
 
 
+def _pick_block(t: int, preferred: int) -> int | None:
+    """Largest block <= preferred that divides t (None if t has no usable
+    power-of-two-ish divisor — caller falls back to the XLA path)."""
+    for b in (preferred, 256, 128, 64, 32, 16, 8):
+        if b <= preferred and t % b == 0:
+            return b
+    return None
+
+
 def _specs(b, h, t, dh, q_block):
     blk_q = pl.BlockSpec(
         (1, 1, q_block, dh), lambda bi, hi, i: (bi, hi, i, 0),
@@ -89,8 +98,6 @@ def _flash_forward(
     """q/k/v: [B, T, H, Dh] -> (out [B, T, H, Dh], lse [B, H, T, 1])."""
     b, t, h, dh = q.shape
     q_block = min(q_block, t)
-    if t % q_block:
-        raise ValueError(f"T={t} not a multiple of q_block={q_block}")
     scale = 1.0 / (dh ** 0.5)
 
     # [B, H, T, Dh] layout: each (b, h) owns contiguous K/V slabs.
@@ -191,8 +198,9 @@ def _flash_backward(
     q, k, v, key_valid, o, lse, g, q_block: int, k_block: int, interpret: bool
 ):
     b, t, h, dh = q.shape
-    q_block = min(q_block, t)
-    k_block = min(k_block, t)
+    q_block = _pick_block(t, min(q_block, t))
+    k_block = _pick_block(t, min(k_block, t))
+    assert q_block and k_block  # guaranteed by the mha_pallas entry check
     scale = 1.0 / (dh ** 0.5)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
@@ -281,7 +289,14 @@ def mha_pallas(
 ) -> Array:
     """Drop-in replacement for ``mha_xla`` (same signature/semantics on valid
     rows). Runs interpreted off-TPU so CPU tests exercise the same code.
-    ``backward``: "xla" (recompute) or "pallas" (fused two-kernel)."""
+    ``backward``: "xla" (recompute) or "pallas" (fused two-kernel).
+
+    Sequence lengths with no usable power-of-two block divisor (e.g. odd
+    buckets) fall back to the XLA path instead of mistiling — a legal bucket
+    config never crashes or truncates in the kernel."""
+    picked = _pick_block(q.shape[1], min(q_block, q.shape[1]))
+    if picked is None:
+        return mha_xla(q, k, v, key_valid)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _mha_pallas(q, k, v, key_valid, q_block, interpret, backward)
+    return _mha_pallas(q, k, v, key_valid, picked, interpret, backward)

@@ -49,6 +49,12 @@ def int8_dynamic_dot_general(lhs: Array, rhs: Array, dimension_numbers, precisio
         xq, wq, dimension_numbers, preferred_element_type=jnp.int32
     )
     out = acc.astype(jnp.float32) * x_scale * w_scale
-    if preferred_element_type is not None:
-        out = out.astype(preferred_element_type)
-    return out
+    # honor dot_general's dtype contract: promoted input dtype unless the
+    # caller asked for something specific (flax Dense relies on this to keep
+    # bf16 activations bf16)
+    target = (
+        preferred_element_type
+        if preferred_element_type is not None
+        else jnp.promote_types(lhs.dtype, rhs.dtype)
+    )
+    return out.astype(target)

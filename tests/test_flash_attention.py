@@ -64,10 +64,49 @@ def test_gradients_match_xla(rng, backward):
         )
 
 
-def test_rejects_non_divisible_t(rng):
+def test_non_divisible_t_falls_back_to_xla(rng):
+    # T=100 has no power-of-two block divisor >= 8 -> must fall back, not crash.
     q, k, v, mask = _inputs(rng, t=100)
-    with pytest.raises(ValueError, match="multiple"):
-        mha_pallas(q, k, v, mask, q_block=64)
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64))(q, k, v, mask)
+    want = jax.jit(mha_xla)(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+
+
+def test_odd_multiple_t_picks_smaller_block(rng):
+    # T=96 is not a multiple of the preferred 256 but divides by 32.
+    q, k, v, mask = _inputs(rng, t=96)
+    got = jax.jit(lambda *a: mha_pallas(*a))(q, k, v, mask)
+    want = jax.jit(mha_xla)(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+
+
+def test_pallas_backward_non_multiple_k_block(rng):
+    # T=384: q_block 128 divides, preferred k_block 256 does NOT — the bwd
+    # must pick a dividing block instead of silently dropping tail gradients.
+    q, k, v, mask = _inputs(rng, t=384)
+
+    def loss(fn):
+        return lambda a, b_, c: jnp.sum(
+            jnp.where(mask[..., None, None], fn(a, b_, c), 0.0) ** 2
+        )
+
+    g_p = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_pallas(a, b_, c, mask, q_block=128, backward="pallas")),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    g_x = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_xla(a, b_, c, mask)), argnums=(0, 1, 2)
+    ))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), atol=1e-4, rtol=1e-3, err_msg=name
+        )
 
 
 def test_fully_masked_rows_finite(rng):
