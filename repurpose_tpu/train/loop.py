@@ -92,9 +92,21 @@ class Trainer:
             cfg.model, tc, steps_per_epoch, rng, mesh=model_mesh
         )
         self.state = self._place(state)
-        self.train_step = make_train_step(cfg.model, tc, tx, schedule, mesh=model_mesh)
+        self.train_step = make_train_step(
+            cfg.model, tc, tx, schedule, mesh=model_mesh,
+            per_layer_grad_norms=True, grad_histograms=True,
+        )
         self.eval_step = make_eval_step(cfg.model, tc, mesh=model_mesh)
         self.step_rng = jax.random.key(tc.seed + 1)
+        # Observability cadences (reference: per-Linear grad norms every 10
+        # iters, main.py:345-367; wandb.watch default histogram freq 1000,
+        # main.py:264; the divergence probe is the only one that syncs).
+        self.grad_norm_freq = 10
+        self.hist_freq = 1000
+        self.finite_check_freq = 50
+        from repurpose_tpu.train.step import kernel_layer_names
+
+        self._layer_names = kernel_layer_names(state.params)
 
         self.checkpointer = Checkpointer(workdir + "/ckpt")
         self.metrics = MetricLogger(workdir, use_wandb=use_wandb, config=cfg.to_dict())
@@ -125,7 +137,7 @@ class Trainer:
         # Params follow the TP rules; optimizer moments pick up matching
         # shardings from the first jitted step's output layout.
         params = shard_params(state.params, self.mesh)
-        return TrainState(params=params, opt_state=state.opt_state, step=state.step)
+        return dataclasses.replace(state, params=params)
 
     def _device_batch(self, batch: Batch) -> Batch:
         from repurpose_tpu.parallel.sharding import make_global_batch
@@ -151,7 +163,23 @@ class Trainer:
         logger.info("resumed from step %d (epoch %d)", step, self.start_epoch)
         return True
 
+    def _assert_finite(self) -> None:
+        """Raise if any train step so far produced a non-finite loss/grad.
+
+        Every step is checked device-side inside the compiled step
+        (TrainState.nonfinite_count), so this one-scalar fetch covers the full
+        history — unlike the reference, which has no divergence guard and will
+        happily checkpoint NaN weights."""
+        bad = int(jax.device_get(self.state.nonfinite_count))
+        if bad:
+            raise FloatingPointError(
+                f"{bad} train step(s) produced non-finite loss/gradients "
+                f"(by step {int(self.state.step)}); refusing to continue"
+            )
+
     def _save(self, epoch: int, extra: dict | None = None) -> None:
+        # Never persist a poisoned state: the resume path must not restore NaNs.
+        self._assert_finite()
         meta = {
             "epoch": epoch + 1,
             "best_tiou": self.best_tiou,
@@ -183,6 +211,22 @@ class Trainer:
 
     # -- evaluation ---------------------------------------------------------------
 
+    def _host_local_params(self):
+        """A fully-replicated, host-local copy of the live params.
+
+        Multi-host, params may be sharded (TP) across the global mesh; the
+        decode+NMS eval runs per-process on local devices (the reference's
+        per-rank DDP eval, main.py:571-705, where every rank holds full
+        params), so gather once per eval: one XLA all-gather to a replicated
+        layout, then a single host fetch."""
+        if jax.process_count() == 1:
+            return self.state.params
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(self.mesh, PartitionSpec())
+        gathered = jax.jit(lambda p: p, out_shardings=rep)(self.state.params)
+        return jax.device_get(gathered)
+
     def evaluate(
         self,
         dataset=None,
@@ -192,6 +236,14 @@ class Trainer:
     ) -> dict:
         """Precision@tIoU over the given dataset (default: test split).
 
+        Multi-host: each process scores a strided shard of the dataset (the
+        DistributedSampler analog of the reference's in-run DDP eval,
+        main.py:178-187 + 571-705 — without the sampler's duplicate-padding,
+        so the global metric is exact); per-threshold sums are reduced across
+        processes, and every process returns the identical global result.
+        This is a collective: in a multi-process run, call it from all
+        processes.
+
         ``debug_viz`` renders per-sample prediction figures + JSON health log
         for the first batches (the reference visualizes 10 test batches each
         eval, main.py:648-666) including the model-collapse check.
@@ -199,39 +251,36 @@ class Trainer:
         ds = dataset if dataset is not None else self.test_ds
         if ds is None:
             return {}
-        if jax.process_count() > 1:
-            # decode+NMS eval runs per-process on replicated batches, which
-            # would need the (possibly TP-sharded) params gathered host-local.
-            # Multi-host pattern for now: train multi-host, evaluate from
-            # checkpoints single-host (docs/DISTRIBUTED.md); the intra-epoch
-            # val-loss probe IS multi-host aware.
-            raise NotImplementedError(
-                "Trainer.evaluate is single-host; restore the checkpoint in a "
-                "single-process run for tIoU evaluation (ROADMAP.md)"
-            )
+        rank, world = jax.process_index(), jax.process_count()
+        params = self._host_local_params()
         bs = self.cfg.train.batch_size
-        per_thr: dict[float, list[float]] = {t: [] for t in TIOU_THRESHOLDS}
         n = len(ds) if max_videos is None else min(len(ds), max_videos)
+        my_idx = list(range(rank, n, world))
+        sums = {t: 0.0 for t in TIOU_THRESHOLDS}
+        count = 0
         debugger = None
-        if debug_viz and jax.process_index() == 0:
+        if debug_viz and rank == 0:
             from repurpose_tpu.utils.debug_viz import ValidationDebugger
 
             debugger = ValidationDebugger(self.workdir)
-        for i0 in range(0, n, bs):
-            samples = [ds[i] for i in range(i0, min(i0 + bs, n))]
+        for i0 in range(0, len(my_idx), bs):
+            samples = [ds[i] for i in my_idx[i0 : i0 + bs]]
             batch = collate(samples, self.cfg.train.buckets, bs)
             results = self.pipeline.score_batch(
                 batch.visual, batch.audio, batch.text, batch.mask,
                 batch.durations, [s["video_id"] for s in samples],
-                params=self.state.params,
+                params=params,
             )
             for s, r in zip(samples, results):
                 gt = s.get("gt_segments") or []
                 tiou = calculate_tiou(gt, r["segments"].tolist(), TIOU_THRESHOLDS)
                 for t in TIOU_THRESHOLDS:
-                    per_thr[t].append(tiou[t])
+                    sums[t] += tiou[t]
+                count += 1
             if debugger is not None and len(debugger.samples) < max_debug_samples:
-                fwd = self.eval_forward(batch)
+                fwd = self._fwd(
+                    params, batch.visual, batch.audio, batch.text, batch.mask
+                )
                 for j, (s, r) in enumerate(zip(samples, results)):
                     if len(debugger.samples) >= max_debug_samples:
                         break
@@ -249,7 +298,22 @@ class Trainer:
             paths = debugger.render(max_debug_samples)
             debugger.write_log()
             self.metrics.log_images(paths, int(self.state.step))
-        out = {f"tiou/{t}": float(np.mean(v)) if v else 0.0 for t, v in per_thr.items()}
+        if world > 1:
+            # Sum the per-threshold tIoU sums and video counts globally so
+            # every process reports the same metric (reference main.py:686-705
+            # averages per-rank; here the reduction is exact).
+            from jax.experimental import multihost_utils
+
+            vec = np.array(
+                [sums[t] for t in TIOU_THRESHOLDS] + [count], np.float32
+            )
+            total = np.asarray(multihost_utils.process_allgather(vec)).sum(axis=0)
+            sums = {t: float(total[i]) for i, t in enumerate(TIOU_THRESHOLDS)}
+            count = int(round(float(total[-1])))
+        out = {
+            f"tiou/{t}": (sums[t] / count if count else 0.0)
+            for t in TIOU_THRESHOLDS
+        }
         out["tiou/mean"] = float(np.mean([out[f"tiou/{t}"] for t in TIOU_THRESHOLDS]))
         return out
 
@@ -293,21 +357,38 @@ class Trainer:
                 )
                 step = int(self.state.step)
                 epoch_losses.append(m["loss"])
-                if step % 50 == 1 and not np.isfinite(float(m["loss"])):
-                    # Fail fast on divergence instead of training on NaN for
-                    # the rest of the epoch (a guard the reference lacks).
-                    raise FloatingPointError(
-                        f"non-finite loss {float(m['loss'])} at step {step}"
+                if step % self.finite_check_freq == 1:
+                    # Bounded-delay divergence probe; every step was already
+                    # checked on device (TrainState.nonfinite_count), this is
+                    # just the periodic host sync that surfaces it.
+                    self._assert_finite()
+                if i % self.grad_norm_freq == 0:
+                    record = {
+                        "batch/loss": m["loss"],
+                        "batch/cls_loss": m["cls_loss"],
+                        "batch/grad_norm": m["grad_norm"],
+                        "batch/learning_rate": m.get("learning_rate", 0.0),
+                    }
+                    # Per-layer grad norms ride the same log record
+                    # (reference main.py:345-367, every 10 iters).
+                    norms = np.asarray(m["grad_norms/stacked"])
+                    record.update(
+                        {f"grad_norm/{n}": norms[j]
+                         for j, n in enumerate(self._layer_names)}
                     )
-                if i % 10 == 0:
-                    self.metrics.log(
-                        {
-                            "batch/loss": m["loss"],
-                            "batch/cls_loss": m["cls_loss"],
-                            "batch/grad_norm": m["grad_norm"],
-                            "batch/learning_rate": m.get("learning_rate", 0.0),
-                        },
-                        step,
+                    self.metrics.log(record, step)
+                if step % self.hist_freq == 0 or step == 1:
+                    self.metrics.log_histograms(
+                        self._layer_names,
+                        m["hist/grads/counts"], m["hist/grads/edges"],
+                        step, prefix="grads",
+                    )
+                    from repurpose_tpu.train.step import param_histograms
+
+                    ph = param_histograms(self.state.params)
+                    self.metrics.log_histograms(
+                        self._layer_names, ph["counts"], ph["edges"],
+                        step, prefix="params",
                     )
                 if tc.intra_epoch_eval_freq and (i + 1) % tc.intra_epoch_eval_freq == 0:
                     val_loss = self._val_probe()

@@ -13,6 +13,7 @@ from typing import Any, Callable
 
 import flax.struct
 import jax
+import jax.numpy as jnp
 import optax
 
 from repurpose_tpu.config import ModelConfig, TrainConfig
@@ -25,6 +26,15 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array
+    nonfinite_count: jax.Array = flax.struct.field(
+        default_factory=lambda: jnp.int32(0)
+    )
+    """Running count of train steps whose loss or grad norm was non-finite.
+
+    Updated inside the jitted step, so every step is checked with zero extra
+    host syncs; the Trainer reads it before each checkpoint save (refusing to
+    persist a poisoned state) and on its periodic probe. The reference has no
+    divergence guard at all."""
 
 
 def make_optimizer(
@@ -53,6 +63,4 @@ def create_train_state(
     params = init_model_params(model, model_cfg, rng)
     tx, schedule = make_optimizer(train_cfg, steps_per_epoch)
     opt_state = tx.init(params)
-    import jax.numpy as jnp
-
     return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0)), tx, schedule

@@ -59,6 +59,32 @@ def _loss_fn(model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bo
     return total, aux
 
 
+def kernel_layer_names(params) -> list[str]:
+    """Path names of every ``kernel`` leaf, in tree-flatten order — the label
+    list matching the stacked per-layer grad-norm / histogram outputs of the
+    train step (grads share the params pytree structure, so the orders agree).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = []
+    for path, _ in flat:
+        name = "/".join(getattr(p, "key", str(p)) for p in path)
+        if name.endswith("kernel"):
+            names.append(name)
+    return names
+
+
+def _kernel_leaves(grads):
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    return [
+        g
+        for path, g in flat
+        if "/".join(getattr(p, "key", str(p)) for p in path).endswith("kernel")
+    ]
+
+
+HIST_BINS = 64
+
+
 def make_train_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
@@ -66,9 +92,21 @@ def make_train_step(
     schedule: Callable | None = None,
     donate: bool = True,
     per_layer_grad_norms: bool = False,
+    grad_histograms: bool = False,
     mesh=None,
 ) -> Callable:
-    """Build the jitted train step: (state, batch, rng) -> (state, metrics)."""
+    """Build the jitted train step: (state, batch, rng) -> (state, metrics).
+
+    ``per_layer_grad_norms`` adds a single stacked vector
+    ``metrics["grad_norms/stacked"]`` of per-kernel gradient norms (one host
+    fetch for all layers — the reference loops Linear modules on host every 10
+    iters, main.py:345-367). ``grad_histograms`` adds
+    ``metrics["hist/grads/counts"]`` [L, HIST_BINS] and
+    ``.../edges`` [L, HIST_BINS+1] — the wandb.watch(model) gradient-histogram
+    equivalent (reference main.py:264). Label both with
+    ``kernel_layer_names(params)``. Device-side cost of either is O(n_params),
+    negligible next to the model pass; outputs stay on device until fetched.
+    """
     if model_cfg.quantize != "none":
         raise ValueError(
             "quantize is inference-only: int8 round() has zero gradient, so "
@@ -86,22 +124,42 @@ def make_train_step(
         metrics = dict(aux)
         metrics["grad_norm"] = optax.global_norm(grads)
         if per_layer_grad_norms:
-            # Per-kernel gradient norms (reference logs per-Linear-layer norms
-            # every 10 iters on host, main.py:345-367; here they ride the same
-            # compiled program).
-            flat = jax.tree_util.tree_flatten_with_path(grads)[0]
-            for path, g in flat:
-                name = "/".join(getattr(p, "key", str(p)) for p in path)
-                if name.endswith("kernel"):
-                    metrics[f"grad_norm/{name}"] = jnp.linalg.norm(g)
+            metrics["grad_norms/stacked"] = jnp.stack(
+                [jnp.linalg.norm(g) for g in _kernel_leaves(grads)]
+            )
+        if grad_histograms:
+            counts, edges = [], []
+            for g in _kernel_leaves(grads):
+                c, e = jnp.histogram(g.ravel(), bins=HIST_BINS)
+                counts.append(c)
+                edges.append(e)
+            metrics["hist/grads/counts"] = jnp.stack(counts)
+            metrics["hist/grads/edges"] = jnp.stack(edges)
         if schedule is not None:
             metrics["learning_rate"] = schedule(state.step)
+        bad = ~(jnp.isfinite(aux["loss"]) & jnp.isfinite(metrics["grad_norm"]))
         new_state = TrainState(
-            params=params, opt_state=opt_state, step=state.step + 1
+            params=params,
+            opt_state=opt_state,
+            step=state.step + 1,
+            nonfinite_count=state.nonfinite_count + bad.astype(jnp.int32),
         )
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+@jax.jit
+def param_histograms(params) -> dict:
+    """Per-kernel parameter histograms {counts [L,B], edges [L,B+1]} — the
+    parameter half of the wandb.watch equivalent (reference main.py:264);
+    label rows with ``kernel_layer_names(params)``."""
+    counts, edges = [], []
+    for p in _kernel_leaves(params):
+        c, e = jnp.histogram(p.ravel(), bins=HIST_BINS)
+        counts.append(c)
+        edges.append(e)
+    return {"counts": jnp.stack(counts), "edges": jnp.stack(edges)}
 
 
 def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh=None) -> Callable:

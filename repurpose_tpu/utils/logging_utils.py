@@ -53,6 +53,41 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log({k: v for k, v in record.items() if k != "time"}, step=step)
 
+    def log_histograms(
+        self, names: list[str], counts, edges, step: int, prefix: str = "grads"
+    ) -> None:
+        """Per-layer histogram summaries — the wandb.watch(model) equivalent
+        (reference main.py:264 logs gradient histograms every 1000 steps).
+        ``counts`` [L, B] / ``edges`` [L, B+1] label rows by ``names``. JSONL
+        gets the raw arrays; wandb gets native Histogram objects."""
+        if not self.is_main:
+            return
+        import numpy as np
+
+        counts = np.asarray(counts)
+        edges = np.asarray(edges)
+        record: dict[str, Any] = {"step": step, "time": time.time()}
+        for i, name in enumerate(names):
+            record[f"hist/{prefix}/{name}"] = {
+                "counts": counts[i].tolist(),
+                "edges": edges[i].tolist(),
+            }
+        self._file.write(json.dumps(record) + "\n")
+        self._file.flush()
+        if self._wandb is not None:
+            try:
+                self._wandb.log(
+                    {
+                        f"hist/{prefix}/{n}": self._wandb.Histogram(
+                            np_histogram=(counts[i], edges[i])
+                        )
+                        for i, n in enumerate(names)
+                    },
+                    step=step,
+                )
+            except Exception as e:
+                logger.warning("wandb histogram upload failed: %s", e)
+
     def log_images(self, paths: list[str], step: int, key: str = "debug") -> None:
         """Upload debug figures (reference: wandb.Image uploads of the
         ValidationDebugger renders, main.py:776-784)."""
