@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 from typing import Callable, Sequence
 
 import numpy as np
@@ -162,19 +163,39 @@ class AudioExtractor:
         return _resumable("audio")(self.extract, video_ids, video_dir, out_dir, tracker)
 
 
+_WS_RE = re.compile(r"\s+")
+_SPECIAL_RE = re.compile(r"[^\w\s\.\,\!\?\-\']")
+
+
+def clean_text(text: str) -> str:
+    """Reference text normalization (text_feature_extractor.py:185-196):
+    collapse whitespace, drop everything but word chars / whitespace /
+    ``. , ! ? - '``, then strip. Golden-tested bin-for-bin against the
+    reference's own code (tests/golden/text_binning.json)."""
+    if not text:
+        return ""
+    return _SPECIAL_RE.sub("", _WS_RE.sub(" ", text)).strip()
+
+
 def bin_transcript_per_second(
     segments: Sequence[dict], duration_s: int
 ) -> list[str]:
-    """Per-second text bins: concatenation of all transcript segments
-    overlapping each second, '' for silence (reference binning,
-    text_feature_extractor.py:338-360)."""
-    bins = [""] * duration_s
+    """Per-second text bins, reference-exact (text_feature_extractor.py:341-357):
+    a segment overlaps second ``s`` iff ``start <= s < end``; each overlapping
+    segment's text is clean_text'd, joined with spaces in segment order, and
+    the joined string clean_text'd again; '' marks silent (zero-vector)
+    seconds. O(S + T) — integer second-ranges per segment instead of the
+    reference's per-second scan over all segments."""
+    texts: list[list[str]] = [[] for _ in range(duration_s)]
     for seg in segments:
-        start = max(int(seg["start"]), 0)
-        end = min(int(seg["end"]), duration_s - 1)
-        for s in range(start, end + 1):
-            bins[s] = (bins[s] + " " + seg["text"].strip()).strip()
-    return bins
+        start = float(seg.get("start", 0))
+        end = float(seg.get("end", 0))
+        lo = max(int(np.ceil(start)), 0)  # smallest integer s with s >= start
+        hi = min(int(np.ceil(end)), duration_s)  # integers s < end are < ceil(end)
+        cleaned = clean_text(seg.get("text", ""))
+        for s in range(lo, hi):
+            texts[s].append(cleaned)
+    return [clean_text(" ".join(ts)) if ts else "" for ts in texts]
 
 
 class TextExtractor:
@@ -219,9 +240,42 @@ class TextExtractor:
         return out
 
     @staticmethod
-    def transcribe(audio_path: str, cache_path: str | None = None) -> list[dict]:
-        """Whisper ASR (optional dependency), with transcript JSON caching
-        (reference caches transcripts, text_feature_extractor.py:198-236).
+    def _transcribe_whisperx(audio_path: str) -> list[dict]:
+        """WhisperX transcription with word-level alignment (the reference's
+        primary ASR path, text_feature_extractor.py:129-160): base model,
+        then the language-specific alignment model refines segment
+        timestamps. Optional dependency — callers fall back to plain whisper."""
+        import whisperx  # type: ignore
+
+        device = "cpu"
+        try:
+            import torch
+
+            if torch.cuda.is_available():
+                device = "cuda"
+        except ImportError:
+            pass
+        model = whisperx.load_model("base", device)
+        audio = whisperx.load_audio(audio_path)
+        result = model.transcribe(audio)
+        model_a, metadata = whisperx.load_align_model(
+            language_code=result["language"], device=device
+        )
+        aligned = whisperx.align(result["segments"], model_a, metadata, audio, device)
+        return [
+            {"start": s["start"], "end": s["end"], "text": s["text"]}
+            for s in aligned["segments"]
+        ]
+
+    @staticmethod
+    def transcribe(
+        audio_path: str, cache_path: str | None = None, backend: str = "auto"
+    ) -> list[dict]:
+        """ASR with transcript JSON caching (reference caches transcripts,
+        text_feature_extractor.py:198-236). ``backend``: "auto" tries
+        WhisperX (word-aligned timestamps) and falls back to plain whisper —
+        the reference's try/except chain (text_feature_extractor.py:292-300);
+        "whisperx" / "whisper" force one.
         ONE pass: a fresh video is transcribed AND embedded in the same call —
         the reference needed two runs (its embedding code sits in the
         transcript-already-exists branch, text_feature_extractor.py:310-386)."""
@@ -230,18 +284,28 @@ class TextExtractor:
         if cache_path and os.path.exists(cache_path):
             with open(cache_path) as f:
                 return json.load(f)
-        try:
-            import whisper  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "openai-whisper not installed; provide cached transcripts instead"
-            ) from e
-        model = whisper.load_model("base")
-        result = model.transcribe(audio_path)
-        segments = [
-            {"start": s["start"], "end": s["end"], "text": s["text"]}
-            for s in result["segments"]
-        ]
+        segments = None
+        if backend in ("auto", "whisperx"):
+            try:
+                segments = TextExtractor._transcribe_whisperx(audio_path)
+            except Exception as e:
+                if backend == "whisperx":
+                    raise
+                logger.info("whisperx unavailable/failed (%s); whisper fallback", e)
+        if segments is None:
+            try:
+                import whisper  # type: ignore
+            except ImportError as e:
+                raise ImportError(
+                    "neither whisperx nor openai-whisper installed; provide "
+                    "cached transcripts instead"
+                ) from e
+            model = whisper.load_model("base")
+            result = model.transcribe(audio_path)
+            segments = [
+                {"start": s["start"], "end": s["end"], "text": s["text"]}
+                for s in result["segments"]
+            ]
         if cache_path:
             with open(cache_path, "w") as f:
                 json.dump(segments, f)

@@ -145,7 +145,9 @@ class PreprocessingPipeline:
                 segments = ex.transcribe(
                     src, os.path.join(self.cfg.transcript_dir, f"{vid}.json")
                 )
-                duration = int(np.ceil(probe_duration(src)))
+                # floor, matching the reference's int(actual_duration)
+                # (text_feature_extractor.py:309)
+                duration = int(probe_duration(src))
                 bins = bin_transcript_per_second(segments, duration)
                 np.save(out_path, ex.embed_bins(bins))
                 tracker.mark_completed(vid)

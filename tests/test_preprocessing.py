@@ -132,17 +132,76 @@ def test_download_permanent_failure_not_retried(downloader):
 # -- transcript binning ----------------------------------------------------------
 
 def test_bin_transcript_per_second():
+    """Reference overlap semantics: start <= second < end
+    (text_feature_extractor.py:347-350)."""
     segs = [
         {"start": 1.2, "end": 3.7, "text": " hello "},
         {"start": 3.0, "end": 4.0, "text": "world"},
         {"start": 90.0, "end": 95.0, "text": "clamped"},
     ]
     bins = bin_transcript_per_second(segs, 6)
-    assert bins[0] == ""
-    assert bins[1] == "hello" and bins[2] == "hello"
-    assert bins[3] == "hello world"
-    assert bins[4] == "world"
-    assert bins[5] == ""  # the clamped segment is clipped to duration
+    assert bins == ["", "", "hello", "hello world", "", ""]
+
+
+def test_text_binning_matches_reference_golden():
+    """Bin-for-bin string equality against the reference's own
+    extract_text_features run (golden from tools/make_goldens.py, which
+    executes text_feature_extractor.py:313-391 with a recording fake
+    encoder)."""
+    path = os.path.join(os.path.dirname(__file__), "golden", "text_binning.json")
+    cases = json.load(open(path))
+    assert len(cases) >= 8
+    for c in cases:
+        bins = bin_transcript_per_second(c["segments"], c["duration"])
+        assert bins == c["bins"], (c["segments"], bins, c["bins"])
+
+
+def test_clean_text_reference_semantics():
+    from repurpose_tpu.preprocessing.extract import clean_text
+
+    assert clean_text("  multi\n\nline\t text  ") == "multi line text"
+    assert clean_text("it's a—dash; test: 50% off @home") == "it's adash test 50 off home"
+    assert clean_text("Hello,   WORLD!!") == "Hello, WORLD!!"
+    assert clean_text("@#$%^&*") == ""
+    assert clean_text("") == ""
+
+
+def test_transcribe_whisperx_path(tmp_path, monkeypatch):
+    """The whisperx backend follows the reference call sequence
+    (load_model -> load_audio -> transcribe -> load_align_model -> align,
+    text_feature_extractor.py:140-156) and caches the aligned segments."""
+    import sys
+    import types
+
+    from repurpose_tpu.preprocessing.extract import TextExtractor
+
+    calls = []
+    fake = types.ModuleType("whisperx")
+    fake.load_model = lambda name, device: types.SimpleNamespace(
+        transcribe=lambda audio: (
+            calls.append("transcribe"),
+            {"language": "en", "segments": [{"start": 0.0, "end": 2.0, "text": "raw"}]},
+        )[1]
+    )
+    fake.load_audio = lambda p: (calls.append("load_audio"), "AUDIO")[1]
+    fake.load_align_model = lambda language_code, device: (
+        calls.append(f"align_model:{language_code}"),
+        ("ALIGN", {"meta": 1}),
+    )[1]
+    fake.align = lambda segs, model_a, metadata, audio, device: (
+        calls.append("align"),
+        {"segments": [{"start": 0.1, "end": 1.9, "text": "aligned", "words": []}]},
+    )[1]
+    monkeypatch.setitem(sys.modules, "whisperx", fake)
+
+    cache = tmp_path / "t.json"
+    segments = TextExtractor.transcribe("fake.wav", str(cache), backend="whisperx")
+    assert segments == [{"start": 0.1, "end": 1.9, "text": "aligned"}]
+    assert calls == ["load_audio", "transcribe", "align_model:en", "align"]
+    # cached: a second call must not re-run ASR
+    calls.clear()
+    again = TextExtractor.transcribe("fake.wav", str(cache), backend="whisperx")
+    assert again == segments and calls == []
 
 
 # -- tools ------------------------------------------------------------------------

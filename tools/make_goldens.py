@@ -304,6 +304,117 @@ def make_model_goldens():
         json.dump(golden, f)
 
 
+def make_text_binning_goldens():
+    """Per-second transcript binning golden, captured by EXECUTING the
+    reference's extract_text_features (text_feature_extractor.py:313-391)
+    on synthetic transcripts: ffmpeg/ffprobe are stubbed and
+    sentence_transformers is replaced by a recording fake, so the strings
+    the reference actually embeds per second — after its
+    ``start <= second < end`` overlap test (:347-350) and double clean_text
+    (:354-357) — are recorded bin-for-bin."""
+    sys.path.insert(0, REFERENCE)
+    import hashlib
+    import tempfile
+    import types
+    from pathlib import Path
+
+    calls: list[str] = []
+
+    class _FakeST:
+        def __init__(self, name):
+            pass
+
+        def encode(self, texts):
+            out = []
+            for t in texts:
+                calls.append(t)
+                h = hashlib.sha256(t.encode()).digest()
+                v = np.frombuffer((h * 12)[:384], np.uint8).astype(np.float64)
+                out.append(v / 255.0 + 1e-3)  # never the zero vector
+            return np.stack(out)
+
+    fake = types.ModuleType("sentence_transformers")
+    fake.SentenceTransformer = _FakeST
+    saved = sys.modules.get("sentence_transformers")
+    sys.modules["sentence_transformers"] = fake
+    try:
+        # the reference's preprocessing/__init__.py is broken (imports a
+        # module that doesn't exist, SURVEY.md §2.5) — load the file directly
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "_ref_text_fx",
+            os.path.join(REFERENCE, "preprocessing", "text_feature_extractor.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        TextFeatureExtractor = mod.TextFeatureExtractor
+
+        class _Shim(TextFeatureExtractor):
+            _dur = 1.0
+
+            def extract_audio_from_video(self, video_path, temp_dir):
+                return video_path
+
+            def get_audio_duration(self, audio_path):
+                return self._dur
+
+        cases_in = [
+            # boundary floats + overlap
+            (6, [{"start": 1.2, "end": 3.7, "text": " hello "},
+                 {"start": 3.0, "end": 4.0, "text": "world"},
+                 {"start": 90.0, "end": 95.0, "text": "clamped"}]),
+            # exact integer boundaries: second 3 must belong to the 2nd only
+            (10, [{"start": 0, "end": 3, "text": "a"},
+                  {"start": 3, "end": 5, "text": "b"},
+                  {"start": 5.0, "end": 10.0, "text": "c"}]),
+            # clean_text: unicode word chars kept, emoji/symbols stripped,
+            # kept punctuation . , ! ? - '
+            (8, [{"start": 0.0, "end": 4.0, "text": "Hello,   WORLD!!"},
+                 {"start": 2.0, "end": 6.0, "text": "café ☕ emoji \U0001f389"},
+                 {"start": 3.5, "end": 7.2, "text": "it's a—dash; test: 50% off @home"}]),
+            # negative start
+            (5, [{"start": -2.5, "end": 1.5, "text": "neg"}]),
+            # segment running past the duration
+            (7, [{"start": 5.0, "end": 12.0, "text": "tail"}]),
+            # overlapping segment whose text cleans to empty -> zero vector
+            (4, [{"start": 1, "end": 3, "text": "@#$%^&*"},
+                 {"start": 2, "end": 4, "text": "real text"}]),
+            # missing keys default to 0 (seg.get at :346-348)
+            (6, [{"end": 2.0, "text": "nostart"},
+                 {"start": 3.0, "text": "noend"}]),
+            # whitespace-mess normalization through the double clean_text
+            (3, [{"start": 0, "end": 3, "text": "  multi\n\nline\t text  "},
+                 {"start": 0, "end": 3, "text": ""}]),
+        ]
+        cases = []
+        with tempfile.TemporaryDirectory() as td:
+            ex = _Shim(output_dir=os.path.join(td, "caption_features"))
+            for ci, (dur, segs) in enumerate(cases_in):
+                vid = f"case{ci}"
+                with open(Path(ex.transcript_dir) / f"{vid}.json", "w") as f:
+                    json.dump(segs, f)
+                _Shim._dur = float(dur)
+                calls.clear()
+                ok = ex.extract_text_features(f"{vid}.mp4", vid)
+                assert ok, f"reference extraction failed for case {ci}"
+                feats = np.load(Path(ex.output_dir) / f"{vid}.npy")
+                assert feats.shape == (dur, 384), feats.shape
+                nz = np.abs(feats).sum(axis=1) > 0
+                strings = list(calls)
+                bins = [strings.pop(0) if nz[i] else "" for i in range(dur)]
+                assert not strings, "unconsumed embed calls"
+                cases.append({"duration": dur, "segments": segs, "bins": bins})
+    finally:
+        if saved is None:
+            sys.modules.pop("sentence_transformers", None)
+        else:
+            sys.modules["sentence_transformers"] = saved
+    with open(os.path.join(OUT_DIR, "text_binning.json"), "w") as f:
+        json.dump(cases, f, ensure_ascii=False)
+    print(f"text binning: {len(cases)} cases")
+
+
 if __name__ == "__main__":
     os.makedirs(OUT_DIR, exist_ok=True)
     make_softnms_goldens()
@@ -311,3 +422,4 @@ if __name__ == "__main__":
     make_label_goldens()
     make_metric_goldens()
     make_model_goldens()
+    make_text_binning_goldens()
