@@ -37,10 +37,28 @@ class TrainState:
     divergence guard at all."""
 
 
+def _not_reg_head(params) -> Any:
+    """Mask pytree: False on every leaf under a ``reg_head`` subtree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: not any(getattr(p, "key", None) == "reg_head" for p in path),
+        params,
+    )
+
+
 def make_optimizer(
     train_cfg: TrainConfig, steps_per_epoch: int
 ) -> tuple[optax.GradientTransformation, Callable]:
-    """Adam + warmup->cosine schedule (reference main.py:190-206)."""
+    """Adam + warmup->cosine schedule (reference main.py:190-206).
+
+    Parity subtlety: with the regression loss disabled (the reference's
+    shipped setup, main.py:664), NO loss touches the reg head, so its torch
+    grads are ``None`` and ``torch.optim.Adam`` skips those params entirely —
+    including their weight decay. JAX autodiff yields zeros instead, and
+    zero-grad Adam + L2-in-gradient would silently decay the head to 0 at
+    ~lr/step. ``optax.masked`` freezes the reg_head subtree exactly like
+    torch does (verified against a trained reference checkpoint in
+    tests/test_train_parity.py). With reg_loss_weight > 0 the head trains
+    normally."""
     total_steps = train_cfg.epochs * steps_per_epoch
     warmup_steps = train_cfg.warmup_epochs * steps_per_epoch
     schedule = warmup_cosine_schedule(train_cfg.lr, warmup_steps, total_steps)
@@ -49,6 +67,8 @@ def make_optimizer(
         optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
         optax.scale_by_learning_rate(schedule),
     )
+    if train_cfg.reg_loss_weight == 0.0:
+        tx = optax.masked(tx, _not_reg_head)
     return tx, schedule
 
 

@@ -304,6 +304,165 @@ def make_model_goldens():
         json.dump(golden, f)
 
 
+def _signal_batch(rng, lens, t_max):
+    """A learnable synthetic batch: labels come from planted segments, and the
+    first visual dims carry a +1.5 bias inside them, so short training gets a
+    model with realistic (non-random) score distributions. All arrays are
+    stored in the fixture — both frameworks consume the identical data."""
+    b = len(lens)
+    vis = rng.normal(0, 1, (b, t_max, 32))
+    aud = rng.normal(0, 1, (b, t_max, 64))
+    txt = rng.normal(0, 1, (b, t_max, 16))
+    mask = np.zeros((b, 1, t_max), bool)
+    labels = np.zeros((b, t_max))
+    offsets = np.zeros((b, t_max, 2))
+    gt_segments = []
+    for i, ln in enumerate(lens):
+        mask[i, 0, :ln] = True
+        vis[i, ln:] = aud[i, ln:] = txt[i, ln:] = 0.0
+        segs = []
+        for _ in range(2):
+            s = float(rng.uniform(0, ln - 25))
+            e = s + float(rng.uniform(12, 24))
+            segs.append([s, e])
+        segs.sort()
+        gt_segments.append(segs)
+        for s, e in segs:
+            lo, hi = int(s), min(int(e) + 1, ln)
+            labels[i, lo:hi] = 1.0
+            for t in range(lo, hi):
+                if offsets[i, t].sum() == 0:
+                    offsets[i, t] = (t - s, e - t)
+        vis[i, :ln, :8] += 1.5 * labels[i, :ln, None]
+    return {
+        "visual": vis, "audio": aud, "text": txt, "mask": mask,
+        "labels": labels, "segments": offsets, "lens": list(lens),
+        "gt_segments": gt_segments,
+    }
+
+
+def _torch_batch(d):
+    import torch
+
+    return {
+        "video_id": [f"vid{i}" for i in range(len(d["lens"]))],
+        "duration": list(d["lens"]),
+        "visual_feats": torch.tensor(d["visual"], dtype=torch.float32),
+        "audio_feats": torch.tensor(d["audio"], dtype=torch.float32),
+        "text_feats": torch.tensor(d["text"], dtype=torch.float32),
+        "masks": torch.tensor(d["mask"]),
+        "labels": torch.tensor(d["labels"], dtype=torch.float32),
+        "segments": torch.tensor(d["segments"], dtype=torch.float32),
+    }
+
+
+def make_trained_goldens(steps: int = 120):
+    """TRAIN the tiny reference model (reference numerics: Adam lr 1e-3 wd
+    1e-4, loss = cls_loss / config_batch_size, per-iteration cosine schedule —
+    main.py:190-206, 331, 405-409) for ``steps`` CPU steps on stored synthetic
+    batches, and capture: init + trained state dicts, the per-step loss
+    trajectory, a real .pth checkpoint in the reference's schema
+    (main.py:513-531), and the reference's decoded outputs + tIoU on a held-out
+    batch. Dropout is zeroed on the torch side (the reference hardcodes p=0.1,
+    MMCTransformer.py:45,68-93) because dropout RNG is framework-specific; the
+    JAX side trains with dropout=0.0 to match."""
+    sys.path.insert(0, REFERENCE)
+    import torch
+    from models.MMCTransformer import MMCTransformer
+
+    sys.path.insert(0, os.path.join(REFERENCE, "utils"))
+    from utils.metrics import calculate_tiou as ref_tiou
+
+    torch.manual_seed(3)
+    model = MMCTransformer(**TINY_MODEL_KW)
+    for m in model.modules():
+        if isinstance(m, torch.nn.Dropout):
+            m.p = 0.0
+        if isinstance(m, torch.nn.MultiheadAttention):
+            m.dropout = 0.0  # a float attr, NOT a Dropout module — the
+            # attention-weights dropout stays stochastic otherwise
+    model.train()
+    init_sd = {k: v.detach().clone().numpy() for k, v in model.state_dict().items()}
+
+    rng = np.random.default_rng(17)
+    train_batches = [_signal_batch(rng, (128, 96), 128) for _ in range(4)]
+    eval_batch = _signal_batch(rng, (128, 110), 128)
+
+    batch_size_cfg = 2  # the /batch_size quirk divisor (main.py:331)
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-4)
+    cos = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps)
+    losses = []
+    for step in range(steps):
+        batch = _torch_batch(train_batches[step % len(train_batches)])
+        out = model(batch)
+        final = model.losses(*out)["cls_loss"] / batch_size_cfg
+        opt.zero_grad()
+        final.backward()
+        opt.step()
+        cos.step()
+        losses.append(float(final.item()))
+    print(f"trained tiny reference: loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    assert losses[-1] < losses[0] * 0.8, "reference training failed to learn"
+
+    trained_sd = {k: v.detach().clone().numpy() for k, v in model.state_dict().items()}
+    torch.save(
+        {"model": model.state_dict(), "epoch": steps, "loss": losses[-1]},
+        os.path.join(OUT_DIR, "tiny_trained.pth"),
+    )
+
+    # duration_thresh ~0: cls-only training Adam-decays the never-trained
+    # ReLU reg head toward zero (wd gradient is its only gradient), so
+    # trained-model offsets are near-zero — the reference's own quirk of
+    # running an untrained reg head at inference (main.py:664,
+    # MMCTransformer.py:149). A realistic 10s gate would keep nothing.
+    test_cfg = {
+        "pre_nms_topk": 200, "pre_nms_thresh": 0.3, "duration_thresh": 0.0,
+        "duration_thresh_max": 90.0, "max_seg_per_min": 2.0,
+        "nms_sigma": 0.5, "min_score": 0.01,
+    }
+    model.eval()
+    with torch.no_grad():
+        results = model.inference_(_torch_batch(eval_batch), test_cfg)
+    decode_golden = []
+    for i, r in enumerate(results):
+        pred_segs = r["segments"].numpy().tolist()
+        tiou = ref_tiou(eval_batch["gt_segments"][i], pred_segs, [0.5, 0.6, 0.7, 0.8, 0.9])
+        decode_golden.append(
+            {
+                "video_id": r["video_id"],
+                "duration": int(r["duration"]),
+                "segments": pred_segs,
+                "scores": r["scores"].numpy().tolist(),
+                "labels": r["labels"].numpy().tolist(),
+                "tiou": {str(k): v for k, v in tiou.items()},
+            }
+        )
+        print(f"  trained decode {r['video_id']}: {len(pred_segs)} segments kept")
+
+    arrays = {f"init_sd/{k}": v for k, v in init_sd.items()}
+    arrays.update({f"trained_sd/{k}": v for k, v in trained_sd.items()})
+    for bi, d in enumerate(train_batches):
+        for key in ("visual", "audio", "text", "mask", "labels", "segments"):
+            arrays[f"batch{bi}/{key}"] = d[key]
+        arrays[f"batch{bi}/lens"] = np.asarray(d["lens"])
+    for key in ("visual", "audio", "text", "mask", "labels", "segments"):
+        arrays[f"eval/{key}"] = eval_batch[key]
+    arrays["eval/lens"] = np.asarray(eval_batch["lens"])
+    arrays["losses"] = np.asarray(losses)
+    np.savez_compressed(os.path.join(OUT_DIR, "tiny_trained.npz"), **arrays)
+    with open(os.path.join(OUT_DIR, "tiny_trained_decode.json"), "w") as f:
+        json.dump(
+            {
+                "test_cfg": test_cfg,
+                "steps": steps,
+                "batch_size_cfg": batch_size_cfg,
+                "gt_segments": eval_batch["gt_segments"],
+                "results": decode_golden,
+            },
+            f,
+        )
+
+
 def make_text_binning_goldens():
     """Per-second transcript binning golden, captured by EXECUTING the
     reference's extract_text_features (text_feature_extractor.py:313-391)
@@ -423,3 +582,4 @@ if __name__ == "__main__":
     make_metric_goldens()
     make_model_goldens()
     make_text_binning_goldens()
+    make_trained_goldens()
