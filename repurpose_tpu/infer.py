@@ -50,17 +50,27 @@ class InferencePipeline:
     the jit cache.
     """
 
-    def __init__(self, cfg: ModelConfig, params, test_cfg: TestConfig):
+    def __init__(self, cfg: ModelConfig, params, test_cfg: TestConfig, mesh=None):
+        """``mesh``: pass the training mesh to keep ``attention_impl="ring"``
+        live at evaluation — batches are then staged seq-sharded and the whole
+        forward+decode runs sequence-parallel (requires batch % data-axis == 0
+        and bucket % seq-axis == 0). Without a mesh (or with seq=1), ring
+        falls back to gather attention on replicated batches — same values."""
         import dataclasses
 
+        self._mesh = None
         if cfg.attention_impl == "ring":
-            # Inference batches are replicated, not seq-sharded; gather
-            # attention computes the same values.
-            cfg = dataclasses.replace(cfg, attention_impl="auto")
+            seq_n = 0
+            if mesh is not None:
+                seq_n = dict(zip(mesh.axis_names, mesh.devices.shape)).get("seq", 1)
+            if seq_n > 1:
+                self._mesh = mesh
+            else:
+                cfg = dataclasses.replace(cfg, attention_impl="auto")
         self.cfg = cfg
         self.test_cfg = test_cfg
         self.params = params
-        model = build_model(cfg)
+        model = build_model(cfg, mesh=self._mesh)
 
         @jax.jit
         def _forward_and_decode(params, visual, audio, text, mask, durations):
@@ -72,6 +82,26 @@ class InferencePipeline:
             )
 
         self._fn = _forward_and_decode
+
+    def _stage(self, visual, audio, text, mask, durations):
+        """Host arrays -> device. Seq-sharded placement when ring is live."""
+        mask = jnp.asarray(mask, bool)
+        durations = jnp.asarray(durations, jnp.int32)
+        if self._mesh is None:
+            return (
+                jnp.asarray(visual), jnp.asarray(audio), jnp.asarray(text),
+                mask, durations,
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        feat = NamedSharding(self._mesh, P("data", "seq", None))
+        return (
+            jax.device_put(jnp.asarray(visual), feat),
+            jax.device_put(jnp.asarray(audio), feat),
+            jax.device_put(jnp.asarray(text), feat),
+            jax.device_put(mask, NamedSharding(self._mesh, P("data", "seq"))),
+            jax.device_put(durations, NamedSharding(self._mesh, P("data"))),
+        )
 
     def score_batch(
         self,
@@ -89,11 +119,7 @@ class InferencePipeline:
         instance params (e.g. the current train state during eval)."""
         res: DecodeResult = self._fn(
             params if params is not None else self.params,
-            jnp.asarray(visual),
-            jnp.asarray(audio),
-            jnp.asarray(text),
-            jnp.asarray(mask, bool),
-            jnp.asarray(durations, jnp.int32),
+            *self._stage(visual, audio, text, mask, durations),
         )
         return _unpack(res, durations, video_ids)
 
@@ -110,11 +136,7 @@ class InferencePipeline:
 
         def dispatch(item):
             visual, audio, text, mask, durations, video_ids = item
-            res = self._fn(
-                p,
-                jnp.asarray(visual), jnp.asarray(audio), jnp.asarray(text),
-                jnp.asarray(mask, bool), jnp.asarray(durations, jnp.int32),
-            )
+            res = self._fn(p, *self._stage(visual, audio, text, mask, durations))
             return res, list(durations), video_ids
 
         for item in batches:

@@ -110,17 +110,28 @@ class Trainer:
 
         self.checkpointer = Checkpointer(workdir + "/ckpt")
         self.metrics = MetricLogger(workdir, use_wandb=use_wandb, config=cfg.to_dict())
-        # Eval runs on replicated single-program batches, so ring attention
-        # (which needs seq-sharded inputs) falls back to "auto" there — same
-        # math, different partitioning.
+        # Ring attention stays live at eval (seq-sharded batches through the
+        # same mesh) when shapes divide the mesh axes and eval is not the
+        # per-process multi-host path; otherwise it falls back to gather
+        # attention on replicated batches — same math, different partitioning.
+        axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        ring_eval = (
+            self._seq_sharded
+            and jax.process_count() == 1
+            and tc.batch_size % axis.get("data", 1) == 0
+            and all(b % axis.get("seq", 1) == 0 for b in tc.buckets)
+        )
+        keep_impl = cfg.model.attention_impl != "ring" or ring_eval
         eval_model_cfg = dataclasses.replace(
             cfg.model, dropout=0.0,
-            attention_impl="auto" if cfg.model.attention_impl == "ring"
-            else cfg.model.attention_impl,
+            attention_impl=cfg.model.attention_impl if keep_impl else "auto",
         )
         # params=None: the initial params get DONATED by the first train
         # step; evaluate() always passes the live ones explicitly.
-        self.pipeline = InferencePipeline(eval_model_cfg, None, cfg.test_cfg)
+        self.pipeline = InferencePipeline(
+            eval_model_cfg, None, cfg.test_cfg,
+            mesh=self.mesh if ring_eval else None,
+        )
         from repurpose_tpu.models import build_model
 
         _fwd_model = build_model(dataclasses.replace(eval_model_cfg, dropout=cfg.model.dropout))
