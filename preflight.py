@@ -78,6 +78,36 @@ def main() -> int:
         assert loss > 0 and loss < 1e9
         return f"loss={loss:.2f}"
 
+    @check("HBM capacity model")
+    def _capacity():
+        """Memory-requirement model (reference detect_gpu_setup.py:192-205):
+        analytic per-(bucket, batch) fit table for the FLAGSHIP train step
+        and the max safe bucket — printed before any multi-minute compile."""
+        from repurpose_tpu.config import ModelConfig, TrainConfig
+        from repurpose_tpu.utils.capacity import (
+            capacity_table,
+            hbm_bytes_per_device,
+            max_safe_bucket,
+        )
+
+        mc = ModelConfig()
+        tc = TrainConfig()
+        hbm = hbm_bytes_per_device()
+        print(f"  HBM/device: {hbm/1e9:.1f} GB (flagship, batch {tc.batch_size})")
+        for row in capacity_table(mc, tc.batch_size, tc.buckets, hbm):
+            print(
+                f"    bucket {row['bucket']:>5}: est {row['est_gb']:>6.2f} GB "
+                f"-> {'fits' if row['fits'] else 'DOES NOT FIT'}"
+            )
+        best = max_safe_bucket(mc, tc.batch_size, hbm)
+        remat_best = max_safe_bucket(
+            __import__("dataclasses").replace(mc, remat=True), tc.batch_size, hbm
+        )
+        print(
+            f"    max safe bucket: {best} (remat=true extends to {remat_best})"
+        )
+        return f"max_bucket={best} remat_max={remat_best}"
+
     if args.full:
 
         @check("flagship forward compile")
@@ -87,6 +117,14 @@ def main() -> int:
             fn, fargs = g.entry()
             out = jax.jit(fn)(*fargs)
             return f"out={[tuple(o.shape) for o in out]}"
+
+        @check("flagship compiled memory (bucket 2048)")
+        def _compiled_mem():
+            from repurpose_tpu.config import ModelConfig, TrainConfig
+            from repurpose_tpu.utils.capacity import compiled_memory
+
+            mem = compiled_memory(ModelConfig(), TrainConfig(), 2048)
+            return f"XLA total {mem['total_bytes']/1e9:.2f} GB (temp {mem['temp_bytes']/1e9:.2f})"
 
     print("\n=== preflight summary ===")
     ok = True
