@@ -114,3 +114,134 @@ def test_clip_export(tmp_path):
     assert json.load(open(path))
     cmds = ffmpeg_cut_commands(clips, "videos", "out")
     assert len(cmds) == 2 and "vidA_r00.mp4" in cmds[0] and "-c copy" in cmds[0]
+
+
+# -- reference-parity per-dimension analyses (round 2) --------------------------
+
+
+def _correlated_streams(rng, t=200, shift=0):
+    """Three streams sharing a latent signal in their first dims; ``shift``
+    delays the audio/text copies."""
+    latent = rng.normal(0, 1, t + abs(shift))
+    mk = lambda d: rng.normal(0, 0.3, (t, d))
+    vis, aud, txt = mk(16), mk(24), mk(8)
+    vis[:, :4] += latent[:t, None]
+    aud[:, :4] += latent[shift : t + shift, None]
+    txt[:, :2] += latent[shift : t + shift, None]
+    return {"visual": vis, "audio": aud, "text": txt}
+
+
+def test_dimension_correlation_pearson_and_spearman(rng):
+    from repurpose_tpu.utils.analysis import dimension_correlation
+
+    s = _correlated_streams(rng)
+    for method in ("pearson", "spearman"):
+        corr = dimension_correlation(s["visual"], s["audio"], method=method)
+        noise = dimension_correlation(
+            rng.normal(0, 1, (200, 16)), rng.normal(0, 1, (200, 24)), method=method
+        )
+        assert corr["mean_abs_corr"] > noise["mean_abs_corr"]
+        assert corr["significant_frac"] > noise["significant_frac"]
+        assert corr["n_pairs"] == 100  # first 10x10 dims (reference cap)
+
+
+def test_temporal_correlation_peaks_at_zero(rng):
+    from repurpose_tpu.utils.analysis import temporal_correlation
+
+    res = temporal_correlation(_correlated_streams(rng), max_offset=5)
+    assert res["offsets"] == list(range(-5, 6))
+    assert all(res["peak_at_zero"].values()), res["peak_at_zero"]
+
+
+def test_temporal_correlation_detects_shift(rng):
+    from repurpose_tpu.utils.analysis import temporal_correlation
+
+    res = temporal_correlation(_correlated_streams(rng, shift=3), max_offset=5)
+    va = res["pairs"]["visual_audio"]
+    best = res["offsets"][int(np.argmax(va))]
+    assert abs(best) == 3  # latent delayed by 3s shows up in the offset sweep
+    assert not res["peak_at_zero"]["visual_audio"]
+
+
+def test_highlight_background_correlation(rng):
+    from repurpose_tpu.utils.analysis import highlight_background_correlation
+
+    t = 240
+    labels = np.zeros(t)
+    labels[40:120] = 1  # 80 highlight seconds
+    latent = rng.normal(0, 1, t)
+    s = {
+        "visual": rng.normal(0, 0.3, (t, 16)),
+        "audio": rng.normal(0, 0.3, (t, 24)),
+        "text": rng.normal(0, 0.3, (t, 8)),
+    }
+    hl = labels.astype(bool)  # correlate only inside highlights
+    for k, d in (("visual", 4), ("audio", 4), ("text", 2)):
+        s[k][hl, :d] += latent[hl, None]
+    res = highlight_background_correlation(s, labels)
+    assert set(res) == {"highlight", "background"}
+    for pair in res["highlight"]:
+        assert res["highlight"][pair] > res["background"][pair]
+
+
+def test_label_cross_correlation_peak(rng):
+    from repurpose_tpu.utils.analysis import label_cross_correlation
+
+    t = 300
+    labels = (rng.uniform(size=t) < 0.3).astype(int)
+    s = {
+        "visual": rng.normal(0, 1, (t, 16)) + 2.0 * labels[:, None],
+        "audio": rng.normal(0, 1, (t, 24)),
+        "text": rng.normal(0, 1, (t, 8)),
+    }
+    res = label_cross_correlation(s, labels, max_lag=20)
+    assert res["visual"]["peak_lag"] == 0
+    assert res["visual"]["peak_correlation"] > 0.5
+    assert res["visual"]["lr_score"] > 0.8
+    assert res["combined"]["peak_lag"] == 0
+    # too few positives -> None (reference guard, :236-237)
+    assert label_cross_correlation(s, np.zeros(t, int)) is None
+
+
+def test_feature_label_analysis_tsne(rng):
+    from repurpose_tpu.utils.analysis import feature_label_analysis
+
+    x = rng.normal(0, 1, (80, 12))
+    labels = (rng.uniform(size=80) < 0.4).astype(int)
+    x[labels == 1, :3] += 2.0
+    res = feature_label_analysis(x, labels, method="tsne")
+    assert res["projection"].shape == (80, 3)
+    assert res["method"] == "tsne"
+    # umap not installed in this image: must fall back to PCA, not raise
+    res2 = feature_label_analysis(x, labels, method="umap")
+    assert res2["projection"].shape[0] == 80
+
+
+def test_write_report_artifact(tmp_path, rng):
+    from repurpose_tpu.utils.analysis import (
+        highlight_background_correlation,
+        label_cross_correlation,
+        temporal_correlation,
+        write_report,
+    )
+
+    s = _correlated_streams(rng)
+    labels = (rng.uniform(size=200) < 0.3).astype(int)
+    all_results = {
+        "vid0": {
+            "temporal": temporal_correlation(s, max_offset=3),
+            "highlight_background": highlight_background_correlation(s, labels),
+            "label_regression": label_cross_correlation(s, labels),
+        }
+    }
+    path = write_report(all_results, str(tmp_path / "report.txt"))
+    text = open(path).read()
+    for section in (
+        "MODALITY CORRELATION ANALYSIS REPORT",
+        "TEMPORAL CORRELATION",
+        "HIGHLIGHT VS BACKGROUND",
+        "LABEL CROSS-CORRELATION",
+        "ASSESSMENT",
+    ):
+        assert section in text
+    assert "visual_audio" in text
