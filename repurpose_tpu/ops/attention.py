@@ -58,9 +58,14 @@ def mha_xla(
 
 def select_attention_impl(impl: str, seq_len: int, precision: str = "default") -> Callable:
     """Resolve "auto"/"xla"/"pallas"/"pallas_full" to a callable
-    (q, k, v, key_valid) -> out. "pallas" uses the fused forward with an
-    XLA-recompute backward (fastest measured training config); "pallas_full"
-    also uses the fused Pallas backward."""
+    (q, k, v, key_valid) -> out.
+
+    "auto" and "pallas_full" use the fused Pallas forward AND backward —
+    measured 1.57x the XLA-recompute backward for the flagship train step at
+    T=2048 (133.8 vs 210.3 ms, v5e, chained back-to-back; round 1 called them
+    par, but that measurement sat on this box's RPC noise floor).
+    "pallas" keeps the fused forward with the XLA-recompute backward as an
+    escape hatch."""
     if impl != "xla":
         on_tpu = jax.default_backend() == "tpu"
         if impl in ("pallas", "pallas_full") or (
@@ -68,6 +73,6 @@ def select_attention_impl(impl: str, seq_len: int, precision: str = "default") -
         ):
             from repurpose_tpu.ops.flash_attention import mha_pallas
 
-            backward = "pallas" if impl == "pallas_full" else "xla"
+            backward = "xla" if impl == "pallas" else "pallas"
             return functools.partial(mha_pallas, backward=backward)
     return functools.partial(mha_xla, precision=precision)
