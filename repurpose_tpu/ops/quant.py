@@ -12,11 +12,16 @@ straight-through estimator needed for training is out of scope). Accuracy is
 validated against the fp32 path in tests; expect ~1e-2-level logit deltas,
 comparable to bf16 activations.
 
-STATUS: experimental and currently SLOWER than bf16 on v5e (50.7 vs 33.6
-ms/batch for the flagship at T=2048) — the per-call dynamic quantization
-(abs-max reductions + round/clip in fp32) outweighs the int8 MXU gain.
-Making it win requires pre-quantized weights and a fused activation-quantize
-Pallas kernel (ROADMAP.md).
+STATUS (round-2 measurements, chained on-device so the tunnel's RPC floor is
+out of the numbers — round 1's "1.5x slower" was that floor, not the op):
+- T=2048 batch 8: 29.98 ms vs bf16 29.34 ms — parity (the forward is
+  attention-bound there; attention is not quantized).
+- T=256: 2.78 vs 2.96 ms (1.06x faster); T=512: 5.32 vs 5.50 ms (1.03x) —
+  where the Dense matmuls dominate, int8 wins modestly.
+The dynamic-quantize overhead is NOT the limiter (weight quantize is
+O(K*N) ~= matmul/2048; activation quantize O(M*K) ~= matmul/N): the gap to
+the MXU's nominal 2x int8 rate sits in XLA's int8 dot lowering on v5e. A
+native-int8 Pallas matmul kernel is the remaining lever (ROADMAP.md).
 """
 
 from __future__ import annotations

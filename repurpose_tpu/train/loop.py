@@ -59,6 +59,7 @@ class Trainer:
         mesh=None,
         use_wandb: bool = False,
         self_check: bool = False,
+        async_checkpoints: bool = False,
     ):
         self.cfg = cfg
         self.workdir = workdir
@@ -108,7 +109,7 @@ class Trainer:
 
         self._layer_names = kernel_layer_names(state.params)
 
-        self.checkpointer = Checkpointer(workdir + "/ckpt")
+        self.checkpointer = Checkpointer(workdir + "/ckpt", async_save=async_checkpoints)
         self.metrics = MetricLogger(workdir, use_wandb=use_wandb, config=cfg.to_dict())
         # Ring attention stays live at eval (seq-sharded batches through the
         # same mesh) when shapes divide the mesh axes and eval is not the
@@ -437,3 +438,51 @@ class Trainer:
     def close(self) -> None:
         self.metrics.close()
         self.checkpointer.close()
+
+
+def fit_with_auto_resume(
+    make_trainer,
+    epochs: int | None = None,
+    max_restarts: int = 3,
+    resume_first: bool = False,
+) -> dict:
+    """Elastic supervision: run ``fit()``; on an unexpected crash, rebuild the
+    Trainer via ``make_trainer()``, restore the latest checkpoint, and
+    continue — up to ``max_restarts`` times (the in-process half of elastic
+    training; process-level kills are covered by re-running the same command,
+    which hits the identical resume path).
+
+    Deliberately NOT retried:
+    - ``FloatingPointError`` (the NaN guard): resuming deterministically
+      replays the divergence;
+    - SIGTERM preemption: fit() already checkpointed and returned
+      ``{"preempted": True}`` — exit cleanly so the scheduler reschedules;
+    - ``KeyboardInterrupt``.
+    """
+    restarts = 0
+    trainer = make_trainer()
+    if resume_first:
+        trainer.resume()
+    while True:
+        try:
+            summary = trainer.fit(epochs=epochs)
+            summary["restarts"] = restarts
+            trainer.close()
+            return summary
+        except (FloatingPointError, KeyboardInterrupt):
+            trainer.close()
+            raise
+        except Exception as e:
+            restarts += 1
+            logger.warning(
+                "training crashed (%s: %s); auto-resume %d/%d",
+                type(e).__name__, e, restarts, max_restarts,
+            )
+            try:
+                trainer.close()
+            except Exception:
+                pass
+            if restarts > max_restarts:
+                raise
+            trainer = make_trainer()
+            trainer.resume()

@@ -48,3 +48,51 @@ def test_collate_content_roundtrip():
     np.testing.assert_array_equal(batch.visual[0, :51], s["visual"])
     np.testing.assert_array_equal(batch.labels[0, :51], s["labels"])
     np.testing.assert_array_equal(batch.segments[0, :51], s["segments"])
+
+
+# -- profile-guided bucket selection (round 2) -----------------------------------
+
+
+def test_suggest_buckets_optimal_simple():
+    from repurpose_tpu.data.buckets import padding_waste, suggest_buckets
+
+    # two tight clusters: the optimal 2-bucket set covers each at its
+    # align-rounded top
+    lengths = [100] * 50 + [1000] * 50
+    buckets = suggest_buckets(lengths, n_buckets=2, align=128)
+    assert buckets == (128, 1024)
+    # one bucket must clamp to the max
+    assert suggest_buckets(lengths, n_buckets=1, align=128) == (1024,)
+    # more buckets never increase waste
+    w2 = padding_waste(lengths, suggest_buckets(lengths, 2))
+    w3 = padding_waste(lengths, suggest_buckets(lengths, 3))
+    assert w3 <= w2
+
+
+def test_suggest_buckets_beats_default_on_skewed_corpus(rng):
+    from repurpose_tpu.data.buckets import padding_waste, suggest_buckets
+
+    # skewed-long corpus: most videos ~300-700s, a tail up to 2000s
+    lengths = np.concatenate([
+        rng.integers(280, 700, 900), rng.integers(700, 2000, 100)
+    ]).tolist()
+    suggested = suggest_buckets(lengths, n_buckets=4)
+    default = (256, 512, 1024, 2048)
+    assert padding_waste(lengths, suggested) < padding_waste(lengths, default)
+    assert all(b % 128 == 0 for b in suggested)
+    assert max(suggested) >= max(lengths)  # longest video not truncated
+
+
+def test_lengths_from_label_json(tmp_path):
+    import json
+
+    from repurpose_tpu.data.buckets import lengths_from_label_json
+
+    entries = [
+        {"timeRangeOffset": [0, 266.0]},
+        {"timeRange": [10.0, 110.0]},
+    ]
+    path = tmp_path / "labels.json"
+    path.write_text(json.dumps(entries))
+    # int(end-start)+1, the dataset's label-list length quirk
+    assert lengths_from_label_json(str(path)) == [267, 101]

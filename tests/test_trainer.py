@@ -92,3 +92,72 @@ def test_evaluate_with_debug_viz(run):
     assert len(pngs) >= 1 and len(logs) == 1
     summary = json.load(open(logs[0]))
     assert summary["n_samples"] == 2
+
+
+def test_auto_resume_recovers_from_crash(tmp_path):
+    """Elastic supervision: a crash mid-epoch-2 rebuilds the trainer from the
+    epoch-1 checkpoint and training completes (restarts counted)."""
+    import dataclasses
+
+    from repurpose_tpu.train.loop import Trainer, fit_with_auto_resume
+
+    cfg = dataclasses.replace(
+        CFG, train=dataclasses.replace(CFG.train, epochs=3, eval_freq=100,
+                                       intra_epoch_eval_freq=0),
+    )
+    workdir = str(tmp_path / "elastic")
+    train_ds = SyntheticDataset([100, 90, 110, 95], cfg.model, seed=1)
+    trainers, calls = [], {"n": 0}
+
+    def make_trainer():
+        calls["n"] += 1
+        t = Trainer(cfg, workdir, train_ds)
+        trainers.append(t)
+        if calls["n"] == 1:  # sabotage only the first incarnation
+            orig, count = t.train_step, {"i": 0}
+
+            def sabotaged(state, batch, rng):
+                count["i"] += 1
+                if count["i"] == 3:  # first step of epoch 2
+                    raise RuntimeError("injected crash")
+                return orig(state, batch, rng)
+
+            t.train_step = sabotaged
+        return t
+
+    summary = fit_with_auto_resume(make_trainer, max_restarts=2)
+    assert summary["restarts"] == 1 and calls["n"] == 2
+    # resumed from the epoch-1 checkpoint, then finished epochs 2-3:
+    # 3 epochs x 2 steps/epoch
+    assert int(trainers[1].state.step) == 6
+    assert trainers[1].start_epoch == 3
+
+
+def test_auto_resume_does_not_retry_nan(tmp_path):
+    """The NaN guard is deterministic divergence — never retried."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    from repurpose_tpu.train.loop import Trainer, fit_with_auto_resume
+
+    cfg = dataclasses.replace(
+        CFG, train=dataclasses.replace(CFG.train, epochs=1, eval_freq=100,
+                                       intra_epoch_eval_freq=0),
+    )
+    train_ds = SyntheticDataset([100, 90], cfg.model, seed=1)
+    calls = {"n": 0}
+
+    def make_trainer():
+        calls["n"] += 1
+        t = Trainer(cfg, str(tmp_path / "nan"), train_ds)
+
+        def poisoned(state, batch, rng):
+            raise FloatingPointError("nonfinite")
+
+        t.train_step = poisoned
+        return t
+
+    with _pytest.raises(FloatingPointError):
+        fit_with_auto_resume(make_trainer, max_restarts=3)
+    assert calls["n"] == 1

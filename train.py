@@ -54,6 +54,11 @@ def main() -> None:
                    help="capture a jax.profiler trace of the first epoch")
     p.add_argument("--debug-viz", action="store_true",
                    help="render prediction figures at each eval")
+    p.add_argument("--auto-resume", type=int, default=0, metavar="N",
+                   help="elastic supervision: on a crash, rebuild the trainer "
+                        "from the latest checkpoint up to N times")
+    p.add_argument("--async-ckpt", action="store_true",
+                   help="overlap Orbax checkpoint writes with training")
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args()
 
@@ -75,13 +80,26 @@ def main() -> None:
         f.write(cfg.to_json())
 
     train_ds, val_ds, test_ds = build_datasets(cfg, args.synthetic)
-    from repurpose_tpu.train.loop import Trainer
+    from repurpose_tpu.train.loop import Trainer, fit_with_auto_resume
 
-    trainer = Trainer(
-        cfg, workdir, train_ds, val_ds, test_ds,
-        use_wandb=args.wandb, self_check=True,
-    )
-    trainer.debug_viz = args.debug_viz
+    def make_trainer():
+        t = Trainer(
+            cfg, workdir, train_ds, val_ds, test_ds,
+            use_wandb=args.wandb, self_check=True,
+            async_checkpoints=args.async_ckpt,
+        )
+        t.debug_viz = args.debug_viz
+        return t
+
+    if args.auto_resume:
+        summary = fit_with_auto_resume(
+            make_trainer, epochs=args.epochs,
+            max_restarts=args.auto_resume, resume_first=args.resume,
+        )
+        print("training done:", summary)
+        return
+
+    trainer = make_trainer()
     if args.resume:
         trainer.resume()
     if args.profile:
