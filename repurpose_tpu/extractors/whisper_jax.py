@@ -1,0 +1,684 @@
+"""Whisper ASR on TPU, in Flax — encoder, KV-cached decoder, timestamp-aware
+greedy decoding, log-mel frontend, and an HF weight converter.
+
+The reference transcribes host-side with WhisperX/whisper on GPU
+(preprocessing/text_feature_extractor.py:129-160) and this repo's default ASR
+path does the same (preprocessing/extract.py). This module is the ROADMAP
+"Whisper on TPU" capability: the full transcription loop — 30 s chunk
+log-mels, encoder, and a batched greedy decode with OpenAI's timestamp rules
+— runs as jitted TPU programs, so the all-TPU preprocessing pipeline needs no
+torch at inference time. Weights convert from any HF Whisper checkpoint
+(openai/whisper-{tiny..large}); token ids default to the multilingual vocab
+layout.
+
+TPU-first design notes:
+- the decoder decodes ALL 30 s chunks of a video as one batch (the reference
+  decodes sequentially, one window at a time);
+- the greedy loop is a single `lax.scan` over static `max_target_positions`
+  steps with per-row done flags and a preallocated KV cache — one compiled
+  program per (batch, prompt-length) shape, no dynamic shapes;
+- timestamp logit rules (pairing, monotonicity, the sum-probability rule,
+  the initial-timestamp cap) are vectorized over the batch inside the scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Mapping, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from repurpose_tpu.extractors.audio_frontend import mel_filterbank, stft_power
+
+Array = jax.Array
+
+SAMPLE_RATE = 16000
+N_FFT = 400
+HOP = 160
+N_MELS = 80
+CHUNK_S = 30
+N_SAMPLES = SAMPLE_RATE * CHUNK_S  # 480_000
+N_FRAMES = N_SAMPLES // HOP  # 3000
+TIME_PER_TOKEN = 0.02  # one timestamp token = 20 ms
+
+
+@dataclass(frozen=True)
+class WhisperJaxConfig:
+    """Dims follow HF WhisperConfig; defaults are whisper-base. Token ids are
+    the multilingual layout (vocab 51865); English-only checkpoints override.
+    """
+
+    vocab_size: int = 51865
+    n_mels: int = N_MELS
+    d_model: int = 512
+    enc_layers: int = 6
+    dec_layers: int = 6
+    heads: int = 8
+    d_ff: int = 2048
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    # special tokens (multilingual vocab layout)
+    eot: int = 50257
+    sot: int = 50258
+    lang_begin: int = 50259  # <|en|>; 99 language tokens follow
+    n_langs: int = 99
+    translate: int = 50358
+    transcribe: int = 50359
+    no_speech: int = 50362
+    no_timestamps: int = 50363
+    timestamp_begin: int = 50364  # <|0.00|>
+    max_initial_timestamp_index: int = 50  # 1.0 s (openai decoding default)
+
+    @property
+    def d_head(self) -> int:
+        return self.d_model // self.heads
+
+
+def _attn(q: Array, k: Array, v: Array, bias: Array | None, heads: int) -> Array:
+    """[B,T,d] q/k/v (already projected) -> [B,Tq,d]; HF Whisper scales q by
+    d_head**-0.5 at projection time, so no scale here."""
+    b, tq, d = q.shape
+    dh = d // heads
+    qh = q.reshape(b, tq, heads, dh)
+    kh = k.reshape(b, k.shape[1], heads, dh)
+    vh = v.reshape(b, v.shape[1], heads, dh)
+    s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    if bias is not None:
+        s = s + bias
+    w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, tq, d)
+
+
+class _EncLayer(nn.Module):
+    cfg: WhisperJaxConfig
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cfg = self.cfg
+        d = cfg.d_model
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_ln")(x).astype(x.dtype)
+        q = nn.Dense(d, dtype=x.dtype, name="q")(h) * (cfg.d_head**-0.5)
+        k = nn.Dense(d, use_bias=False, dtype=x.dtype, name="k")(h)
+        v = nn.Dense(d, dtype=x.dtype, name="v")(h)
+        x = x + nn.Dense(d, dtype=x.dtype, name="attn_out")(
+            _attn(q, k, v, None, cfg.heads)
+        )
+        h = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")(x).astype(x.dtype)
+        h = nn.Dense(cfg.d_ff, dtype=x.dtype, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        return x + nn.Dense(d, dtype=x.dtype, name="fc2")(h)
+
+
+class WhisperEncoder(nn.Module):
+    """log-mel [B, T=3000, n_mels] -> audio states [B, 1500, d]."""
+
+    cfg: WhisperJaxConfig = WhisperJaxConfig()
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, mel: Array) -> Array:
+        cfg = self.cfg
+        dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        x = mel.astype(dtype)
+        x = nn.Conv(cfg.d_model, (3,), padding=1, dtype=dtype, name="conv1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        x = nn.Conv(cfg.d_model, (3,), strides=2, padding=1, dtype=dtype, name="conv2")(x)
+        x = jax.nn.gelu(x, approximate=False)  # [B, 1500, d]
+        pos = self.param(
+            "pos_embed",
+            lambda _key, shape: jnp.asarray(_sinusoids(*shape)),
+            (cfg.max_source_positions, cfg.d_model),
+        )
+        x = x + pos[: x.shape[1]].astype(dtype)
+        for i in range(cfg.enc_layers):
+            x = _EncLayer(cfg, name=f"layer_{i}")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")(x).astype(dtype)
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed encoder position signal (openai whisper/model.py)."""
+    log_timescale = np.log(10000.0) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+class _DecLayer(nn.Module):
+    cfg: WhisperJaxConfig
+
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.d_model
+        self.self_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_ln")
+        self.sq = nn.Dense(d, name="sq")
+        self.sk = nn.Dense(d, use_bias=False, name="sk")
+        self.sv = nn.Dense(d, name="sv")
+        self.s_out = nn.Dense(d, name="s_out")
+        self.cross_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="cross_ln")
+        self.cq = nn.Dense(d, name="cq")
+        self.ck = nn.Dense(d, use_bias=False, name="ck")
+        self.cv = nn.Dense(d, name="cv")
+        self.c_out = nn.Dense(d, name="c_out")
+        self.final_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")
+        self.fc1 = nn.Dense(cfg.d_ff, name="fc1")
+        self.fc2 = nn.Dense(d, name="fc2")
+
+    def cross_kv(self, enc: Array) -> tuple[Array, Array]:
+        return self.ck(enc), self.cv(enc)
+
+    def __call__(self, x: Array, enc: Array, causal_bias: Array) -> Array:
+        cfg = self.cfg
+        h = self.self_ln(x).astype(x.dtype)
+        q = self.sq(h) * (cfg.d_head**-0.5)
+        x = x + self.s_out(_attn(q, self.sk(h), self.sv(h), causal_bias, cfg.heads))
+        h = self.cross_ln(x).astype(x.dtype)
+        q = self.cq(h) * (cfg.d_head**-0.5)
+        ck, cv = self.cross_kv(enc)
+        x = x + self.c_out(_attn(q, ck, cv, None, cfg.heads))
+        h = self.final_ln(x).astype(x.dtype)
+        return x + self.fc2(jax.nn.gelu(self.fc1(h), approximate=False))
+
+    def step(
+        self,
+        x: Array,  # [B, 1, d] current position's hidden state
+        pos: Array,  # scalar int32
+        k_cache: Array,  # [B, L, d]
+        v_cache: Array,
+        ck: Array,  # [B, S, d] precomputed cross K
+        cv: Array,
+    ) -> tuple[Array, Array, Array]:
+        cfg = self.cfg
+        h = self.self_ln(x).astype(x.dtype)
+        q = self.sq(h) * (cfg.d_head**-0.5)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, self.sk(h), (0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, self.sv(h), (0, pos, 0))
+        # positions > pos hold zeros; mask them (also masks nothing at pos=L-1)
+        valid = jnp.arange(k_cache.shape[1])[None, None, None, :] <= pos
+        bias = jnp.where(valid, 0.0, -1e9).astype(jnp.float32)
+        x = x + self.s_out(_attn(q, k_cache, v_cache, bias, cfg.heads))
+        h = self.cross_ln(x).astype(x.dtype)
+        q = self.cq(h) * (cfg.d_head**-0.5)
+        x = x + self.c_out(_attn(q, ck, cv, None, cfg.heads))
+        h = self.final_ln(x).astype(x.dtype)
+        return x + self.fc2(jax.nn.gelu(self.fc1(h), approximate=False)), k_cache, v_cache
+
+
+class WhisperDecoder(nn.Module):
+    """Teacher-forced forward (__call__) plus cached single-step decode
+    (precompute_cross / step) for the greedy loop."""
+
+    cfg: WhisperJaxConfig = WhisperJaxConfig()
+    compute_dtype: str = "float32"
+
+    def setup(self):
+        cfg = self.cfg
+        self.tok_embed = self.param(
+            "tok_embed", nn.initializers.normal(0.02), (cfg.vocab_size, cfg.d_model),
+            jnp.float32,
+        )
+        self.pos_embed = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (cfg.max_target_positions, cfg.d_model), jnp.float32,
+        )
+        self.layers = [_DecLayer(cfg, name=f"layer_{i}") for i in range(cfg.dec_layers)]
+        self.ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def __call__(self, tokens: Array, enc: Array) -> Array:
+        """tokens [B, L] int32, enc [B, S, d] -> logits [B, L, vocab]."""
+        b, l = tokens.shape
+        x = (self.tok_embed[tokens] + self.pos_embed[:l][None]).astype(self._dtype)
+        causal = jnp.tril(jnp.ones((l, l), bool))
+        bias = jnp.where(causal, 0.0, -1e9).astype(jnp.float32)[None, None]
+        enc = enc.astype(self._dtype)
+        for layer in self.layers:
+            x = layer(x, enc, bias)
+        x = self.ln(x)
+        return jnp.einsum(
+            "bld,vd->blv", x, self.tok_embed, preferred_element_type=jnp.float32
+        )
+
+    def precompute_cross(self, enc: Array) -> list[tuple[Array, Array]]:
+        enc = enc.astype(self._dtype)
+        return [layer.cross_kv(enc) for layer in self.layers]
+
+    def step(
+        self, token: Array, pos: Array, self_kv: tuple[Array, Array], cross_kv
+    ) -> tuple[Array, tuple[Array, Array]]:
+        """token [B] int32 at position ``pos``; self_kv k/v [B, layers, L, d].
+        Returns (logits [B, vocab], updated self_kv)."""
+        k_all, v_all = self_kv
+        x = (self.tok_embed[token] + self.pos_embed[pos])[:, None, :].astype(self._dtype)
+        new_k, new_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, k, v = layer.step(
+                x, pos, k_all[:, i], v_all[:, i], cross_kv[i][0], cross_kv[i][1]
+            )
+            new_k.append(k)
+            new_v.append(v)
+        x = self.ln(x)
+        logits = jnp.einsum(
+            "bld,vd->blv", x, self.tok_embed, preferred_element_type=jnp.float32
+        )[:, 0]
+        return logits, (jnp.stack(new_k, 1), jnp.stack(new_v, 1))
+
+
+# -- timestamp-aware greedy decoding ------------------------------------------------
+
+
+def _suppress_mask(cfg: WhisperJaxConfig) -> np.ndarray:
+    """Tokens never emitted during transcription: specials + language tags
+    (openai SuppressBlank/SuppressTokens cover more vocabulary-specific ids;
+    the structural ones matter for segment extraction)."""
+    m = np.zeros(cfg.vocab_size, bool)
+    ids = [cfg.sot, cfg.translate, cfg.transcribe, cfg.no_speech, cfg.no_timestamps]
+    m[[i for i in ids if i < cfg.vocab_size]] = True
+    m[cfg.lang_begin : min(cfg.lang_begin + cfg.n_langs, cfg.vocab_size)] = True
+    return m
+
+
+def _apply_timestamp_rules(
+    logits: Array,  # [B, V] float32
+    last_tok: Array,  # [B] previous emitted token
+    penult_tok: Array,  # [B] token before that
+    max_ts: Array,  # [B] highest timestamp token emitted so far
+    is_first: Array,  # scalar bool: first sampled position
+    cfg: WhisperJaxConfig,
+    suppress: Array,  # [V] bool
+) -> Array:
+    """OpenAI ApplyTimestampRules (whisper/decoding.py), vectorized."""
+    v = cfg.vocab_size
+    ts0 = cfg.timestamp_begin
+    ids = jnp.arange(v)
+    is_ts = ids >= ts0
+    neg = jnp.float32(-1e9)
+
+    logits = jnp.where(suppress[None], neg, logits)
+
+    last_is_ts = last_tok >= ts0
+    penult_is_ts = penult_tok >= ts0
+    # after the first of a timestamp pair: only a timestamp (or EOT) may follow
+    force_ts = last_is_ts & ~penult_is_ts
+    block_text = force_ts[:, None] & ~is_ts[None] & (ids != cfg.eot)[None]
+    # after a completed pair: next must be text (no third timestamp)
+    block_ts_pair = (last_is_ts & penult_is_ts)[:, None] & is_ts[None]
+    # monotonicity: no timestamp below the running max
+    block_ts_low = is_ts[None] & (ids[None] < max_ts[:, None])
+    logits = jnp.where(block_text | block_ts_pair | block_ts_low, neg, logits)
+
+    # first sampled token must be a timestamp <= max_initial_timestamp
+    cap = ts0 + cfg.max_initial_timestamp_index
+    first_block = (~is_ts[None] | (ids[None] > cap)) & (ids != cfg.eot)[None]
+    logits = jnp.where(is_first & first_block, neg, logits)
+
+    # sum-probability rule: if p(any timestamp) > max p(text), force a timestamp
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ts_logp = jax.nn.logsumexp(jnp.where(is_ts[None], logp, neg), axis=-1)
+    max_text = jnp.max(jnp.where(is_ts[None], neg, logp), axis=-1)
+    force = (ts_logp > max_text)[:, None] & ~is_ts[None]
+    return jnp.where(force, neg, logits)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4))
+def greedy_decode(
+    decoder: WhisperDecoder,
+    variables: Mapping[str, Any],
+    enc: Array,  # [B, S, d]
+    prompt: tuple[int, ...],  # same prompt for every row, e.g. (sot, lang, task)
+    with_timestamps: bool = True,
+) -> Array:
+    """Batched greedy decode -> tokens [B, max_target_positions] (prompt
+    included; rows padded with EOT after their end)."""
+    cfg = decoder.cfg
+    b = enc.shape[0]
+    l = cfg.max_target_positions
+    p = len(prompt)
+    prompt_arr = jnp.asarray(prompt, jnp.int32)
+    suppress = jnp.asarray(_suppress_mask(cfg))
+
+    cross_kv = decoder.apply(variables, enc, method=WhisperDecoder.precompute_cross)
+    d = cfg.d_model
+    self_kv = (
+        jnp.zeros((b, cfg.dec_layers, l, d), enc.dtype),
+        jnp.zeros((b, cfg.dec_layers, l, d), enc.dtype),
+    )
+
+    def body(carry, pos):
+        tokens, self_kv, done = carry
+        tok_in = tokens[:, pos]
+        logits, self_kv = decoder.apply(
+            variables, tok_in, pos, self_kv, cross_kv, method=WhisperDecoder.step
+        )
+        if with_timestamps:
+            logits = _apply_timestamp_rules(
+                logits,
+                tokens[:, pos],
+                jnp.where(pos >= 1, tokens[:, jnp.maximum(pos - 1, 0)], cfg.sot),
+                jnp.max(
+                    jnp.where(
+                        (tokens >= cfg.timestamp_begin)
+                        & (jnp.arange(l)[None] <= pos),
+                        tokens,
+                        cfg.timestamp_begin,
+                    ),
+                    axis=1,
+                ),
+                jnp.asarray(pos == p - 1),
+                cfg,
+                suppress,
+            )
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.eot, nxt)
+        done = done | (nxt == cfg.eot)
+        # write the sampled token at pos+1 unless it's still prompt territory
+        in_prompt = pos + 1 < p
+        write = jnp.where(in_prompt, tokens[:, jnp.minimum(pos + 1, l - 1)], nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, write[:, None], (0, pos + 1))
+        return (tokens, self_kv, done), ()
+
+    tokens0 = jnp.full((b, l), cfg.eot, jnp.int32)
+    tokens0 = jax.lax.dynamic_update_slice(
+        tokens0, jnp.tile(prompt_arr[None], (b, 1)), (0, 0)
+    )
+    done0 = jnp.zeros((b,), bool)
+    (tokens, _, _), _ = jax.lax.scan(
+        body, (tokens0, self_kv, done0), jnp.arange(l - 1)
+    )
+    return tokens
+
+
+# -- log-mel frontend ----------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=4)
+def _whisper_mel_fb(n_mels: int = N_MELS) -> np.ndarray:
+    return mel_filterbank(sr=SAMPLE_RATE, n_fft=N_FFT, n_mels=n_mels, fmin=0.0,
+                          fmax=SAMPLE_RATE / 2)
+
+
+@functools.partial(jax.jit, static_argnames=("n_mels",))
+def log_mel_whisper(wave: Array, n_mels: int = N_MELS) -> Array:
+    """[B, 480000] 16 kHz waveform -> [B, 3000, n_mels] Whisper log-mel
+    (openai whisper/audio.py log_mel_spectrogram: log10, per-item dynamic
+    range clamp to 8, (x+4)/4 scaling; last STFT frame dropped)."""
+    power = stft_power(wave, n_fft=N_FFT, hop=HOP)[:, :-1]  # [B, 3000, 201]
+    mel = jnp.einsum("btf,fm->btm", power, jnp.asarray(_whisper_mel_fb(n_mels)))
+    log_spec = jnp.log10(jnp.clip(mel, 1e-10, None))
+    cap = jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0
+    return (jnp.maximum(log_spec, cap) + 4.0) / 4.0
+
+
+# -- weight conversion ----------------------------------------------------------------
+
+
+def convert_hf_whisper(
+    sd: Mapping[str, np.ndarray], cfg: WhisperJaxConfig
+) -> tuple[dict, dict]:
+    """HF WhisperModel/WhisperForConditionalGeneration state dict ->
+    (encoder_params, decoder_params). Accepts keys with or without the
+    leading ``model.``; proj_out is tied to decoder.embed_tokens in every
+    released Whisper, so it is not read."""
+    sd = {k.removeprefix("model."): np.asarray(v) for k, v in sd.items()}
+
+    def lin(name, bias=True):
+        out = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T)}
+        if bias:
+            out["bias"] = sd[f"{name}.bias"]
+        return out
+
+    def ln(name):
+        return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+    def conv(name):
+        # torch Conv1d [out, in, k] -> flax Conv [k, in, out]
+        return {
+            "kernel": np.ascontiguousarray(sd[f"{name}.weight"].transpose(2, 1, 0)),
+            "bias": sd[f"{name}.bias"],
+        }
+
+    enc: dict = {
+        "conv1": conv("encoder.conv1"),
+        "conv2": conv("encoder.conv2"),
+        "pos_embed": sd["encoder.embed_positions.weight"],
+        "ln": ln("encoder.layer_norm"),
+    }
+    for i in range(cfg.enc_layers):
+        p = f"encoder.layers.{i}."
+        enc[f"layer_{i}"] = {
+            "self_ln": ln(f"{p}self_attn_layer_norm"),
+            "q": lin(f"{p}self_attn.q_proj"),
+            "k": lin(f"{p}self_attn.k_proj", bias=False),
+            "v": lin(f"{p}self_attn.v_proj"),
+            "attn_out": lin(f"{p}self_attn.out_proj"),
+            "final_ln": ln(f"{p}final_layer_norm"),
+            "fc1": lin(f"{p}fc1"),
+            "fc2": lin(f"{p}fc2"),
+        }
+
+    dec: dict = {
+        "tok_embed": sd["decoder.embed_tokens.weight"],
+        "pos_embed": sd["decoder.embed_positions.weight"],
+        "ln": ln("decoder.layer_norm"),
+    }
+    for i in range(cfg.dec_layers):
+        p = f"decoder.layers.{i}."
+        dec[f"layer_{i}"] = {
+            "self_ln": ln(f"{p}self_attn_layer_norm"),
+            "sq": lin(f"{p}self_attn.q_proj"),
+            "sk": lin(f"{p}self_attn.k_proj", bias=False),
+            "sv": lin(f"{p}self_attn.v_proj"),
+            "s_out": lin(f"{p}self_attn.out_proj"),
+            "cross_ln": ln(f"{p}encoder_attn_layer_norm"),
+            "cq": lin(f"{p}encoder_attn.q_proj"),
+            "ck": lin(f"{p}encoder_attn.k_proj", bias=False),
+            "cv": lin(f"{p}encoder_attn.v_proj"),
+            "c_out": lin(f"{p}encoder_attn.out_proj"),
+            "final_ln": ln(f"{p}final_layer_norm"),
+            "fc1": lin(f"{p}fc1"),
+            "fc2": lin(f"{p}fc2"),
+        }
+    return enc, dec
+
+
+def config_from_hf(hf_cfg) -> WhisperJaxConfig:
+    """Map an HF WhisperConfig to WhisperJaxConfig (dims + vocab layout).
+
+    The two released vocab layouts (multilingual 51865+, English-only 51864)
+    pin <|endoftext|>; generic HF constructors default eos_token_id to 50256
+    regardless, so the vocab size is the more reliable signal."""
+    vocab = hf_cfg.vocab_size
+    multilingual = vocab >= 51865
+    eot = 50257 if multilingual else 50256
+    sot = eot + 1
+    # both vocabs carry the 99 language tags; specials sit at fixed offsets
+    # from <|startoftranscript|> (openai whisper/tokenizer.py specials list)
+    n_langs = 99
+    no_timestamps = sot + 105
+    return WhisperJaxConfig(
+        vocab_size=vocab,
+        n_mels=hf_cfg.num_mel_bins,
+        d_model=hf_cfg.d_model,
+        enc_layers=hf_cfg.encoder_layers,
+        dec_layers=hf_cfg.decoder_layers,
+        heads=hf_cfg.encoder_attention_heads,
+        d_ff=hf_cfg.encoder_ffn_dim,
+        max_source_positions=hf_cfg.max_source_positions,
+        max_target_positions=hf_cfg.max_target_positions,
+        eot=eot,
+        sot=sot,
+        lang_begin=sot + 1,
+        n_langs=n_langs,
+        translate=sot + 100,
+        transcribe=sot + 101,
+        no_speech=sot + 104,
+        no_timestamps=no_timestamps,
+        timestamp_begin=no_timestamps + 1,
+    )
+
+
+# -- segment extraction + chunked transcription ---------------------------------------
+
+
+def tokens_to_segments(
+    tokens: np.ndarray,  # [L] one row of greedy_decode output (prompt included)
+    cfg: WhisperJaxConfig,
+    decode_text,  # callable: list[int] -> str (tokenizer.decode)
+    offset_s: float = 0.0,
+) -> list[dict]:
+    """<|t0|> text <|t1|> pairs -> [{start, end, text}] (whisper's segment
+    structure, the shape bin_transcript_per_second consumes)."""
+    ts0 = cfg.timestamp_begin
+    segments: list[dict] = []
+    start: float | None = None
+    text_ids: list[int] = []
+    for tok in tokens.tolist():
+        if tok == cfg.eot:
+            break
+        if tok >= ts0:
+            t = (tok - ts0) * TIME_PER_TOKEN + offset_s
+            if start is None:
+                start = t
+            else:
+                text = decode_text(text_ids).strip()
+                if text:
+                    segments.append({"start": start, "end": t, "text": text})
+                start = None
+                text_ids = []
+        elif tok < cfg.eot and start is not None:
+            text_ids.append(tok)
+    if start is not None and text_ids:
+        # unterminated final segment: close at the chunk boundary
+        text = decode_text(text_ids).strip()
+        if text:
+            segments.append(
+                {"start": start, "end": offset_s + CHUNK_S, "text": text}
+            )
+    return segments
+
+
+class WhisperASR:
+    """Host-side orchestration: waveform -> 30 s chunks -> batched TPU
+    encode+decode -> timestamped segments.
+
+    ``tokenizer`` needs only ``decode(ids) -> str``. ``language`` picks the
+    language token (e.g. "en"); HF tokenizers expose the id via
+    convert_tokens_to_ids("<|en|>") — pass ``lang_id`` directly when using a
+    bare vocab."""
+
+    def __init__(
+        self,
+        cfg: WhisperJaxConfig,
+        enc_params,
+        dec_params,
+        tokenizer,
+        lang_id: int | None = None,
+        compute_dtype: str = "float32",
+        max_chunk_batch: int = 16,
+    ):
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.max_chunk_batch = max_chunk_batch
+        self.encoder = WhisperEncoder(cfg, compute_dtype)
+        self.decoder = WhisperDecoder(cfg, compute_dtype)
+        self._enc_vars = {"params": enc_params}
+        self._dec_vars = {"params": dec_params}
+        self._encode = jax.jit(
+            lambda mel: self.encoder.apply(self._enc_vars, mel)
+        )
+        lang = lang_id if lang_id is not None else cfg.lang_begin  # <|en|>
+        self.prompt = (
+            (cfg.sot, lang, cfg.transcribe) if cfg.n_langs else (cfg.sot,)
+        )
+
+    @classmethod
+    def from_hf_dir(
+        cls,
+        path: str,
+        tokenizer=None,
+        lang_id: int | None = None,
+        compute_dtype: str = "bfloat16",
+        max_chunk_batch: int = 16,
+    ) -> "WhisperASR":
+        """Build from a local HF Whisper checkpoint directory
+        (config.json + model.safetensors / pytorch_model.bin [+ tokenizer
+        files]). No network access — mirrors how the reference loads its
+        pretrained ASR weights from a local cache."""
+        import json
+        import os
+
+        from transformers import WhisperConfig
+
+        with open(os.path.join(path, "config.json")) as f:
+            hf_cfg = WhisperConfig(**json.load(f))
+        cfg = config_from_hf(hf_cfg)
+
+        st = os.path.join(path, "model.safetensors")
+        if os.path.exists(st):
+            from safetensors.numpy import load_file
+
+            sd = load_file(st)
+        else:
+            import torch
+
+            sd = {
+                k: v.numpy()
+                for k, v in torch.load(
+                    os.path.join(path, "pytorch_model.bin"), map_location="cpu",
+                    weights_only=True,
+                ).items()
+            }
+        enc_p, dec_p = convert_hf_whisper(sd, cfg)
+        if tokenizer is None:
+            from transformers import WhisperTokenizer
+
+            tokenizer = WhisperTokenizer.from_pretrained(path, local_files_only=True)
+            if lang_id is None:
+                lid = tokenizer.convert_tokens_to_ids("<|en|>")
+                lang_id = lid if lid is not None and lid >= 0 else None
+        return cls(
+            cfg, enc_p, dec_p, tokenizer, lang_id=lang_id,
+            compute_dtype=compute_dtype, max_chunk_batch=max_chunk_batch,
+        )
+
+    def transcribe_file(self, path: str) -> list[dict]:
+        """Video/audio file -> segments (ffmpeg decode at 16 kHz host-side)."""
+        from repurpose_tpu.preprocessing.media import load_audio
+
+        return self.transcribe_wave(load_audio(path, sr=SAMPLE_RATE))
+
+    def transcribe_wave(self, wave_16k: np.ndarray) -> list[dict]:
+        """Mono float waveform at 16 kHz -> [{start, end, text}]."""
+        n = len(wave_16k)
+        n_chunks = max(1, -(-n // N_SAMPLES))
+        padded = np.zeros(n_chunks * N_SAMPLES, np.float32)
+        padded[:n] = wave_16k
+        chunks = padded.reshape(n_chunks, N_SAMPLES)
+        segments: list[dict] = []
+        for i in range(0, n_chunks, self.max_chunk_batch):
+            block = chunks[i : i + self.max_chunk_batch]
+            # fixed batch shape: pad the tail block to avoid a recompile
+            if block.shape[0] < self.max_chunk_batch and n_chunks > self.max_chunk_batch:
+                pad = self.max_chunk_batch - block.shape[0]
+                block = np.concatenate([block, np.zeros((pad, N_SAMPLES), np.float32)])
+            else:
+                pad = 0
+            mel = log_mel_whisper(jnp.asarray(block), n_mels=self.cfg.n_mels)
+            enc = self._encode(mel)
+            tokens = np.asarray(
+                greedy_decode(self.decoder, self._dec_vars, enc, self.prompt)
+            )
+            for j in range(block.shape[0] - pad):
+                segments.extend(
+                    tokens_to_segments(
+                        tokens[j], self.cfg, self.tokenizer.decode,
+                        offset_s=(i + j) * float(CHUNK_S),
+                    )
+                )
+        return segments

@@ -269,13 +269,16 @@ class TextExtractor:
 
     @staticmethod
     def transcribe(
-        audio_path: str, cache_path: str | None = None, backend: str = "auto"
+        audio_path: str, cache_path: str | None = None, backend: str = "auto",
+        asr=None,
     ) -> list[dict]:
         """ASR with transcript JSON caching (reference caches transcripts,
         text_feature_extractor.py:198-236). ``backend``: "auto" tries
         WhisperX (word-aligned timestamps) and falls back to plain whisper —
         the reference's try/except chain (text_feature_extractor.py:292-300);
-        "whisperx" / "whisper" force one.
+        "whisperx" / "whisper" force one. Passing ``asr`` (a
+        ``extractors.whisper_jax.WhisperASR``) transcribes on TPU instead —
+        the all-JAX path, no torch/whisper install needed.
         ONE pass: a fresh video is transcribed AND embedded in the same call —
         the reference needed two runs (its embedding code sits in the
         transcript-already-exists branch, text_feature_extractor.py:310-386)."""
@@ -285,7 +288,9 @@ class TextExtractor:
             with open(cache_path) as f:
                 return json.load(f)
         segments = None
-        if backend in ("auto", "whisperx"):
+        if asr is not None:
+            segments = asr.transcribe_file(audio_path)
+        if segments is None and backend in ("auto", "whisperx"):
             try:
                 segments = TextExtractor._transcribe_whisperx(audio_path)
             except Exception as e:

@@ -40,6 +40,7 @@ class PreprocessConfig:
     clip_checkpoint: str = ""  # HF CLIPVisionModelWithProjection dir/file
     panns_checkpoint: str = ""  # PANNs Cnn14 .pth
     minilm_checkpoint: str = ""  # HF all-MiniLM-L6-v2 dir
+    whisper_checkpoint: str = ""  # HF whisper dir -> ASR on TPU (else host whisper)
     download_workers: int = 3
     visual_batch: int = 128
     audio_batch: int = 512
@@ -130,6 +131,11 @@ class PreprocessingPipeline:
 
         params, tok = self._minilm()
         ex = TextExtractor(params, tok, batch_size=self.cfg.text_batch)
+        asr = None
+        if self.cfg.whisper_checkpoint:
+            from repurpose_tpu.extractors.whisper_jax import WhisperASR
+
+            asr = WhisperASR.from_hf_dir(self.cfg.whisper_checkpoint)
         tracker = ProgressTracker(
             os.path.join(self.cfg.text_dir, "text_progress.json"), len(video_ids)
         )
@@ -143,7 +149,8 @@ class PreprocessingPipeline:
                 continue
             try:
                 segments = ex.transcribe(
-                    src, os.path.join(self.cfg.transcript_dir, f"{vid}.json")
+                    src, os.path.join(self.cfg.transcript_dir, f"{vid}.json"),
+                    asr=asr,
                 )
                 # floor, matching the reference's int(actual_duration)
                 # (text_feature_extractor.py:309)

@@ -1,0 +1,259 @@
+"""Whisper-on-TPU parity and decode tests.
+
+Architecture + conversion validate against a randomly-initialized HF
+WhisperForConditionalGeneration (the same checkpoints the reference's ASR
+stage loads pretrained, text_feature_extractor.py:129-160); the frontend
+validates against HF WhisperFeatureExtractor's numpy STFT. Tiny dims, full
+vocab (HF requires vocab > pad id 50256)."""
+
+import numpy as np
+import pytest
+import torch
+
+from repurpose_tpu.extractors.whisper_jax import (
+    CHUNK_S,
+    N_SAMPLES,
+    WhisperASR,
+    WhisperDecoder,
+    WhisperEncoder,
+    WhisperJaxConfig,
+    config_from_hf,
+    convert_hf_whisper,
+    greedy_decode,
+    log_mel_whisper,
+    tokens_to_segments,
+)
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+    hf_cfg = WhisperConfig(
+        vocab_size=51865, num_mel_bins=8, d_model=16, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=32, decoder_ffn_dim=32, max_source_positions=1500,
+        max_target_positions=24,
+    )
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(hf_cfg).eval()
+    cfg = config_from_hf(hf_cfg)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    enc_p, dec_p = convert_hf_whisper(sd, cfg)
+    return hf, cfg, enc_p, dec_p
+
+
+def test_config_from_hf_token_layout(tiny):
+    _, cfg, _, _ = tiny
+    # multilingual vocab layout (openai/whisper tokenizer)
+    assert cfg.eot == 50257 and cfg.sot == 50258
+    assert cfg.transcribe == 50359 and cfg.no_timestamps == 50363
+    assert cfg.timestamp_begin == 50364
+
+
+def test_encoder_matches_hf(tiny):
+    hf, cfg, enc_p, _ = tiny
+    rng = np.random.default_rng(0)
+    mel = rng.normal(0, 1, (2, cfg.n_mels, 2 * cfg.max_source_positions)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        ref = hf.model.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+    enc = WhisperEncoder(cfg)
+    got = np.asarray(enc.apply({"params": enc_p}, jnp.asarray(mel.transpose(0, 2, 1))))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=2e-3)
+
+
+def test_decoder_teacher_forced_matches_hf(tiny):
+    hf, cfg, enc_p, dec_p = tiny
+    rng = np.random.default_rng(1)
+    mel = rng.normal(0, 1, (2, cfg.n_mels, 2 * cfg.max_source_positions)).astype(
+        np.float32
+    )
+    toks = rng.integers(0, 1000, (2, 7)).astype(np.int64)
+    with torch.no_grad():
+        ref = hf(
+            input_features=torch.from_numpy(mel),
+            decoder_input_ids=torch.from_numpy(toks),
+        ).logits.numpy()
+    enc = WhisperEncoder(cfg).apply(
+        {"params": enc_p}, jnp.asarray(mel.transpose(0, 2, 1))
+    )
+    got = np.asarray(
+        WhisperDecoder(cfg).apply(
+            {"params": dec_p}, jnp.asarray(toks.astype(np.int32)), enc
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=3e-4, rtol=2e-3)
+
+
+def test_cached_step_matches_teacher_forced(tiny):
+    """The KV-cached step path must reproduce the full forward exactly —
+    this is what greedy_decode runs."""
+    _, cfg, enc_p, dec_p = tiny
+    rng = np.random.default_rng(2)
+    enc = jnp.asarray(rng.normal(0, 1, (2, cfg.max_source_positions, cfg.d_model)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(0, 1000, (2, 6)).astype(np.int32))
+    dec = WhisperDecoder(cfg)
+    full = np.asarray(dec.apply({"params": dec_p}, toks, enc))
+
+    cross = dec.apply({"params": dec_p}, enc, method=WhisperDecoder.precompute_cross)
+    l = cfg.max_target_positions
+    kv = (
+        jnp.zeros((2, cfg.dec_layers, l, cfg.d_model), jnp.float32),
+        jnp.zeros((2, cfg.dec_layers, l, cfg.d_model), jnp.float32),
+    )
+    for pos in range(toks.shape[1]):
+        logits, kv = dec.apply(
+            {"params": dec_p}, toks[:, pos], jnp.int32(pos), kv, cross,
+            method=WhisperDecoder.step,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), full[:, pos], atol=1e-4, rtol=1e-3
+        )
+
+
+def test_greedy_decode_matches_stepwise_argmax(tiny):
+    """greedy_decode (scan + rules off) == hand-rolled argmax loop over the
+    teacher-forced forward."""
+    _, cfg, enc_p, dec_p = tiny
+    rng = np.random.default_rng(3)
+    enc = jnp.asarray(
+        rng.normal(0, 1, (2, cfg.max_source_positions, cfg.d_model)).astype(np.float32)
+    )
+    dec = WhisperDecoder(cfg)
+    prompt = (cfg.sot,)
+    got = np.asarray(
+        greedy_decode(dec, {"params": dec_p}, enc, prompt, with_timestamps=False)
+    )
+
+    toks = np.full((2, cfg.max_target_positions), cfg.eot, np.int32)
+    toks[:, 0] = prompt[0]
+    done = np.zeros(2, bool)
+    for pos in range(cfg.max_target_positions - 1):
+        logits = np.asarray(
+            dec.apply({"params": dec_p}, jnp.asarray(toks[:, : pos + 1]), enc)
+        )[:, -1]
+        nxt = logits.argmax(-1).astype(np.int32)
+        nxt = np.where(done, cfg.eot, nxt)
+        done |= nxt == cfg.eot
+        toks[:, pos + 1] = nxt
+        if done.all():
+            break
+    np.testing.assert_array_equal(got, toks)
+
+
+def test_greedy_timestamp_rules_produce_segments(tiny):
+    """With rules on, output must parse into well-formed segments: paired,
+    monotone timestamps; suppressed specials never emitted."""
+    _, cfg, enc_p, dec_p = tiny
+    rng = np.random.default_rng(4)
+    enc = jnp.asarray(
+        rng.normal(0, 1, (3, cfg.max_source_positions, cfg.d_model)).astype(np.float32)
+    )
+    dec = WhisperDecoder(cfg)
+    tokens = np.asarray(
+        greedy_decode(dec, {"params": dec_p}, enc, (cfg.sot, cfg.lang_begin, cfg.transcribe))
+    )
+    for row in tokens:
+        gen = row[3:]
+        gen = gen[gen != cfg.eot]
+        assert cfg.no_timestamps not in gen and cfg.sot not in gen
+        if len(gen):
+            # first sampled token is a timestamp within the initial cap
+            assert gen[0] >= cfg.timestamp_begin
+            assert gen[0] <= cfg.timestamp_begin + cfg.max_initial_timestamp_index
+            ts = gen[gen >= cfg.timestamp_begin]
+            assert (np.diff(ts) >= 0).all(), "timestamps must be monotone"
+        segs = tokens_to_segments(row[3:], cfg, lambda ids: " ".join(map(str, ids)))
+        for s in segs:
+            assert 0 <= s["start"] <= s["end"] <= CHUNK_S
+
+
+def test_log_mel_matches_hf_feature_extractor():
+    from transformers import WhisperFeatureExtractor
+
+    fe = WhisperFeatureExtractor()  # offline: builds mel filters in numpy
+    rng = np.random.default_rng(5)
+    wave = (rng.normal(0, 0.1, N_SAMPLES)).astype(np.float32)
+    ref = fe(wave, sampling_rate=16000, return_tensors="np", padding="max_length")[
+        "input_features"
+    ][0]  # [80, 3000]
+    got = np.asarray(log_mel_whisper(jnp.asarray(wave[None])))[0]  # [3000, 80]
+    np.testing.assert_allclose(got.T, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_whisper_asr_end_to_end(tiny):
+    """Chunking + batched decode + segment offsets through WhisperASR on a
+    65 s waveform (3 chunks)."""
+    _, cfg, enc_p, dec_p = tiny
+
+    class Tok:
+        def decode(self, ids):
+            return " ".join(f"w{i}" for i in ids)
+
+    asr = WhisperASR(cfg, enc_p, dec_p, Tok(), max_chunk_batch=2)
+    rng = np.random.default_rng(6)
+    wave = rng.normal(0, 0.1, int(16000 * 65.0)).astype(np.float32)
+    segs = asr.transcribe_wave(wave)
+    assert isinstance(segs, list)
+    for s in segs:
+        assert set(s) == {"start", "end", "text"}
+        assert 0 <= s["start"] <= s["end"] <= 3 * CHUNK_S
+        assert s["text"]
+
+
+def test_from_hf_dir_roundtrip(tiny, tmp_path):
+    """Checkpoint-dir loading (safetensors + config.json) reproduces the
+    directly-converted model."""
+    hf, cfg, enc_p, dec_p = tiny
+    from safetensors.numpy import save_file
+
+    d = tmp_path / "whisper-tiny-random"
+    d.mkdir()
+    (d / "config.json").write_text(hf.config.to_json_string())
+    save_file(
+        {k: v.detach().numpy() for k, v in hf.state_dict().items()},
+        str(d / "model.safetensors"),
+    )
+
+    class Tok:
+        def decode(self, ids):
+            return "x"
+
+    asr = WhisperASR.from_hf_dir(str(d), tokenizer=Tok(), compute_dtype="float32")
+    assert asr.cfg == cfg
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.normal(0, 1, (1, 3000, cfg.n_mels)).astype(np.float32))
+    a = np.asarray(asr._encode(mel))
+    b = np.asarray(WhisperEncoder(cfg).apply({"params": enc_p}, mel))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_text_extractor_uses_jax_asr(tiny, tmp_path, monkeypatch):
+    """TextExtractor.transcribe(asr=...) routes through WhisperASR (no
+    whisper/whisperx import) and caches the transcript JSON."""
+    import json
+
+    from repurpose_tpu.preprocessing.extract import TextExtractor
+
+    _, cfg, enc_p, dec_p = tiny
+
+    class Tok:
+        def decode(self, ids):
+            return " ".join(f"w{i}" for i in ids)
+
+    asr = WhisperASR(cfg, enc_p, dec_p, Tok(), max_chunk_batch=2)
+    rng = np.random.default_rng(8)
+    wave = rng.normal(0, 0.1, 16000 * 4).astype(np.float32)
+    monkeypatch.setattr(
+        "repurpose_tpu.preprocessing.media.load_audio", lambda path, sr: wave
+    )
+    cache = tmp_path / "t.json"
+    segs = TextExtractor.transcribe("fake.mp4", str(cache), asr=asr)
+    assert cache.exists() and json.load(open(cache)) == segs
+    for s in segs:
+        assert set(s) == {"start", "end", "text"}
