@@ -62,9 +62,6 @@ class ModelConfig:
     """Modality ablation: which feature streams feed the fusion concat
     (e.g. ("visual",) for visual-only). Disabled streams are dropped before
     the input projection, so ablated models are smaller, not zero-padded."""
-    quantize: str = "none"
-    """"int8" swaps Dense matmuls for dynamic int8xint8->int32 MXU ops
-    (inference only; ops/quant.py). "none" = bf16/fp32 per compute_dtype."""
     reg_activation: str = "relu"
     """Final activation of the boundary-regression head. "relu" matches the
     reference (models/MMCTransformer.py:92) but its zero-gradient region can
@@ -91,8 +88,6 @@ class ModelConfig:
         if bad or not self.modalities:
             raise ValueError(f"bad modalities: {self.modalities}")
         object.__setattr__(self, "modalities", tuple(self.modalities))
-        if self.quantize not in ("none", "int8"):
-            raise ValueError(f"bad quantize: {self.quantize}")
         if self.reg_activation not in ("relu", "softplus"):
             raise ValueError(f"bad reg_activation: {self.reg_activation}")
         if self.fusion not in ("concat", "cross", "bottleneck"):
@@ -239,7 +234,6 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
             for k in (
                 "compute_dtype", "attention_impl", "remat",
                 "matmul_precision", "modalities", "fusion", "reg_activation",
-                "quantize",
             )
             if k in tpu
         }

@@ -35,12 +35,7 @@ _dense_kw = dict(
 
 
 def dense_kw(cfg: ModelConfig) -> dict:
-    kw = dict(_dense_kw, precision=cfg.matmul_precision)
-    if cfg.quantize == "int8":
-        from repurpose_tpu.ops.quant import int8_dynamic_dot_general
-
-        kw["dot_general"] = int8_dynamic_dot_general
-    return kw
+    return dict(_dense_kw, precision=cfg.matmul_precision)
 
 
 class SelfAttention(nn.Module):

@@ -107,11 +107,6 @@ def make_train_step(
     ``kernel_layer_names(params)``. Device-side cost of either is O(n_params),
     negligible next to the model pass; outputs stay on device until fetched.
     """
-    if model_cfg.quantize != "none":
-        raise ValueError(
-            "quantize is inference-only: int8 round() has zero gradient, so "
-            "training would silently not learn — train with quantize='none'"
-        )
     model = build_model(model_cfg, mesh=mesh)
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
