@@ -80,9 +80,15 @@ def _time(fn, *args, reps: int = 3) -> float:
 
 
 def main() -> None:
-    from repurpose_tpu.utils.platform import honor_jax_platforms_env
+    from repurpose_tpu.utils.platform import (
+        enable_compilation_cache,
+        honor_jax_platforms_env,
+    )
 
     honor_jax_platforms_env()
+    # ~8 programs compile through the remote relay (minutes each, cold); the
+    # persistent cache makes reruns start in seconds (docs/SERVING.md)
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from repurpose_tpu.config import ModelConfig, TestConfig, TrainConfig

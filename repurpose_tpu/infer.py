@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from repurpose_tpu.config import ModelConfig, TestConfig
+from repurpose_tpu.data.batching import pick_bucket
 from repurpose_tpu.models import build_model
 from repurpose_tpu.ops.decode import DecodeResult, decode_batch
 
@@ -122,6 +123,69 @@ class InferencePipeline:
             *self._stage(visual, audio, text, mask, durations),
         )
         return _unpack(res, durations, video_ids)
+
+    def score_videos(
+        self,
+        videos: Sequence[dict],
+        buckets: Sequence[int] = (256, 512, 1024, 2048),
+        batch_size: int = 8,
+        depth: int = 2,
+        params: Any = None,
+    ) -> list[dict]:
+        """Serve ragged per-video features with multi-bucket auto-routing.
+
+        ``videos``: dicts with ``visual [T,512] / audio [T,2048] / text
+        [T,384]`` (per-second features, possibly different T per video) and an
+        optional ``video_id``. Each video routes to the smallest bucket >= its
+        length (longer ones truncate to the largest — the reference's de facto
+        PE cap, models/MMCTransformer.py:11), videos sharing a bucket pack
+        into ``batch_size`` batches (ragged final batches zero-pad), and all
+        batches stream through ``score_stream`` so at most ``len(buckets)``
+        programs compile and host packing overlaps device compute. Results
+        return in input order.
+
+        The reference scores one video per program at its exact length
+        (inference.py:31 batch_size=1) — every new length is a new CUDA graph
+        here replaced by a handful of static shapes.
+        """
+        buckets = sorted(buckets)
+        groups: dict[int, list[int]] = {}
+        for i, v in enumerate(videos):
+            t = min(len(v["visual"]), len(v["audio"]), len(v["text"]))
+            groups.setdefault(pick_bucket(t, buckets), []).append(i)
+
+        def batches():
+            for bucket in sorted(groups):
+                idxs = groups[bucket]
+                for j in range(0, len(idxs), batch_size):
+                    chunk = idxs[j : j + batch_size]
+                    b = len(chunk)
+                    vis = np.zeros((b, bucket, self.cfg.vis_dim), np.float32)
+                    aud = np.zeros((b, bucket, self.cfg.aud_dim), np.float32)
+                    txt = np.zeros((b, bucket, self.cfg.text_dim), np.float32)
+                    mask = np.zeros((b, bucket), bool)
+                    durs = np.zeros(b, np.int32)
+                    for r, i in enumerate(chunk):
+                        v = videos[i]
+                        t = min(
+                            len(v["visual"]), len(v["audio"]), len(v["text"]), bucket
+                        )
+                        vis[r, :t] = v["visual"][:t]
+                        aud[r, :t] = v["audio"][:t]
+                        txt[r, :t] = v["text"][:t]
+                        mask[r, :t] = True
+                        durs[r] = t
+                    ids = [str(videos[i].get("video_id", i)) for i in chunk]
+                    yield (vis, aud, txt, mask, durs, ids), chunk
+
+        results: list[dict | None] = [None] * len(videos)
+        items = list(batches())
+        # score_stream yields one result list per batch, in dispatch order
+        flat_iter = self.score_stream((it for it, _ in items), depth=depth, params=params)
+        for (_, chunk), batch_results in zip(items, flat_iter):
+            for i, r in zip(chunk, batch_results):
+                results[i] = r
+        return results  # type: ignore[return-value]
 
     def score_stream(self, batches, depth: int = 2, params: Any = None):
         """Pipelined scoring: yields per-video result lists for an iterator of

@@ -64,3 +64,27 @@ def test_validation():
         load_config({"train": {"buckets": [512, 128]}})  # not sorted
     with pytest.raises(ValueError):
         MeshConfig(data=-1, model=-1).axis_sizes(8)  # two free axes
+
+
+def test_enable_compilation_cache(tmp_path, monkeypatch):
+    """Persistent-cache helper points JAX at the dir and persists programs
+    across a cache flush (docs/SERVING.md serving cold-start fix)."""
+    import jax
+    import jax.numpy as jnp
+
+    from repurpose_tpu.utils.platform import enable_compilation_cache
+
+    d = str(tmp_path / "xla_cache")
+    got = enable_compilation_cache(d)
+    assert got == d
+    import os
+
+    assert os.path.isdir(d)
+    try:
+        jax.clear_caches()
+        jnp.tanh(jnp.arange(7.0) * 3).block_until_ready()
+        assert os.listdir(d), "compiled program should be written to the cache dir"
+    finally:
+        # tmp_path is deleted after the test; don't leave the process
+        # pointed at a dead cache dir
+        jax.config.update("jax_compilation_cache_dir", None)

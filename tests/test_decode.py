@@ -101,3 +101,55 @@ def test_score_stream_matches_score_batch():
         assert s["video_id"] == d["video_id"]
         np.testing.assert_array_equal(s["segments"], d["segments"])
         np.testing.assert_array_equal(s["scores"], d["scores"])
+
+
+def test_score_videos_routes_buckets_and_preserves_order():
+    """Serving auto-routing: ragged videos route to the smallest fitting
+    bucket, pack into batches, and come back in input order with the same
+    values as a direct score_batch at that bucket."""
+    from repurpose_tpu.models import MMCT
+
+    cfg = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=4, d_model=16, self_num_layers=1,
+        num_heads=2, d_ff=32, hidden_dim=8, compute_dtype="float32",
+        attention_impl="xla",
+    )
+    params = MMCT(cfg).init_params(jax.random.key(0))
+    test_cfg = TestConfig(
+        pre_nms_topk=64, pre_nms_thresh=0.2, duration_thresh=0.001,
+        duration_thresh_max=90, max_seg_per_min=1.0,
+    )
+    pipe = InferencePipeline(cfg, params, test_cfg)
+    rng = np.random.default_rng(1)
+
+    lengths = [30, 200, 64, 70, 130, 500]  # 500 > max bucket: truncates
+    buckets = (64, 256)
+    videos = [
+        {
+            "visual": rng.normal(0, 1, (t, 8)).astype(np.float32),
+            "audio": rng.normal(0, 1, (t, 12)).astype(np.float32),
+            "text": rng.normal(0, 1, (t, 4)).astype(np.float32),
+            "video_id": f"vid{i}",
+        }
+        for i, t in enumerate(lengths)
+    ]
+    results = pipe.score_videos(videos, buckets=buckets, batch_size=2)
+
+    assert [r["video_id"] for r in results] == [f"vid{i}" for i in range(6)]
+    assert [r["duration"] for r in results] == [30, 200, 64, 70, 130, 256]
+
+    # values match a direct single-video score_batch at the routed bucket
+    for i in (0, 1, 5):
+        t = min(lengths[i], 256)
+        bucket = 64 if t <= 64 else 256
+        vis = np.zeros((1, bucket, 8), np.float32)
+        aud = np.zeros((1, bucket, 12), np.float32)
+        txt = np.zeros((1, bucket, 4), np.float32)
+        mask = np.zeros((1, bucket), bool)
+        vis[0, :t] = videos[i]["visual"][:t]
+        aud[0, :t] = videos[i]["audio"][:t]
+        txt[0, :t] = videos[i]["text"][:t]
+        mask[0, :t] = True
+        direct = pipe.score_batch(vis, aud, txt, mask, [t], [f"vid{i}"])[0]
+        np.testing.assert_array_equal(results[i]["segments"], direct["segments"])
+        np.testing.assert_array_equal(results[i]["scores"], direct["scores"])
