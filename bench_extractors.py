@@ -71,6 +71,43 @@ def main() -> None:
     dt = _bench(jax.jit(lambda p, i, m: mlm.apply({"params": p}, i, m)), tparams, ids, mask)
     print(f"MiniLM-L6: {bt / dt:,.0f} sentences/s (batch {bt})")
 
+    # Whisper-base: ASR throughput in audio-seconds/s. Encoder at real dims;
+    # decode capped at 64 tokens/chunk (typical speech density) — the greedy
+    # loop is sequential, so tokens/chunk dominates wall time.
+    from repurpose_tpu.extractors.whisper_jax import (
+        WhisperDecoder,
+        WhisperEncoder,
+        WhisperJaxConfig,
+        greedy_decode,
+        log_mel_whisper,
+    )
+
+    wcfg = WhisperJaxConfig(max_target_positions=64)
+    bc = 8  # 30 s chunks per batch = 4 min of audio per program
+    wenc = WhisperEncoder(wcfg, compute_dtype="bfloat16")
+    wdec = WhisperDecoder(wcfg, compute_dtype="bfloat16")
+    wav = jnp.asarray(rng.normal(0, 0.1, (bc, 480000)), jnp.float32)
+    mel = log_mel_whisper(wav)
+    wparams = jax.jit(lambda r: wenc.init(r, mel[:1])["params"])(jax.random.key(3))
+    dparams = jax.jit(
+        lambda r: wdec.init(
+            r, jnp.zeros((1, 4), jnp.int32), jnp.zeros((1, 1500, wcfg.d_model))
+        )["params"]
+    )(jax.random.key(4))
+
+    def asr(wav):
+        enc = wenc.apply({"params": wparams}, log_mel_whisper(wav))
+        return greedy_decode(
+            wdec, {"params": dparams}, enc,
+            (wcfg.sot, wcfg.lang_begin, wcfg.transcribe),
+        )
+
+    dt = _bench(asr, wav, n=3)
+    print(
+        f"Whisper-base ASR: {bc * 30 / dt:,.0f} audio-seconds/s "
+        f"(batch {bc} x 30 s chunks, <=61 tokens/chunk)"
+    )
+
 
 if __name__ == "__main__":
     main()

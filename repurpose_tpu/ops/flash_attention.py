@@ -5,11 +5,15 @@ per-second sequences (models/MMCTransformer.py:135-138, T up to 1800). XLA's
 stock path materializes [B, H, T, T] score tensors in HBM; these kernels keep
 everything in VMEM:
 
-- **forward**: grid (B, H, T/Tq); each program owns one query block, the full
-  K/V slab for its (batch, head) sits in VMEM (~4 MB at T=4096, Dh=64 — no
-  online-softmax streaming needed at Repurpose lengths; revisit with
-  k-blocking beyond T~16k). Also emits the per-row logsumexp (LSE) for the
-  backward. Measured 1.9x XLA's fused attention at T=2048 on v5e.
+- **forward**: FLAT layout — grid (B, D/Dblk, T/Tq) over [B, T, D] with a
+  static in-kernel loop over the Dblk/dh head slices, so there are no
+  [B,T,H,Dh]<->[B,H,T,Dh] transposes around the kernel (the [B,T,H,Dh] ->
+  [B,T,D] reshape merges contiguous axes — free). Each program owns one query
+  block; the K/V slabs for its head group sit in VMEM (no online-softmax
+  streaming needed at Repurpose lengths; revisit with k-blocking beyond
+  T~16k). Also emits the per-row logsumexp (LSE) for the backward. Measured
+  2.75x XLA's fused attention and 6% over the transposed-layout flash kernel
+  at T=2048 on v5e (tools/bench_attention_fwd.py).
 - **backward**: the canonical two-kernel FlashAttention split —
   a dq kernel gridded over q blocks (row softmax recomputed from full K/V)
   and a dk/dv kernel gridded over K blocks (columns normalized via the saved
@@ -41,17 +45,27 @@ from repurpose_tpu.ops.attention import NEG_INF, mha_xla
 
 Array = jax.Array
 
-DEFAULT_Q_BLOCK = 256
+DEFAULT_Q_BLOCK = 512  # measured best at T=2048 on v5e (tools/bench_attention_fwd.py)
 DEFAULT_K_BLOCK = 256
 
 
 def _pick_block(t: int, preferred: int) -> int | None:
     """Largest block <= preferred that divides t (None if t has no usable
     power-of-two-ish divisor — caller falls back to the XLA path)."""
-    for b in (preferred, 256, 128, 64, 32, 16, 8):
+    for b in (preferred, 512, 256, 128, 64, 32, 16, 8):
         if b <= preferred and t % b == 0:
             return b
     return None
+
+
+def _pick_d_block(d: int, dh: int) -> int:
+    """Feature-axis block for the flat forward: the smallest multiple of dh
+    that is lane-aligned (128) and divides d; else the full axis (always a
+    legal Mosaic block)."""
+    from math import gcd
+
+    l = dh * 128 // gcd(dh, 128)
+    return l if d % l == 0 else d
 
 
 def _specs(b, h, t, dh, q_block):
@@ -72,64 +86,89 @@ def _specs(b, h, t, dh, q_block):
 # -- forward ---------------------------------------------------------------------
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale: float):
-    # Block shapes: q_ref [1,1,Tq,Dh]; k_ref/v_ref [1,1,T,Dh]; mask_ref [1,1,T].
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale: float, heads: int
+):
+    # FLAT layout (no transposes): q_ref [1, Tq, Dblk]; k/v [1, T, Dblk];
+    # mask [1, 1, T]; lse [1, heads, Tq, 1]. Dblk packs `heads` head slices;
+    # the loop is static (Dblk/dh <= a few heads — _pick_d_block), so Mosaic
+    # keeps one live score buffer per iteration.
     # The kernel is VPU-bound (the MXU finishes its two dh=64 dots long before
     # the VPU finishes the [Tq, T] softmax passes), so every elementwise pass
     # over [Tq, T] counts: the scale folds into q ([Tq, Dh] — one dot input),
     # and the softmax divide is DEFERRED past the PV matmul so it lands on
     # [Tq, Dh] instead of [Tq, T] ((e @ v) / denom == (e / denom) @ v).
-    q = (q_ref[0, 0].astype(jnp.float32) * scale).astype(q_ref.dtype)  # [Tq, Dh]
-    k = k_ref[0, 0]  # [T, Dh]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    d = q_ref.shape[-1]
+    dh = d // heads
     bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T] broadcasts over rows
-    s = s + bias
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        e.astype(v_ref.dtype), v_ref[0, 0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
-    lse_ref[0, 0] = (m + jnp.log(denom)).astype(jnp.float32)  # [Tq, 1]
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        s = jax.lax.dot_general(
+            q, k_ref[0, :, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(v_ref.dtype), v_ref[0, :, sl],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
+        lse_ref[0, h] = (m + jnp.log(denom)).astype(jnp.float32)  # [Tq, 1]
 
 
 def _flash_forward(
     q: Array, k: Array, v: Array, key_valid: Array, q_block: int, interpret: bool
 ) -> tuple[Array, Array]:
-    """q/k/v: [B, T, H, Dh] -> (out [B, T, H, Dh], lse [B, H, T, 1])."""
+    """q/k/v: [B, T, H, Dh] -> (out [B, T, H, Dh], lse [B, H, T, 1]).
+
+    Runs in the native [B, T, H*Dh] layout (the reshape is free — it merges
+    contiguous trailing axes), so unlike the canonical [B, H, T, Dh] flash
+    layout there are NO transposes around the kernel: measured 6% faster
+    end-to-end at [8, 2048, 8, 64] on v5e (tools/bench_attention_fwd.py)."""
     b, t, h, dh = q.shape
+    d = h * dh
     q_block = min(q_block, t)
     scale = 1.0 / (dh ** 0.5)
+    d_block = _pick_d_block(d, dh)
+    heads_per_block = d_block // dh
 
-    # [B, H, T, Dh] layout: each (b, h) owns contiguous K/V slabs.
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+    qf = q.reshape(b, t, d)
+    kf = k.reshape(b, t, d)
+    vf = v.reshape(b, t, d)
     mask = key_valid[:, None, :].astype(jnp.int32)  # [B, 1, T]
 
-    blk_q, blk_full, blk_mask = _specs(b, h, t, dh, q_block)
+    blk_q = pl.BlockSpec(
+        (1, q_block, d_block), lambda bi, di, i: (bi, i, di), memory_space=pltpu.VMEM
+    )
+    blk_kv = pl.BlockSpec(
+        (1, t, d_block), lambda bi, di, i: (bi, 0, di), memory_space=pltpu.VMEM
+    )
+    blk_mask = pl.BlockSpec(
+        (1, 1, t), lambda bi, di, i: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
     blk_lse = pl.BlockSpec(
-        (1, 1, q_block, 1), lambda bi, hi, i: (bi, hi, i, 0),
+        (1, heads_per_block, q_block, 1), lambda bi, di, i: (bi, di, i, 0),
         memory_space=pltpu.VMEM,
     )
     out, lse = pl.pallas_call(
-        functools.partial(_flash_fwd_kernel, scale=scale),
-        grid=(b, h, t // q_block),
-        in_specs=[blk_q, blk_full, blk_full, blk_mask],
+        functools.partial(
+            _flash_fwd_kernel, scale=scale, heads=heads_per_block
+        ),
+        grid=(b, d // d_block, t // q_block),
+        in_specs=[blk_q, blk_kv, blk_kv, blk_mask],
         out_specs=(blk_q, blk_lse),
         out_shape=(
-            jax.ShapeDtypeStruct((b, h, t, dh), q.dtype),
+            jax.ShapeDtypeStruct((b, t, d), q.dtype),
             jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
         ),
         interpret=interpret,
-    )(qt, kt, vt, mask)
-    return out.transpose(0, 2, 1, 3), lse
+    )(qf, kf, vf, mask)
+    return out.reshape(b, t, h, dh), lse
 
 
 # -- backward: dq kernel (grid over q blocks) -------------------------------------

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-N_CHAIN = 20
+N_CHAIN = 500
 SHAPES = [(16384, 512, 512), (16384, 512, 2048), (16384, 2048, 512)]
 
 
