@@ -78,9 +78,14 @@ class WhisperJaxConfig:
         return self.d_model // self.heads
 
 
-def _attn(q: Array, k: Array, v: Array, bias: Array | None, heads: int) -> Array:
+def _attn(
+    q: Array, k: Array, v: Array, bias: Array | None, heads: int,
+    return_weights: bool = False,
+):
     """[B,T,d] q/k/v (already projected) -> [B,Tq,d]; HF Whisper scales q by
-    d_head**-0.5 at projection time, so no scale here."""
+    d_head**-0.5 at projection time, so no scale here. With
+    ``return_weights`` also returns the float32 softmax weights [B,H,Tq,Tk]
+    (the word-aligner's signal, whisper_align.py)."""
     b, tq, d = q.shape
     dh = d // heads
     qh = q.reshape(b, tq, heads, dh)
@@ -89,8 +94,11 @@ def _attn(q: Array, k: Array, v: Array, bias: Array | None, heads: int) -> Array
     s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
     if bias is not None:
         s = s + bias
-    w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, tq, d)
+    w = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), vh).reshape(b, tq, d)
+    if return_weights:
+        return out, w
+    return out
 
 
 class _EncLayer(nn.Module):
@@ -170,7 +178,14 @@ class _DecLayer(nn.Module):
     def cross_kv(self, enc: Array) -> tuple[Array, Array]:
         return self.ck(enc), self.cv(enc)
 
-    def __call__(self, x: Array, enc: Array, causal_bias: Array) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        enc: Array,
+        causal_bias: Array,
+        cross_bias: Array | None = None,
+        return_cross_weights: bool = False,
+    ):
         cfg = self.cfg
         h = self.self_ln(x).astype(x.dtype)
         q = self.sq(h) * (cfg.d_head**-0.5)
@@ -178,9 +193,15 @@ class _DecLayer(nn.Module):
         h = self.cross_ln(x).astype(x.dtype)
         q = self.cq(h) * (cfg.d_head**-0.5)
         ck, cv = self.cross_kv(enc)
-        x = x + self.c_out(_attn(q, ck, cv, None, cfg.heads))
+        if return_cross_weights:
+            attn_out, w = _attn(q, ck, cv, cross_bias, cfg.heads, return_weights=True)
+            x = x + self.c_out(attn_out)
+        else:
+            w = None
+            x = x + self.c_out(_attn(q, ck, cv, cross_bias, cfg.heads))
         h = self.final_ln(x).astype(x.dtype)
-        return x + self.fc2(jax.nn.gelu(self.fc1(h), approximate=False))
+        x = x + self.fc2(jax.nn.gelu(self.fc1(h), approximate=False))
+        return (x, w) if return_cross_weights else x
 
     def step(
         self,
@@ -249,6 +270,42 @@ class WhisperDecoder(nn.Module):
         enc = enc.astype(self._dtype)
         return [layer.cross_kv(enc) for layer in self.layers]
 
+    def alignment_matrix(
+        self,
+        tokens: Array,  # [B, L] int32 (prompt + text + eot, padded with eot)
+        enc: Array,  # [B, S, d]
+        token_valid: Array,  # [B, L] bool: real (non-padding) token rows
+        frame_valid: Array,  # [B, S] bool: encoder positions with audio content
+        head_w: Array,  # [layers, heads] float32 head-selection weights (sum 1)
+    ) -> Array:
+        """Teacher-forced pass -> [B, L, S] float32 token/frame alignment
+        similarity (the word aligner's DTW input, whisper_align.py).
+
+        Per selected cross-attention head: softmax over the content frames,
+        standardize each frame column over the real token rows (zero mean,
+        unit variance — population std), median-filter (width 7, reflect)
+        along frames, then average heads with ``head_w``. This is the signal
+        openai-whisper's timing module extracts with forward hooks; here it is
+        one jitted program, computed layer-by-layer so at most one [B,H,L,S]
+        weight tensor is live."""
+        b, l = tokens.shape
+        x = (self.tok_embed[tokens] + self.pos_embed[:l][None]).astype(self._dtype)
+        causal = jnp.tril(jnp.ones((l, l), bool))
+        bias = jnp.where(causal, 0.0, -1e9).astype(jnp.float32)[None, None]
+        enc = enc.astype(self._dtype)
+        fbias = jnp.where(frame_valid, 0.0, -1e9).astype(jnp.float32)[:, None, None, :]
+        tmask = token_valid.astype(jnp.float32)[:, None, :, None]  # [B,1,L,1]
+        denom = jnp.maximum(jnp.sum(tmask, axis=2, keepdims=True), 1.0)
+        acc = jnp.zeros((b, l, enc.shape[1]), jnp.float32)
+        for li, layer in enumerate(self.layers):
+            x, w = layer(x, enc, bias, cross_bias=fbias, return_cross_weights=True)
+            mean = jnp.sum(w * tmask, axis=2, keepdims=True) / denom
+            var = jnp.sum(jnp.square(w - mean) * tmask, axis=2, keepdims=True) / denom
+            wn = (w - mean) * jax.lax.rsqrt(var + 1e-9)
+            wn = _median_filter_last(wn, 7)
+            acc = acc + jnp.einsum("bhls,h->bls", wn, head_w[li])
+        return acc
+
     def step(
         self, token: Array, pos: Array, self_kv: tuple[Array, Array], cross_kv
     ) -> tuple[Array, tuple[Array, Array]]:
@@ -268,6 +325,22 @@ class WhisperDecoder(nn.Module):
             "bld,vd->blv", x, self.tok_embed, preferred_element_type=jnp.float32
         )[:, 0]
         return logits, (jnp.stack(new_k, 1), jnp.stack(new_v, 1))
+
+
+def _median_filter_last(x: Array, width: int) -> Array:
+    """Sliding median over the last axis, reflect-padded (matches the
+    median_filter in openai-whisper's timing module)."""
+    half = width // 2
+    if x.shape[-1] <= half:
+        return x
+    xp = jnp.concatenate(
+        [x[..., 1 : half + 1][..., ::-1], x, x[..., -half - 1 : -1][..., ::-1]],
+        axis=-1,
+    )
+    stacked = jnp.stack(
+        [xp[..., i : i + x.shape[-1]] for i in range(width)], axis=0
+    )
+    return jnp.median(stacked, axis=0)
 
 
 # -- timestamp-aware greedy decoding ------------------------------------------------
@@ -532,8 +605,9 @@ def tokens_to_segments(
     decode_text,  # callable: list[int] -> str (tokenizer.decode)
     offset_s: float = 0.0,
 ) -> list[dict]:
-    """<|t0|> text <|t1|> pairs -> [{start, end, text}] (whisper's segment
-    structure, the shape bin_transcript_per_second consumes)."""
+    """<|t0|> text <|t1|> pairs -> [{start, end, text, tokens}] (whisper's
+    segment structure, the shape bin_transcript_per_second consumes; "tokens"
+    carries the text token ids for the word aligner, whisper_align.py)."""
     ts0 = cfg.timestamp_begin
     segments: list[dict] = []
     start: float | None = None
@@ -548,7 +622,10 @@ def tokens_to_segments(
             else:
                 text = decode_text(text_ids).strip()
                 if text:
-                    segments.append({"start": start, "end": t, "text": text})
+                    segments.append(
+                        {"start": start, "end": t, "text": text,
+                         "tokens": list(text_ids)}
+                    )
                 start = None
                 text_ids = []
         elif tok < cfg.eot and start is not None:
@@ -558,7 +635,8 @@ def tokens_to_segments(
         text = decode_text(text_ids).strip()
         if text:
             segments.append(
-                {"start": start, "end": offset_s + CHUNK_S, "text": text}
+                {"start": start, "end": offset_s + CHUNK_S, "text": text,
+                 "tokens": list(text_ids)}
             )
     return segments
 
@@ -581,6 +659,7 @@ class WhisperASR:
         lang_id: int | None = None,
         compute_dtype: str = "float32",
         max_chunk_batch: int = 16,
+        alignment_heads: Sequence[tuple[int, int]] | None = None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -596,6 +675,19 @@ class WhisperASR:
         self.prompt = (
             (cfg.sot, lang, cfg.transcribe) if cfg.n_langs else (cfg.sot,)
         )
+        self.alignment_heads = alignment_heads
+        self._aligner = None
+
+    @property
+    def aligner(self):
+        """Lazily-built cross-attention word aligner (whisper_align.py)."""
+        if self._aligner is None:
+            from repurpose_tpu.extractors.whisper_align import WhisperAligner
+
+            self._aligner = WhisperAligner(
+                self.decoder, self._dec_vars, self.prompt, self.alignment_heads
+            )
+        return self._aligner
 
     @classmethod
     def from_hf_dir(
@@ -605,6 +697,7 @@ class WhisperASR:
         lang_id: int | None = None,
         compute_dtype: str = "bfloat16",
         max_chunk_batch: int = 16,
+        alignment_heads: Sequence[tuple[int, int]] | None = None,
     ) -> "WhisperASR":
         """Build from a local HF Whisper checkpoint directory
         (config.json + model.safetensors / pytorch_model.bin [+ tokenizer
@@ -645,16 +738,30 @@ class WhisperASR:
         return cls(
             cfg, enc_p, dec_p, tokenizer, lang_id=lang_id,
             compute_dtype=compute_dtype, max_chunk_batch=max_chunk_batch,
+            alignment_heads=alignment_heads,
         )
 
-    def transcribe_file(self, path: str) -> list[dict]:
+    def transcribe_file(self, path: str, word_timestamps: bool = False) -> list[dict]:
         """Video/audio file -> segments (ffmpeg decode at 16 kHz host-side)."""
         from repurpose_tpu.preprocessing.media import load_audio
 
-        return self.transcribe_wave(load_audio(path, sr=SAMPLE_RATE))
+        return self.transcribe_wave(
+            load_audio(path, sr=SAMPLE_RATE), word_timestamps=word_timestamps
+        )
 
-    def transcribe_wave(self, wave_16k: np.ndarray) -> list[dict]:
-        """Mono float waveform at 16 kHz -> [{start, end, text}]."""
+    def transcribe_wave(
+        self, wave_16k: np.ndarray, word_timestamps: bool = False
+    ) -> list[dict]:
+        """Mono float waveform at 16 kHz -> [{start, end, text, tokens}].
+        With ``word_timestamps`` each segment also carries
+        ``words: [{word, start, end}]`` from the cross-attention DTW aligner
+        (whisper_align.py) — the capability the reference gets from WhisperX
+        (text_feature_extractor.py:129-160), with no second model."""
+        from repurpose_tpu.extractors.whisper_align import (
+            attach_words,
+            words_from_matrix,
+        )
+
         n = len(wave_16k)
         n_chunks = max(1, -(-n // N_SAMPLES))
         padded = np.zeros(n_chunks * N_SAMPLES, np.float32)
@@ -674,11 +781,33 @@ class WhisperASR:
             tokens = np.asarray(
                 greedy_decode(self.decoder, self._dec_vars, enc, self.prompt)
             )
-            for j in range(block.shape[0] - pad):
-                segments.extend(
-                    tokens_to_segments(
-                        tokens[j], self.cfg, self.tokenizer.decode,
+            n_real = block.shape[0] - pad
+            block_segments = [
+                tokens_to_segments(
+                    tokens[j], self.cfg, self.tokenizer.decode,
+                    offset_s=(i + j) * float(CHUNK_S),
+                )
+                for j in range(n_real)
+            ]
+            if word_timestamps and any(
+                seg for segs in block_segments for seg in segs
+            ):
+                # one aligned pass over the whole block (pad rows align empty)
+                rows_text = [
+                    [t for seg in segs for t in seg["tokens"]]
+                    for segs in block_segments
+                ] + [[] for _ in range(pad)]
+                content = [
+                    max(min(n - (i + j) * N_SAMPLES, N_SAMPLES), 1)
+                    for j in range(block.shape[0])
+                ]
+                mats = self.aligner.align_block(rows_text, enc, content)
+                for j in range(n_real):
+                    words = words_from_matrix(
+                        mats[j], rows_text[j], self.tokenizer.decode,
                         offset_s=(i + j) * float(CHUNK_S),
                     )
-                )
+                    attach_words(block_segments[j], words)
+            for segs in block_segments:
+                segments.extend(segs)
         return segments

@@ -79,6 +79,11 @@ def get_lib() -> ctypes.CDLL | None:
             ctypes.c_float, ctypes.c_int64, ctypes.c_void_p,
         ]
         lib.soft_nms_f32.restype = ctypes.c_int64
+        lib.repurpose_dtw.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_void_p,
+        ]
+        lib.repurpose_dtw.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -140,3 +145,73 @@ def soft_nms_native(
         n, sigma, thresh, max_seg_num, keep.ctypes.data_as(ctypes.c_void_p),
     )
     return keep[:n_keep].copy()
+
+
+def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Minimum-cost monotonic path through a [n_tokens, n_frames] cost matrix
+    (down/right/diagonal steps), ordered start->end. Used by the Whisper
+    cross-attention word aligner (extractors/whisper_align.py). C++ when the
+    native library is available, vectorized-numpy anti-diagonal fallback
+    otherwise; both produce identical paths."""
+    cost = np.ascontiguousarray(cost, np.float32)
+    n, m = cost.shape
+    lib = get_lib()
+    if lib is not None:
+        ti = np.zeros(n + m, np.int32)
+        tj = np.zeros(n + m, np.int32)
+        length = lib.repurpose_dtw(
+            cost.ctypes.data_as(ctypes.c_void_p), n, m,
+            ti.ctypes.data_as(ctypes.c_void_p), tj.ctypes.data_as(ctypes.c_void_p),
+        )
+        if length > 0:
+            return ti[:length].copy(), tj[:length].copy()
+    return _dtw_numpy(cost)
+
+
+def _dtw_numpy(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Anti-diagonal wavefront DP: cells on diagonal d = i + j depend only on
+    diagonals d-1 (up/left) and d-2 (diagonal step), so each wavefront is one
+    vectorized min — O(n + m) numpy ops instead of an O(n*m) Python loop."""
+    n, m = cost.shape
+    inf = np.float32(np.inf)
+    acc = np.full((n, m), inf, np.float32)
+    trace = np.zeros((n, m), np.int8)  # 0 = diag, 1 = up, 2 = left
+    for d in range(n + m - 1):
+        lo = max(0, d - m + 1)
+        hi = min(n - 1, d)
+        i = np.arange(lo, hi + 1)
+        j = d - i
+        c_diag = np.where(
+            (i > 0) & (j > 0), acc[np.maximum(i - 1, 0), np.maximum(j - 1, 0)], inf
+        )
+        c_diag = np.where((i == 0) & (j == 0), 0.0, c_diag)
+        c_up = np.where(i > 0, acc[np.maximum(i - 1, 0), j], inf)
+        c_left = np.where(j > 0, acc[i, np.maximum(j - 1, 0)], inf)
+        # tie-break order matches the C++ kernel: diag < up < left strictly,
+        # else left unless up strictly beats both
+        best = np.where(
+            (c_diag < c_up) & (c_diag < c_left), 0,
+            np.where((c_up < c_diag) & (c_up < c_left), 1, 2),
+        ).astype(np.int8)
+        vals = np.stack([c_diag, c_up, c_left])[best, np.arange(len(i))]
+        acc[i, j] = cost[i, j] + vals
+        trace[i, j] = best
+    ti, tj = [], []
+    i, j = n - 1, m - 1
+    while True:
+        ti.append(i)
+        tj.append(j)
+        if i == 0 and j == 0:
+            break
+        t = trace[i, j] if (i > 0 and j > 0) else (1 if i > 0 else 2)
+        if i == 0:
+            t = 2
+        elif j == 0:
+            t = 1
+        if t == 0:
+            i, j = i - 1, j - 1
+        elif t == 1:
+            i -= 1
+        else:
+            j -= 1
+    return np.asarray(ti[::-1], np.int32), np.asarray(tj[::-1], np.int32)

@@ -178,16 +178,31 @@ def clean_text(text: str) -> str:
 
 
 def bin_transcript_per_second(
-    segments: Sequence[dict], duration_s: int
+    segments: Sequence[dict], duration_s: int, word_level: bool = False
 ) -> list[str]:
     """Per-second text bins, reference-exact (text_feature_extractor.py:341-357):
     a segment overlaps second ``s`` iff ``start <= s < end``; each overlapping
     segment's text is clean_text'd, joined with spaces in segment order, and
     the joined string clean_text'd again; '' marks silent (zero-vector)
     seconds. O(S + T) — integer second-ranges per segment instead of the
-    reference's per-second scan over all segments."""
+    reference's per-second scan over all segments.
+
+    ``word_level=True`` (beyond reference; needs segments carrying ``words``
+    from the cross-attention aligner, whisper_align.py) bins each WORD into
+    the seconds its [start, end) span overlaps — a second gets exactly the
+    words spoken during it instead of every segment that merely crosses it.
+    Segments without words fall back to segment-level binning."""
     texts: list[list[str]] = [[] for _ in range(duration_s)]
     for seg in segments:
+        if word_level and seg.get("words"):
+            for w in seg["words"]:
+                ws, we = float(w.get("start", 0)), float(w.get("end", 0))
+                lo = max(int(np.floor(ws)), 0)
+                hi = min(int(np.ceil(we)) if we > ws else lo + 1, duration_s)
+                cleaned = clean_text(w.get("word", ""))
+                for s in range(lo, hi):
+                    texts[s].append(cleaned)
+            continue
         start = float(seg.get("start", 0))
         end = float(seg.get("end", 0))
         lo = max(int(np.ceil(start)), 0)  # smallest integer s with s >= start
@@ -270,7 +285,7 @@ class TextExtractor:
     @staticmethod
     def transcribe(
         audio_path: str, cache_path: str | None = None, backend: str = "auto",
-        asr=None,
+        asr=None, word_timestamps: bool = False,
     ) -> list[dict]:
         """ASR with transcript JSON caching (reference caches transcripts,
         text_feature_extractor.py:198-236). ``backend``: "auto" tries
@@ -289,7 +304,7 @@ class TextExtractor:
                 return json.load(f)
         segments = None
         if asr is not None:
-            segments = asr.transcribe_file(audio_path)
+            segments = asr.transcribe_file(audio_path, word_timestamps=word_timestamps)
         if segments is None and backend in ("auto", "whisperx"):
             try:
                 segments = TextExtractor._transcribe_whisperx(audio_path)

@@ -38,6 +38,9 @@ def tiny():
         encoder_ffn_dim=32, decoder_ffn_dim=32, max_source_positions=1500,
         max_target_positions=24,
     )
+    # eager attention so output_attentions works (cross-attention parity,
+    # tests/test_whisper_align.py); numerics are identical to sdpa
+    hf_cfg._attn_implementation = "eager"
     torch.manual_seed(0)
     hf = WhisperForConditionalGeneration(hf_cfg).eval()
     cfg = config_from_hf(hf_cfg)
@@ -201,7 +204,7 @@ def test_whisper_asr_end_to_end(tiny):
     segs = asr.transcribe_wave(wave)
     assert isinstance(segs, list)
     for s in segs:
-        assert set(s) == {"start", "end", "text"}
+        assert set(s) == {"start", "end", "text", "tokens"}
         assert 0 <= s["start"] <= s["end"] <= 3 * CHUNK_S
         assert s["text"]
 
@@ -256,4 +259,4 @@ def test_text_extractor_uses_jax_asr(tiny, tmp_path, monkeypatch):
     segs = TextExtractor.transcribe("fake.mp4", str(cache), asr=asr)
     assert cache.exists() and json.load(open(cache)) == segs
     for s in segs:
-        assert set(s) == {"start", "end", "text"}
+        assert set(s) == {"start", "end", "text", "tokens"}

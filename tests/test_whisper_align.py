@@ -1,0 +1,274 @@
+"""Word-timestamp aligner tests (cross-attention DTW, whisper_align.py +
+csrc/dtw.cc).
+
+The capability target is the reference's WhisperX word alignment
+(preprocessing/text_feature_extractor.py:129-160); the method under test is
+whisper-style DTW over the ASR model's own cross-attention. Cross-attention
+weights and the normalization chain validate against a randomly-initialized
+HF Whisper decoder's ``output_attentions``."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from repurpose_tpu import native
+from repurpose_tpu.extractors.whisper_align import (
+    TIME_PER_POSITION,
+    WhisperAligner,
+    attach_words,
+    default_alignment_heads,
+    split_words,
+    words_from_matrix,
+)
+from repurpose_tpu.extractors.whisper_jax import (
+    CHUNK_S,
+    WhisperASR,
+    WhisperDecoder,
+)
+from tests.test_whisper import tiny  # noqa: F401  (module-scoped fixture)
+
+
+# -- DTW -----------------------------------------------------------------------------
+
+
+def test_dtw_native_matches_fallback_and_is_valid():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        n, m = int(rng.integers(1, 25)), int(rng.integers(1, 35))
+        cost = rng.normal(0, 1, (n, m)).astype(np.float32)
+        ti, tj = native.dtw_path(cost)
+        ti2, tj2 = native._dtw_numpy(cost)
+        assert np.array_equal(ti, ti2) and np.array_equal(tj, tj2)
+        # path validity: corner-to-corner, monotone unit steps
+        assert (ti[0], tj[0]) == (0, 0) and (ti[-1], tj[-1]) == (n - 1, m - 1)
+        di, dj = np.diff(ti), np.diff(tj)
+        assert ((di >= 0) & (di <= 1) & (dj >= 0) & (dj <= 1) & (di + dj > 0)).all()
+
+
+def test_dtw_prefers_low_cost_path():
+    # cost 0 along the diagonal band, 1 elsewhere -> path sticks to the band
+    n = m = 8
+    cost = np.ones((n, m), np.float32)
+    for i in range(n):
+        cost[i, i] = 0.0
+    ti, tj = native.dtw_path(cost)
+    assert np.array_equal(ti, tj)  # pure diagonal
+
+
+# -- word splitting / timing --------------------------------------------------------
+
+
+VOCAB = {1: " hello", 2: " wor", 3: "ld", 4: "!", 5: " there"}
+
+
+def _decode(ids):
+    return "".join(VOCAB.get(i, "") for i in ids)
+
+
+def test_split_words_groups_continuation_tokens():
+    words = split_words([1, 2, 3, 4, 5], _decode)
+    assert words == [("hello", 1), ("world!", 3), ("there", 1)]
+
+
+def test_words_from_matrix_block_diagonal():
+    """3 tokens + EOT row against 10 frames with unambiguous blocks: each
+    word's start/end must land on its block boundaries (20 ms grid)."""
+    spans = [(0, 3), (3, 6), (6, 8), (8, 10)]  # rows: tok0, tok1, tok2, eot
+    matrix = np.full((4, 10), -5.0, np.float32)
+    for r, (a, b) in enumerate(spans):
+        matrix[r, a:b] = 5.0
+    words = words_from_matrix(matrix, [1, 2, 3], lambda ids: _decode(ids), offset_s=0.0)
+    # tokens 2,3 form one word ("world": " wor" + "ld")
+    assert [w["word"] for w in words] == ["hello", "world"]
+    assert words[0]["start"] == pytest.approx(0.0)
+    assert words[0]["end"] == pytest.approx(3 * TIME_PER_POSITION)
+    assert words[1]["start"] == pytest.approx(3 * TIME_PER_POSITION)
+    assert words[1]["end"] == pytest.approx(8 * TIME_PER_POSITION)
+
+
+def test_attach_words_by_token_budget():
+    segments = [
+        {"start": 0.0, "end": 2.0, "text": "hello", "tokens": [1]},
+        {"start": 2.0, "end": 4.0, "text": "world! there", "tokens": [2, 3, 4, 5]},
+    ]
+    words = [
+        {"word": "hello", "start": 0.1, "end": 0.5, "_n_tokens": 1},
+        {"word": "world!", "start": 2.1, "end": 2.5, "_n_tokens": 3},
+        {"word": "there", "start": 2.6, "end": 3.0, "_n_tokens": 1},
+    ]
+    attach_words(segments, words)
+    assert [w["word"] for w in segments[0]["words"]] == ["hello"]
+    assert [w["word"] for w in segments[1]["words"]] == ["world!", "there"]
+    assert all("_n_tokens" not in w for s in segments for w in s["words"])
+
+
+# -- alignment matrix parity vs HF cross-attentions ---------------------------------
+
+
+def _medfilt_reflect(x: np.ndarray, width: int = 7) -> np.ndarray:
+    half = width // 2
+    xp = np.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, half)], mode="reflect")
+    stacked = np.stack(
+        [xp[..., i : i + x.shape[-1]] for i in range(width)], axis=0
+    )
+    return np.median(stacked, axis=0)
+
+
+def test_alignment_matrix_matches_hf_cross_attentions(tiny):  # noqa: F811
+    hf, cfg, enc_p, dec_p = tiny
+    rng = np.random.default_rng(11)
+    b, l, s = 2, 10, cfg.max_source_positions
+    enc = rng.normal(0, 1, (b, s, cfg.d_model)).astype(np.float32)
+    toks = rng.integers(0, 1000, (b, l)).astype(np.int64)
+
+    with torch.no_grad():
+        out = hf.model.decoder(
+            input_ids=torch.from_numpy(toks),
+            encoder_hidden_states=torch.from_numpy(enc),
+            output_attentions=True,
+        )
+    cross = [a.numpy() for a in out.cross_attentions]  # per layer [B, H, L, S]
+
+    heads = default_alignment_heads(cfg)
+    sel = np.stack([cross[layer][:, head] for layer, head in heads], axis=1)
+    mean = sel.mean(axis=2, keepdims=True)
+    std = sel.std(axis=2, keepdims=True)  # population std, matching the TPU op
+    expected = _medfilt_reflect((sel - mean) / np.sqrt(std**2 + 1e-9)).mean(axis=1)
+
+    dec = WhisperDecoder(cfg)
+    head_w = np.zeros((cfg.dec_layers, cfg.heads), np.float32)
+    for layer, head in heads:
+        head_w[layer, head] = 1.0 / len(heads)
+    got = np.asarray(
+        dec.apply(
+            {"params": dec_p},
+            jnp.asarray(toks.astype(np.int32)),
+            jnp.asarray(enc),
+            jnp.ones((b, l), bool),
+            jnp.ones((b, s), bool),
+            jnp.asarray(head_w),
+            method=WhisperDecoder.alignment_matrix,
+        )
+    )
+    np.testing.assert_allclose(got, expected, atol=5e-3, rtol=1e-2)
+
+
+def test_alignment_matrix_frame_mask_zeroes_tail(tiny):  # noqa: F811
+    """Frames past the content length must get (numerically) zero attention
+    before normalization — the masked softmax puts all mass on valid frames."""
+    _, cfg, _, dec_p = tiny
+    rng = np.random.default_rng(12)
+    b, l, s = 1, 6, cfg.max_source_positions
+    enc = jnp.asarray(rng.normal(0, 1, (b, s, cfg.d_model)).astype(np.float32))
+    toks = jnp.asarray(rng.integers(0, 1000, (b, l)).astype(np.int32))
+    frame_valid = np.zeros((b, s), bool)
+    frame_valid[:, :100] = True
+    head_w = np.full((cfg.dec_layers, cfg.heads), 1.0 / (cfg.dec_layers * cfg.heads), np.float32)
+    dec = WhisperDecoder(cfg)
+    got = np.asarray(
+        dec.apply(
+            {"params": dec_p}, toks, enc, jnp.ones((b, l), bool),
+            jnp.asarray(frame_valid), jnp.asarray(head_w),
+            method=WhisperDecoder.alignment_matrix,
+        )
+    )
+    # masked frames carry no signal: every head's weight there is exactly 0,
+    # so after standardization each column is the (identical) -mean/std value
+    # and the matrix is constant across tokens — no DTW preference
+    tail = got[0, :, 100:]
+    assert np.allclose(tail, tail[0:1], atol=1e-5)
+
+
+# -- end-to-end through WhisperASR ---------------------------------------------------
+
+
+class _Tok:
+    def decode(self, ids):
+        return " ".join(f"w{i}" for i in ids)
+
+
+def test_asr_word_timestamps_end_to_end(tiny, monkeypatch):  # noqa: F811
+    """Full transcribe_wave glue with deterministic decodes: a random tiny
+    model almost never emits <|t|> text <|t|> patterns, so greedy_decode is
+    stubbed with crafted token rows; the ALIGNMENT itself (teacher-forced
+    cross-attention + DTW) runs the real model end to end."""
+    _, cfg, enc_p, dec_p = tiny
+    import repurpose_tpu.extractors.whisper_jax as wj
+
+    ts0 = cfg.timestamp_begin
+    rows = [
+        # chunk 0: two segments ([0.0-2.0] "w5 w6", [2.0-4.0] "w7")
+        [cfg.sot, cfg.lang_begin, cfg.transcribe,
+         ts0, 5, 6, ts0 + 100, ts0 + 100, 7, ts0 + 200, cfg.eot],
+        # chunk 1: one segment ([0.4-1.0] "w8 w9")
+        [cfg.sot, cfg.lang_begin, cfg.transcribe,
+         ts0 + 20, 8, 9, ts0 + 50, cfg.eot],
+        # chunk 2: silence
+        [cfg.sot, cfg.lang_begin, cfg.transcribe, cfg.eot],
+    ]
+    calls = {"i": 0}
+
+    def fake_decode(decoder, variables, enc, prompt, with_timestamps=True):
+        b = enc.shape[0]
+        out = np.full((b, cfg.max_target_positions), cfg.eot, np.int32)
+        for j in range(b):
+            r = rows[min(calls["i"] + j, len(rows) - 1)]
+            out[j, : len(r)] = r
+        calls["i"] += b
+        return jnp.asarray(out)
+
+    monkeypatch.setattr(wj, "greedy_decode", fake_decode)
+    asr = WhisperASR(cfg, enc_p, dec_p, _Tok(), max_chunk_batch=2)
+    rng = np.random.default_rng(13)
+    wave = rng.normal(0, 0.1, int(16000 * 65.0)).astype(np.float32)
+    segs = asr.transcribe_wave(wave, word_timestamps=True)
+    assert [s["text"] for s in segs] == ["w5 w6", "w7", "w8 w9"]
+    assert segs[2]["start"] == pytest.approx(CHUNK_S + 0.4)
+    for seg in segs:
+        assert "words" in seg and seg["words"]
+        chunk_lo = (seg["start"] // CHUNK_S) * CHUNK_S
+        for w in seg["words"]:
+            assert w["start"] <= w["end"]
+            assert chunk_lo <= w["start"] <= chunk_lo + CHUNK_S
+            assert chunk_lo <= w["end"] <= chunk_lo + CHUNK_S
+        # words reproduce the segment text (the dummy vocab is space-joined)
+        assert " ".join(w["word"] for w in seg["words"]) == seg["text"]
+        starts = [w["start"] for w in seg["words"]]
+        assert starts == sorted(starts)
+
+
+def test_aligner_handles_empty_rows(tiny):  # noqa: F811
+    _, cfg, enc_p, dec_p = tiny
+    dec = WhisperDecoder(cfg)
+    aligner = WhisperAligner(dec, {"params": dec_p}, (cfg.sot,))
+    rng = np.random.default_rng(14)
+    enc = jnp.asarray(
+        rng.normal(0, 1, (2, cfg.max_source_positions, cfg.d_model)).astype(np.float32)
+    )
+    mats = aligner.align_block([[5, 6, 7], []], enc, [480_000, 480_000])
+    assert mats[0].shape[0] == 4  # 3 text rows + EOT
+    assert mats[1].shape[0] == 1  # EOT row only
+    assert words_from_matrix(mats[1], [], _decode) == []
+
+
+def test_word_level_binning():
+    from repurpose_tpu.preprocessing.extract import bin_transcript_per_second
+
+    segments = [
+        {
+            "start": 0.5, "end": 4.0, "text": "alpha beta gamma",
+            "words": [
+                {"word": "alpha", "start": 0.5, "end": 0.9},
+                {"word": "beta", "start": 1.2, "end": 2.8},
+                {"word": "gamma", "start": 3.1, "end": 3.4},
+            ],
+        }
+    ]
+    # segment-level (reference-exact): seconds 1..3 get the whole text
+    seg_bins = bin_transcript_per_second(segments, 5)
+    assert seg_bins == ["", "alpha beta gamma", "alpha beta gamma", "alpha beta gamma", ""]
+    # word-level: each second gets only the words spoken during it
+    word_bins = bin_transcript_per_second(segments, 5, word_level=True)
+    assert word_bins == ["alpha", "beta", "beta", "gamma", ""]
