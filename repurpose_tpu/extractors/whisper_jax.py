@@ -353,7 +353,9 @@ def _suppress_mask(cfg: WhisperJaxConfig) -> np.ndarray:
     m = np.zeros(cfg.vocab_size, bool)
     ids = [cfg.sot, cfg.translate, cfg.transcribe, cfg.no_speech, cfg.no_timestamps]
     m[[i for i in ids if i < cfg.vocab_size]] = True
-    m[cfg.lang_begin : min(cfg.lang_begin + cfg.n_langs, cfg.vocab_size)] = True
+    # the 99 language-tag slots exist in BOTH vocab layouts (n_langs=0 only
+    # marks English-only prompting) — always suppress them
+    m[cfg.lang_begin : min(cfg.lang_begin + 99, cfg.vocab_size)] = True
     return m
 
 
@@ -362,6 +364,7 @@ def _apply_timestamp_rules(
     last_tok: Array,  # [B] previous emitted token
     penult_tok: Array,  # [B] token before that
     max_ts: Array,  # [B] highest timestamp token emitted so far
+    has_ts: Array,  # [B] any timestamp emitted yet
     is_first: Array,  # scalar bool: first sampled position
     cfg: WhisperJaxConfig,
     suppress: Array,  # [V] bool
@@ -382,8 +385,13 @@ def _apply_timestamp_rules(
     block_text = force_ts[:, None] & ~is_ts[None] & (ids != cfg.eot)[None]
     # after a completed pair: next must be text (no third timestamp)
     block_ts_pair = (last_is_ts & penult_is_ts)[:, None] & is_ts[None]
-    # monotonicity: no timestamp below the running max
-    block_ts_low = is_ts[None] & (ids[None] < max_ts[:, None])
+    # monotonicity (openai: timestamp_last): when pairing — last token is a
+    # segment-closing timestamp, next is its pair-opener — equality with the
+    # running max is allowed; everywhere else the next timestamp must be
+    # STRICTLY greater (a segment may not end at its own start, openai's
+    # "prevent infinite looping" constraint)
+    thresh = jnp.where(has_ts, jnp.where(force_ts, max_ts, max_ts + 1), ts0)
+    block_ts_low = is_ts[None] & (ids[None] < thresh[:, None])
     logits = jnp.where(block_text | block_ts_pair | block_ts_low, neg, logits)
 
     # first sampled token must be a timestamp <= max_initial_timestamp
@@ -430,26 +438,26 @@ def greedy_decode(
             variables, tok_in, pos, self_kv, cross_kv, method=WhisperDecoder.step
         )
         if with_timestamps:
+            emitted_ts = (tokens >= cfg.timestamp_begin) & (
+                jnp.arange(l)[None] <= pos
+            )
             logits = _apply_timestamp_rules(
                 logits,
                 tokens[:, pos],
                 jnp.where(pos >= 1, tokens[:, jnp.maximum(pos - 1, 0)], cfg.sot),
                 jnp.max(
-                    jnp.where(
-                        (tokens >= cfg.timestamp_begin)
-                        & (jnp.arange(l)[None] <= pos),
-                        tokens,
-                        cfg.timestamp_begin,
-                    ),
-                    axis=1,
+                    jnp.where(emitted_ts, tokens, cfg.timestamp_begin), axis=1
                 ),
+                jnp.any(emitted_ts, axis=1),
                 jnp.asarray(pos == p - 1),
                 cfg,
                 suppress,
             )
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.eot, nxt)
-        done = done | (nxt == cfg.eot)
+        # predictions at prompt-feeding positions are discarded below, so an
+        # EOT argmax there must not terminate the row
+        done = done | ((nxt == cfg.eot) & (pos + 1 >= p))
         # write the sampled token at pos+1 unless it's still prompt territory
         in_prompt = pos + 1 < p
         write = jnp.where(in_prompt, tokens[:, jnp.minimum(pos + 1, l - 1)], nxt)
@@ -571,8 +579,11 @@ def config_from_hf(hf_cfg) -> WhisperJaxConfig:
     eot = 50257 if multilingual else 50256
     sot = eot + 1
     # both vocabs carry the 99 language tags; specials sit at fixed offsets
-    # from <|startoftranscript|> (openai whisper/tokenizer.py specials list)
-    n_langs = 99
+    # from <|startoftranscript|> (openai whisper/tokenizer.py specials list).
+    # n_langs=0 marks English-only checkpoints: *.en models are trained with
+    # the bare <|startoftranscript|> prompt (no lang/task tokens) — WhisperASR
+    # keys its prompt choice off this
+    n_langs = 99 if multilingual else 0
     no_timestamps = sot + 105
     return WhisperJaxConfig(
         vocab_size=vocab,
@@ -666,8 +677,10 @@ class WhisperASR:
         self.max_chunk_batch = max_chunk_batch
         self.encoder = WhisperEncoder(cfg, compute_dtype)
         self.decoder = WhisperDecoder(cfg, compute_dtype)
-        self._enc_vars = {"params": enc_params}
-        self._dec_vars = {"params": dec_params}
+        # device-resident once: host-numpy trees would re-cross the tunnel on
+        # every greedy_decode call and inline into the jit as HLO literals
+        self._enc_vars = jax.tree.map(jnp.asarray, {"params": enc_params})
+        self._dec_vars = jax.tree.map(jnp.asarray, {"params": dec_params})
         self._encode = jax.jit(
             lambda mel: self.encoder.apply(self._enc_vars, mel)
         )
@@ -770,12 +783,18 @@ class WhisperASR:
         segments: list[dict] = []
         for i in range(0, n_chunks, self.max_chunk_batch):
             block = chunks[i : i + self.max_chunk_batch]
-            # fixed batch shape: pad the tail block to avoid a recompile
-            if block.shape[0] < self.max_chunk_batch and n_chunks > self.max_chunk_batch:
-                pad = self.max_chunk_batch - block.shape[0]
+            # stable batch shapes: pad every block up to a power-of-two bucket
+            # (<= max_chunk_batch), so at most log2(max_chunk_batch)+1 decode
+            # programs ever compile — per-video ragged sizes would each pay a
+            # multi-minute remote compile on this box
+            n_blk = block.shape[0]
+            bucket = 1
+            while bucket < n_blk:
+                bucket *= 2
+            bucket = min(bucket, self.max_chunk_batch)
+            pad = bucket - n_blk
+            if pad:
                 block = np.concatenate([block, np.zeros((pad, N_SAMPLES), np.float32)])
-            else:
-                pad = 0
             mel = log_mel_whisper(jnp.asarray(block), n_mels=self.cfg.n_mels)
             enc = self._encode(mel)
             tokens = np.asarray(

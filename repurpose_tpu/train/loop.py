@@ -98,7 +98,9 @@ class Trainer:
             per_layer_grad_norms=True, grad_histograms=True,
         )
         self.eval_step = make_eval_step(cfg.model, tc, mesh=model_mesh)
-        self.step_rng = jax.random.key(tc.seed + 1)
+        # rbg keys cut the step 30% on v5e (TrainConfig.rng_impl docstring)
+        impl = "rbg" if tc.rng_impl == "rbg" else None
+        self.step_rng = jax.random.key(tc.seed + 1, impl=impl)
         # Observability cadences (reference: per-Linear grad norms every 10
         # iters, main.py:345-367; wandb.watch default histogram freq 1000,
         # main.py:264; the divergence probe is the only one that syncs).
@@ -135,7 +137,12 @@ class Trainer:
         )
         from repurpose_tpu.models import build_model
 
-        _fwd_model = build_model(dataclasses.replace(eval_model_cfg, dropout=cfg.model.dropout))
+        # mesh must follow attention_impl: a retained "ring" impl needs the
+        # mesh at build time (encoder.py raises otherwise)
+        _fwd_model = build_model(
+            dataclasses.replace(eval_model_cfg, dropout=cfg.model.dropout),
+            mesh=self.mesh if ring_eval else None,
+        )
         self._fwd = jax.jit(
             lambda p, v, a, t, m: _fwd_model.apply({"params": p}, v, a, t, m, True)
         )
@@ -237,7 +244,9 @@ class Trainer:
 
         rep = NamedSharding(self.mesh, PartitionSpec())
         gathered = jax.jit(lambda p: p, out_shardings=rep)(self.state.params)
-        return jax.device_get(gathered)
+        # re-materialize as device arrays: returning the raw device_get numpy
+        # tree would re-stage the full model host->device on EVERY eval batch
+        return jax.tree.map(jnp.asarray, jax.device_get(gathered))
 
     def evaluate(
         self,

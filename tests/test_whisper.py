@@ -176,6 +176,78 @@ def test_greedy_timestamp_rules_produce_segments(tiny):
             assert 0 <= s["start"] <= s["end"] <= CHUNK_S
 
 
+def test_timestamp_rules_strict_monotonicity(tiny):
+    """OpenAI's timestamp_last rule: after TEXT the next timestamp must be
+    STRICTLY greater than the running max (no zero-length segments); while
+    pairing (last token is a closing timestamp) equality is allowed."""
+    from repurpose_tpu.extractors.whisper_jax import (
+        _apply_timestamp_rules,
+        _suppress_mask,
+    )
+
+    _, cfg, _, _ = tiny
+    ts0 = cfg.timestamp_begin
+    suppress = jnp.asarray(_suppress_mask(cfg))
+    logits = jnp.zeros((1, cfg.vocab_size), jnp.float32)
+    text_tok = jnp.asarray([100])
+    ts5 = jnp.asarray([ts0 + 5])
+    max5 = jnp.asarray([ts0 + 5])
+    yes = jnp.asarray([True])
+
+    # last = text, a timestamp t5 already emitted -> t5 blocked, t6 open
+    out = np.asarray(
+        _apply_timestamp_rules(
+            logits, text_tok, ts5, max5, yes, jnp.asarray(False), cfg, suppress
+        )
+    )[0]
+    assert out[ts0 + 5] <= -1e8 and out[ts0 + 6] == 0.0
+
+    # pairing: last = t5 (closing), penult = text -> equality allowed
+    out = np.asarray(
+        _apply_timestamp_rules(
+            logits, ts5, text_tok, max5, yes, jnp.asarray(False), cfg, suppress
+        )
+    )[0]
+    assert out[ts0 + 5] == 0.0 and out[ts0 + 4] <= -1e8
+
+    # no timestamp yet (has_ts False): ts0 itself must stay available
+    out = np.asarray(
+        _apply_timestamp_rules(
+            logits, text_tok, text_tok, jnp.asarray([ts0]),
+            jnp.asarray([False]), jnp.asarray(False), cfg, suppress,
+        )
+    )[0]
+    assert out[ts0] == 0.0
+
+
+def test_config_from_hf_english_only():
+    """*.en checkpoints (vocab 51864) must get the bare <|sot|> prompt."""
+    from transformers import WhisperConfig
+
+    hf_cfg = WhisperConfig(
+        vocab_size=51864, num_mel_bins=8, d_model=16, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=32, decoder_ffn_dim=32, max_source_positions=1500,
+        max_target_positions=24,
+    )
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.eot == 50256 and cfg.sot == 50257 and cfg.n_langs == 0
+
+    class Tok:
+        def decode(self, ids):
+            return "x"
+
+    import flax.linen as nn
+
+    enc = WhisperEncoder(cfg)
+    dec = WhisperDecoder(cfg)
+    key = jax.random.key(0)
+    enc_p = enc.init(key, jnp.zeros((1, 8, cfg.n_mels)))["params"]
+    dec_p = dec.init(key, jnp.zeros((1, 2), jnp.int32), jnp.zeros((1, 4, cfg.d_model)))["params"]
+    asr = WhisperASR(cfg, enc_p, dec_p, Tok())
+    assert asr.prompt == (cfg.sot,)
+
+
 def test_log_mel_matches_hf_feature_extractor():
     from transformers import WhisperFeatureExtractor
 
