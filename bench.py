@@ -188,10 +188,12 @@ def main() -> None:
         segs = jax.device_put(np.abs(rng.normal(0, 10, (TRAIN_BATCH, t, 2))).astype(np.float32))
         batch = Batch(v, a, x, m, labels, segs, durs)
 
+        step_key = jax.random.key(2, impl="rbg" if tc.rng_impl == "rbg" else None)
+
         @jax.jit
         def train_chain(state, batch):
             def body(st, _):
-                st, metrics = step(st, batch, jax.random.key(2))
+                st, metrics = step(st, batch, step_key)
                 return st, metrics["loss"]
             st, losses = jax.lax.scan(body, state, None, length=N_TRAIN_CHAIN)
             return losses[-1]

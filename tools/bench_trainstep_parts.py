@@ -1,16 +1,23 @@
 #!/usr/bin/env python
 """Train-step time breakdown at the flagship shape (batch 6, T=2048).
 
-The full step is 126 ms while the dense+attention FLOPs argue ~70 ms; this
+The full step was 126 ms while the dense+attention FLOPs argue ~70 ms; this
 isolates where the rest goes. Parts, all chained on-device back-to-back in one
 process (CLAUDE.md measurement rules):
 
   A. eval forward (dropout off)                 — pure model fwd
-  B. train forward (dropout on, threefry)       — A + 50 dropout masks
+  B. train forward (dropout on, threefry)       — A + ~50 dropout masks
   C. train forward (dropout on, rbg PRNG)       — cheaper random bits
   D. value_and_grad, no optimizer               — B + backward
   E. full train step (grad + Adam + metrics)    — production program
   F. full train step with rbg dropout keys
+
+Measured on v5e (2026-08-16): A 19.8 | B 32.5 | C 24.2 | E 121.3 | F 84.8 ms.
+Threefry dropout bit-generation was ~30% of the whole step (regenerated in
+the backward too); TrainConfig.rng_impl="rbg" (now the default) captures the
+36 ms. Two hard-won measurement rules encoded here: perturb the scan input
+with the carry or XLA hoists loop-invariant forwards out of the chain, and
+consume every gradient leaf or DCE deletes most of the backward.
 """
 
 from __future__ import annotations
@@ -103,12 +110,16 @@ def main():
         return f
 
     def grad_only(key):
+        import optax
+
         g = jax.grad(
             lambda p, b: _loss_fn(model, tc, p, b, jax.random.fold_in(key, 0), True)[0]
         )
         def f(c, b):
             grads = g(state.params, _perturb(b, c))
-            return c + jax.tree.leaves(grads)[0].ravel()[0]
+            # consume EVERY gradient leaf — reading one scalar lets XLA
+            # dead-code-eliminate most of the backward
+            return c + optax.global_norm(grads)
         return f
 
     results = {}
