@@ -174,6 +174,13 @@ class WhisperAligner:
             )
         )
 
+    @property
+    def text_budget(self) -> int:
+        """Max text tokens per aligned row (prompt + text + EOT must fit in
+        max_target_positions); callers should clamp before align_block so the
+        token list matches the matrix rows."""
+        return self.cfg.max_target_positions - len(self.prompt) - 1
+
     def _bucket_len(self, n: int) -> int:
         b = self.token_bucket
         return min(((n + b - 1) // b) * b, self.cfg.max_target_positions)

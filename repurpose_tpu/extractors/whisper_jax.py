@@ -811,9 +811,12 @@ class WhisperASR:
             if word_timestamps and any(
                 seg for segs in block_segments for seg in segs
             ):
-                # one aligned pass over the whole block (pad rows align empty)
+                # one aligned pass over the whole block (pad rows align empty);
+                # clamp to the aligner's token budget so words match matrix rows
                 rows_text = [
-                    [t for seg in segs for t in seg["tokens"]]
+                    [t for seg in segs for t in seg["tokens"]][
+                        : self.aligner.text_budget
+                    ]
                     for segs in block_segments
                 ] + [[] for _ in range(pad)]
                 content = [

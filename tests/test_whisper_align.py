@@ -253,6 +253,26 @@ def test_aligner_handles_empty_rows(tiny):  # noqa: F811
     assert words_from_matrix(mats[1], [], _decode) == []
 
 
+def test_aligner_truncates_overlong_rows(tiny):  # noqa: F811
+    """Rows longer than max_target_positions - prompt - 1 must truncate, not
+    crash or mis-shape (448-token budget at full scale; 24 here)."""
+    _, cfg, enc_p, dec_p = tiny
+    dec = WhisperDecoder(cfg)
+    aligner = WhisperAligner(dec, {"params": dec_p}, (cfg.sot,))
+    rng = np.random.default_rng(15)
+    enc = jnp.asarray(
+        rng.normal(0, 1, (1, cfg.max_source_positions, cfg.d_model)).astype(np.float32)
+    )
+    long_row = list(range(5, 5 + 2 * cfg.max_target_positions))
+    mats = aligner.align_block([long_row], enc, [480_000])
+    budget = cfg.max_target_positions - len(aligner.prompt) - 1
+    assert mats[0].shape[0] == budget + 1
+    # words_from_matrix rejects a mismatched (tokens, rows) pair cleanly
+    assert words_from_matrix(mats[0], long_row, lambda ids: "x") == []
+    words = words_from_matrix(mats[0], long_row[:budget], lambda ids: " ".join(map(str, ids)))
+    assert len(words) == budget
+
+
 def test_word_level_binning():
     from repurpose_tpu.preprocessing.extract import bin_transcript_per_second
 
