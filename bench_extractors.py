@@ -108,6 +108,33 @@ def main() -> None:
         f"(batch {bc} x 30 s chunks, <=61 tokens/chunk)"
     )
 
+    # Word alignment: teacher-forced cross-attention matrix (TPU) + DTW (C++)
+    # — the per-chunk cost of word_timestamps=True on top of ASR.
+    from repurpose_tpu.extractors.whisper_align import WhisperAligner
+    from repurpose_tpu.native import dtw_path
+
+    aligner = WhisperAligner(
+        wdec, {"params": dparams}, (wcfg.sot, wcfg.lang_begin, wcfg.transcribe)
+    )
+    rows = [list(range(100, 140)) for _ in range(bc)]  # 40 text tokens/chunk
+
+    def align(_wav):
+        enc = wenc.apply({"params": wparams}, log_mel_whisper(_wav))
+        return aligner.align_block(rows, enc, [480000] * bc)
+
+    mats = align(wav)
+    t0 = time.perf_counter()
+    n_align = 3
+    for _ in range(n_align):
+        mats = align(wav)
+        for m in mats:
+            dtw_path(-m)
+    dt = (time.perf_counter() - t0) / n_align
+    print(
+        f"Word aligner: {bc * 30 / dt:,.0f} aligned audio-seconds/s "
+        f"(batch {bc}, 40 words/chunk, incl. C++ DTW)"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -23,7 +23,12 @@ everything in VMEM:
   round-trip transposes per layer: 5 in, 3 out). Measured 8% faster per
   attention grad (2.92 vs 3.17 ms fwd+bwd at [8,2048,8,64], chained
   on-device, same process — tools/bench_attention_bwd.py) and 2.36x the
-  XLA-recompute backward.
+  XLA-recompute backward. A SINGLE-pass fused backward (dq + dk/dv
+  accumulated in VMEM scratch over a sequential q sweep, one score recompute,
+  LSE-based softmax) was built and measured ~20% SLOWER (3.45 vs 2.88
+  ms/grad, best q_block) — the read-modify-write accumulators and the lost
+  inter-kernel pipelining cost more than the second score recompute saves on
+  v5e at these shapes; the two-kernel split stands.
 - scores and softmax in float32 on the MXU/VPU, inputs/outputs in the
   activation dtype (bfloat16 in production);
 - key-padding mask applied as a -1e9 additive bias (torch

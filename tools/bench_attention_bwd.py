@@ -64,10 +64,13 @@ def timed(fn, *args, reps=3):
     return best / N_CHAIN
 
 
-def chained_grad(mha, backward):
+def chained_grad(mha, backward, q_block=None):
     def loss(q, k, v, mask):
+        kw = {"backward": backward}
+        if q_block is not None:
+            kw["q_block"] = q_block
         return jnp.sum(
-            mha(q, k, v, mask, backward=backward).astype(jnp.float32)
+            mha(q, k, v, mask, **kw).astype(jnp.float32)
         )
 
     g = jax.grad(loss, argnums=(0, 1, 2))
@@ -96,12 +99,21 @@ def main():
     mask[:, 1800:] = False
     mask = jax.device_put(mask)
 
-    for name, fn in [
+    # A single-pass fused backward (dq + VMEM-scratch dk/dv accumulation over
+    # a sequential q sweep) was measured here at 3.45 ms/grad (best q_block
+    # 256) vs 2.88 for the two-kernel split — retired; see the
+    # flash_attention.py module docstring.
+    variants = [
         (f"old-transposed ({rev})", chained_grad(old.mha_pallas, "pallas")),
-        ("new-flat", chained_grad(mha_pallas, "pallas")),
+        ("new-flat two-kernel", chained_grad(mha_pallas, "pallas")),
         ("xla-recompute", chained_grad(mha_pallas, "xla")),
-    ]:
-        ms = timed(fn, q, k, v, mask) * 1e3
+    ]
+    for name, fn in variants:
+        try:
+            ms = timed(fn, q, k, v, mask) * 1e3
+        except Exception as e:
+            print(f"{name:28s} FAILED: {type(e).__name__}: {str(e)[:120]}")
+            continue
         print(f"{name:28s} {ms:8.3f} ms/grad")
 
 
