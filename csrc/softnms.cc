@@ -23,7 +23,9 @@ int64_t soft_nms_f32(const float* scores_in, const float* segments_in,
                      int64_t n, float sigma, float thresh,
                      int64_t max_seg_num, int64_t* keep_out) {
   if (n <= 0) return 0;
-  std::vector<double> s(n), b(n), e(n), len0(n);
+  // float (not double) throughout: the reference's decay loop runs on
+  // float32 numpy arrays, and near-threshold comparisons are precision-bound
+  std::vector<float> s(n), b(n), e(n), len0(n);
   std::vector<int64_t> idx(n);
   for (int64_t i = 0; i < n; ++i) {
     s[i] = scores_in[i];
@@ -35,7 +37,7 @@ int64_t soft_nms_f32(const float* scores_in, const float* segments_in,
   int64_t max_segments = max_seg_num < n ? max_seg_num : n;
   int64_t selected = 0;
   for (int64_t i = 0; i < n; ++i) {
-    double tscore = s[i];  // pre-swap (quirk)
+    float tscore = s[i];  // pre-swap (quirk)
     if (i != n - 1) {
       int64_t maxpos = i + 1;
       for (int64_t j = i + 2; j < n; ++j)
@@ -51,14 +53,18 @@ int64_t soft_nms_f32(const float* scores_in, const float* segments_in,
       if (++selected >= max_segments) break;  // break BEFORE decay (quirk)
     }
     for (int64_t j = i + 1; j < n; ++j) {
-      double ov = std::min(e[i], e[j]) - std::max(b[i], b[j]);
+      float ov = std::min(e[i], e[j]) - std::max(b[i], b[j]);
       if (ov < 0) ov = 0;
-      double total = len0[i] + len0[j] - ov;  // stale lengths (quirk)
-      if (total > 0) {
-        double ratio = ov / total;
+      float total = len0[i] + len0[j] - ov;  // stale lengths (quirk)
+      if (total != 0.0f) {
+        // reference semantics: total < 0 decays with a FINITE weight
+        // (negative ratio, positive square)
+        float ratio = ov / total;
         s[j] *= std::exp(-(ratio * ratio) / sigma);
       } else {
-        s[j] = 0.0;  // reference NaN-poisons here; drop NaN-free (PARITY.md)
+        // ov > 0: reference ratio is inf -> weight exactly 0.
+        // ov == 0 (0/0): reference NaN-poisons; drop NaN-free (PARITY.md)
+        s[j] = 0.0f;
       }
     }
   }

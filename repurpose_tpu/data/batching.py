@@ -47,7 +47,11 @@ def collate(
     all-masked rows, so ragged final batches reuse the same compiled program.
     """
     n = len(samples)
-    b = batch_size or n
+    b = n if batch_size is None else batch_size
+    if b < n:
+        raise ValueError(
+            f"batch_size={batch_size} smaller than the {n} samples given"
+        )
     t = pick_bucket(max(s["duration"] for s in samples), buckets)
 
     def dim(key):

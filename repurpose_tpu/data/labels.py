@@ -28,15 +28,29 @@ import numpy as np
 def generate_time_status_list(
     time_range: Sequence[float], segments: Sequence[Sequence[float]]
 ) -> np.ndarray:
-    """Binary per-second labels, shape (T,), dtype int32."""
+    """Binary per-second labels, shape (T,), dtype int32.
+
+    Degenerate-input parity (RepurposeClip.py:332-343): an inverted range
+    gives ``int(t1 - t0) + 1 < 0`` and the reference's ``[0] * negative``
+    returns an EMPTY list (no segment can write into it, since
+    ``min(int(seg[1]), int(t1)) < max(int(seg[0]), int(t0))``); and a
+    fractional range whose integer endpoints span more slots than
+    ``int(t1 - t0) + 1`` makes the reference's per-index loop raise
+    IndexError — reproduced here rather than silently clamping, so both
+    frameworks reject the same corrupt annotations."""
     t0, t1 = time_range
     total_seconds = int(t1 - t0) + 1
-    status = np.zeros(total_seconds, dtype=np.int32)
+    status = np.zeros(max(total_seconds, 0), dtype=np.int32)
     it0, it1 = int(t0), int(t1)
     for seg in segments:
         start = max(int(seg[0]), it0)
         end = min(int(seg[1]), it1)
         if end >= start:
+            if end - it0 >= len(status):
+                raise IndexError(
+                    f"segment {seg} writes past the {len(status)}-slot range "
+                    f"{time_range} (reference RepurposeClip.py:342 raises here)"
+                )
             status[start - it0 : end - it0 + 1] = 1
     return status
 

@@ -49,6 +49,17 @@ class BatchLoader:
         prefetch: int = 2,
         bucket_window: int = 64,
     ):
+        if not pad_last and not drop_last and process_count > 1:
+            # A ragged global tail splits unevenly across the strided shards
+            # (7 samples on 2 processes -> local batches of 4 and 3), so the
+            # hosts would feed DIFFERENT shapes into the same collective
+            # program — the cross-host divergence this loader exists to
+            # prevent. Refuse rather than hang at the first ragged batch.
+            raise ValueError(
+                "pad_last=False with process_count > 1 produces divergent "
+                "per-host batch shapes on ragged tails; use pad_last=True "
+                "(default) or drop_last=True"
+            )
         self.dataset = dataset
         self.batch_size = batch_size  # per process
         self.buckets = tuple(buckets)

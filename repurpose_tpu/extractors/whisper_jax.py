@@ -157,23 +157,28 @@ def _sinusoids(length: int, channels: int) -> np.ndarray:
 
 class _DecLayer(nn.Module):
     cfg: WhisperJaxConfig
+    dtype: Any = jnp.float32
 
     def setup(self):
         cfg = self.cfg
         d = cfg.d_model
+        # dtype on every Dense: without it flax promotes to the float32 param
+        # dtype, which breaks the bf16 KV cache (dynamic_update_slice requires
+        # matching dtypes) and silently doubles the decode's compute width
+        dt = self.dtype
         self.self_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="self_ln")
-        self.sq = nn.Dense(d, name="sq")
-        self.sk = nn.Dense(d, use_bias=False, name="sk")
-        self.sv = nn.Dense(d, name="sv")
-        self.s_out = nn.Dense(d, name="s_out")
+        self.sq = nn.Dense(d, dtype=dt, name="sq")
+        self.sk = nn.Dense(d, use_bias=False, dtype=dt, name="sk")
+        self.sv = nn.Dense(d, dtype=dt, name="sv")
+        self.s_out = nn.Dense(d, dtype=dt, name="s_out")
         self.cross_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="cross_ln")
-        self.cq = nn.Dense(d, name="cq")
-        self.ck = nn.Dense(d, use_bias=False, name="ck")
-        self.cv = nn.Dense(d, name="cv")
-        self.c_out = nn.Dense(d, name="c_out")
+        self.cq = nn.Dense(d, dtype=dt, name="cq")
+        self.ck = nn.Dense(d, use_bias=False, dtype=dt, name="ck")
+        self.cv = nn.Dense(d, dtype=dt, name="cv")
+        self.c_out = nn.Dense(d, dtype=dt, name="c_out")
         self.final_ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="final_ln")
-        self.fc1 = nn.Dense(cfg.d_ff, name="fc1")
-        self.fc2 = nn.Dense(d, name="fc2")
+        self.fc1 = nn.Dense(cfg.d_ff, dtype=dt, name="fc1")
+        self.fc2 = nn.Dense(d, dtype=dt, name="fc2")
 
     def cross_kv(self, enc: Array) -> tuple[Array, Array]:
         return self.ck(enc), self.cv(enc)
@@ -245,7 +250,10 @@ class WhisperDecoder(nn.Module):
             "pos_embed", nn.initializers.normal(0.02),
             (cfg.max_target_positions, cfg.d_model), jnp.float32,
         )
-        self.layers = [_DecLayer(cfg, name=f"layer_{i}") for i in range(cfg.dec_layers)]
+        self.layers = [
+            _DecLayer(cfg, dtype=self._dtype, name=f"layer_{i}")
+            for i in range(cfg.dec_layers)
+        ]
         self.ln = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln")
 
     @property

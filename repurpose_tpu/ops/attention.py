@@ -74,5 +74,11 @@ def select_attention_impl(impl: str, seq_len: int, precision: str = "default") -
             from repurpose_tpu.ops.flash_attention import mha_pallas
 
             backward = "xla" if impl == "pallas" else "pallas"
-            return functools.partial(mha_pallas, backward=backward)
+            # precision travels along: it governs the XLA fallback for
+            # kernel-incompatible bucket lengths and the "xla" recompute
+            # backward (fp32 parity mode must not silently drop to
+            # bf16-grade dots, CLAUDE.md)
+            return functools.partial(
+                mha_pallas, backward=backward, precision=precision
+            )
     return functools.partial(mha_xla, precision=precision)

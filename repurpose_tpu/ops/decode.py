@@ -43,9 +43,20 @@ class DecodeResult(NamedTuple):
 
 def max_segments_for_duration(duration: Array, max_seg_per_min: float) -> Array:
     """ceil((duration // 60) * rate) — MMCTransformer.py:255-257 semantics
-    (integer floor-division into whole minutes first)."""
+    (integer floor-division into whole minutes first).
+
+    The reference evaluates the product in float64; a float32 multiply on
+    device inflates the budget by 1 for many ordinary durations (e.g.
+    50 min * 0.3: f32 gives 15.000001 -> ceil 16, f64 gives 15). ``rate`` is
+    a static config float, so it is expressed as an exact rational at trace
+    time and the ceil becomes integer arithmetic on device — bit-exact with
+    the reference for every practical (minutes, rate)."""
+    from fractions import Fraction
+
     mins = jnp.asarray(duration, jnp.int32) // 60
-    return jnp.ceil(mins.astype(jnp.float32) * max_seg_per_min).astype(jnp.int32)
+    frac = Fraction(float(max_seg_per_min)).limit_denominator(10_000)
+    p, q = frac.numerator, frac.denominator
+    return (mins * p + (q - 1)) // q
 
 
 def decode_candidates(

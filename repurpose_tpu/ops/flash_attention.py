@@ -332,18 +332,18 @@ def _flash_backward(
 # -- custom VJP --------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _mha_pallas(q, k, v, key_valid, q_block, interpret, backward):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _mha_pallas(q, k, v, key_valid, q_block, interpret, backward, precision):
     out, _ = _flash_forward(q, k, v, key_valid, q_block, interpret)
     return out
 
 
-def _mha_fwd(q, k, v, key_valid, q_block, interpret, backward):
+def _mha_fwd(q, k, v, key_valid, q_block, interpret, backward, precision):
     o, lse = _flash_forward(q, k, v, key_valid, q_block, interpret)
     return o, (q, k, v, key_valid, o, lse)
 
 
-def _mha_bwd(q_block, interpret, backward, res, g):
+def _mha_bwd(q_block, interpret, backward, precision, res, g):
     q, k, v, key_valid, o, lse = res
     if backward == "pallas":
         dq, dk, dv = _flash_backward(
@@ -353,7 +353,10 @@ def _mha_bwd(q_block, interpret, backward, res, g):
         # XLA-recompute backward escape hatch (attention_impl="pallas"):
         # materializes [B,H,T,T] in HBM — measured 1.57x SLOWER than the
         # fused kernels at T=2048 on v5e.
-        _, vjp = jax.vjp(lambda a, b, c: mha_xla(a, b, c, key_valid), q, k, v)
+        _, vjp = jax.vjp(
+            lambda a, b, c: mha_xla(a, b, c, key_valid, precision=precision),
+            q, k, v,
+        )
         dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
@@ -366,17 +369,20 @@ def mha_pallas(
     q_block: int = DEFAULT_Q_BLOCK,
     interpret: bool | None = None,
     backward: str = "pallas",
+    precision: str = "default",
 ) -> Array:
     """Drop-in replacement for ``mha_xla`` (same signature/semantics on valid
     rows). Runs interpreted off-TPU so CPU tests exercise the same code.
     ``backward``: "xla" (recompute) or "pallas" (fused two-kernel).
+    ``precision`` governs the XLA paths only (fallback + recompute backward);
+    the Pallas kernels always accumulate in float32.
 
     Sequence lengths with no usable power-of-two block divisor (e.g. odd
     buckets) fall back to the XLA path instead of mistiling — a legal bucket
     config never crashes or truncates in the kernel."""
     picked = _pick_block(q.shape[1], min(q_block, q.shape[1]))
     if picked is None:
-        return mha_xla(q, k, v, key_valid)
+        return mha_xla(q, k, v, key_valid, precision=precision)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _mha_pallas(q, k, v, key_valid, picked, interpret, backward)
+    return _mha_pallas(q, k, v, key_valid, picked, interpret, backward, precision)

@@ -24,11 +24,15 @@ test suite):
 4. the kept set is "score still > thresh" in post-swap array order, truncated
    to ``max_seg_num`` (softnms.py:37).
 
-ONE documented deviation (PARITY.md): when the stale-lengths quirk makes the
-union denominator non-positive, the reference divides by <= 0 and NaN-poisons
-the candidate's score (permanently dropping it, with NaNs then leaking into
-later argmax calls); all implementations here set the decay weight to 0
-instead — same terminal drop, no NaN propagation.
+The stale-lengths quirk can also drive the union denominator to zero or
+below. The reference's arithmetic there is reproduced faithfully: a NEGATIVE
+denominator still yields a finite decay weight exp(-(overlap/total)^2/sigma)
+(the candidate usually survives), and a zero denominator with positive
+overlap yields ratio inf -> weight exactly 0. ONE documented deviation
+(PARITY.md): the 0/0 case (zero overlap AND zero denominator), where the
+reference NaN-poisons the score (permanently dropping the candidate, with
+NaN then leaking into later argmax calls); all implementations here set the
+weight to 0 instead — same terminal drop, no NaN propagation.
 """
 
 from __future__ import annotations
@@ -56,8 +60,11 @@ def soft_nms_cpu(
       scores: (N,) float scores.
       segments: (N, 2) float (begin, end) intervals.
     """
-    scores = np.asarray(scores, dtype=np.float64).copy()
-    segments = np.asarray(segments, dtype=np.float64).copy()
+    # float32 throughout: the reference's whole decay loop runs on float32
+    # numpy arrays (torch .numpy() output), and near-threshold decays /
+    # argmax orderings are precision-sensitive
+    scores = np.asarray(scores, dtype=np.float32).copy()
+    segments = np.asarray(segments, dtype=np.float32).copy()
     n = segments.shape[0]
     orig_idx = np.arange(n, dtype=np.int64)
 
@@ -83,15 +90,17 @@ def soft_nms_cpu(
                 break  # quirk 3: no decay for this pivot
         overlap = np.clip(np.minimum(end[i], end[pos:]) - np.maximum(begin[i], begin[pos:]), 0.0, None)
         total = lengths[i] + lengths[pos:] - overlap
-        # total <= 0 is reachable via the stale-lengths quirk; the reference
-        # NaN-poisons the score there (0/0), permanently dropping the
-        # candidate — weight 0 reproduces that terminal effect NaN-free
-        # (documented deviation, PARITY.md).
+        # The stale-lengths quirk makes total <= 0 reachable. The reference
+        # computes exp(-(overlap/total)^2 / sigma) regardless: total < 0
+        # gives a FINITE decay weight (negative ratio, positive square);
+        # total == 0 with overlap > 0 gives ratio inf -> weight exactly 0.
+        # Only 0/0 (both zero) NaN-poisons the reference's scores; weight 0
+        # there reproduces the terminal drop NaN-free (documented deviation,
+        # PARITY.md).
         with np.errstate(divide="ignore", invalid="ignore"):
-            weight = np.where(
-                total > 0, np.exp(-(overlap / total) ** 2 / sigma), 0.0
-            )
-        scores[pos:] *= weight
+            ratio = overlap / total
+            weight = np.exp(-(ratio * ratio) / sigma)
+        scores[pos:] *= np.where(np.isnan(weight), 0.0, weight)
 
     keep_positions = np.nonzero(scores > thresh)[0][:max_segments]
     return orig_idx[keep_positions]
@@ -152,9 +161,11 @@ def soft_nms_tpu(
 
         overlap = jnp.clip(jnp.minimum(e[i], e) - jnp.maximum(b[i], b), 0.0, None)
         total = lengths[i] + lengths - overlap
-        ratio = overlap / jnp.where(total > 0, total, 1.0)
-        # total <= 0 (stale-lengths quirk) drops the candidate (PARITY.md).
-        weight = jnp.where(total > 0, jnp.exp(-(ratio * ratio) / sigma), 0.0)
+        # Reference weight semantics incl. total < 0 (finite) and total == 0
+        # with overlap > 0 (exactly 0); only 0/0 deviates (NaN -> 0, PARITY.md)
+        ratio = overlap / total  # IEEE: x/0 = inf, 0/0 = nan
+        weight = jnp.exp(-(ratio * ratio) / sigma)
+        weight = jnp.where(jnp.isnan(weight), 0.0, weight)
         s = jnp.where(tail & ~done, s * weight, s)
         # Early exit once no tail candidate can still pass the threshold:
         # later pivots would be <= thresh (never counted) and decay only

@@ -96,3 +96,12 @@ def test_lengths_from_label_json(tmp_path):
     path.write_text(json.dumps(entries))
     # int(end-start)+1, the dataset's label-list length quirk
     assert lengths_from_label_json(str(path)) == [267, 101]
+
+
+def test_collate_rejects_undersized_batch():
+    import pytest
+
+    ds = SyntheticDataset([50, 60, 70, 80, 90], TINY, seed=0)
+    samples = [ds[i] for i in range(5)]
+    with pytest.raises(ValueError, match="batch_size"):
+        collate(samples, (256,), batch_size=4)

@@ -61,6 +61,19 @@ def test_max_segments_budget(duration, want):
     assert got == want
 
 
+@pytest.mark.parametrize("rate", [0.3, 0.1, 0.5, 0.7, 1.5])
+def test_max_segments_budget_float64_exact(rate):
+    """The reference evaluates ceil(mins * rate) in float64; a float32
+    multiply inflates the budget by 1 for many common durations (50 min *
+    0.3 -> f32 15.000001 -> 16). Sweep every video length up to ~33 h."""
+    import math
+
+    mins = np.arange(0, 2001, dtype=np.int64)
+    got = np.asarray(max_segments_for_duration(jnp.asarray(mins * 60), rate))
+    want = np.asarray([math.ceil(m * np.float64(rate)) for m in mins])
+    np.testing.assert_array_equal(got, want)
+
+
 def test_score_stream_matches_score_batch():
     import numpy as np
 

@@ -39,3 +39,26 @@ def test_labels_inclusive_int_semantics():
     status = generate_time_status_list([0, 10.0], [[2.7, 4.2]])
     # int() truncation: marks seconds 2..4 inclusive.
     assert status.tolist() == [0, 0, 1, 1, 1, 0, 0, 0, 0, 0, 0]
+
+
+def test_inverted_time_range_returns_empty():
+    """RepurposeClip.py:332-343: [0] * negative == [] in the reference; no
+    segment can write into it (clamped end < clamped start)."""
+    from repurpose_tpu.data.labels import generate_time_status_list
+
+    out = generate_time_status_list([10.0, 7.0], [[8.0, 9.0]])
+    assert out.shape == (0,)
+
+
+def test_fractional_range_overrun_raises_like_reference():
+    """A fractional range whose integer endpoints span more slots than
+    int(t1 - t0) + 1 makes the reference's per-index loop raise IndexError
+    (RepurposeClip.py:342); silent clamping would train on a sample the
+    reference rejects."""
+    import pytest
+
+    from repurpose_tpu.data.labels import generate_time_status_list
+
+    # 10 slots (int(20.3 - 10.7) + 1) but indices run to int(20)-int(10) = 10
+    with pytest.raises(IndexError):
+        generate_time_status_list([10.7, 20.3], [[10.0, 20.3]])

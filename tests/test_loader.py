@@ -111,3 +111,15 @@ def test_loader_error_propagates():
     loader = BatchLoader(Broken(), batch_size=1, buckets=(16,))
     with pytest.raises(RuntimeError, match="corrupt sample"):
         list(loader.epoch(0))
+
+
+def test_multiprocess_requires_pad_or_drop():
+    """pad_last=False with process_count > 1 would give hosts different
+    local batch shapes on ragged tails (collective shape divergence)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="pad_last"):
+        BatchLoader(
+            _ds(), batch_size=4, buckets=(256,), pad_last=False,
+            process_index=0, process_count=2,
+        )

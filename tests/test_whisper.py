@@ -176,6 +176,23 @@ def test_greedy_timestamp_rules_produce_segments(tiny):
             assert 0 <= s["start"] <= s["end"] <= CHUNK_S
 
 
+def test_bfloat16_decode_path_runs(tiny):
+    """compute_dtype='bfloat16' (the from_hf_dir default) must run the full
+    cached greedy decode — regression: decoder Dense layers without a dtype
+    promoted to float32 and broke the bf16 KV-cache update."""
+    _, cfg, enc_p, dec_p = tiny
+
+    class Tok:
+        def decode(self, ids):
+            return " ".join(f"w{i}" for i in ids)
+
+    asr = WhisperASR(cfg, enc_p, dec_p, Tok(), compute_dtype="bfloat16")
+    rng = np.random.default_rng(21)
+    wave = rng.normal(0, 0.1, 16000 * 3).astype(np.float32)
+    segs = asr.transcribe_wave(wave, word_timestamps=True)
+    assert isinstance(segs, list)  # empty is fine for random weights
+
+
 def test_timestamp_rules_strict_monotonicity(tiny):
     """OpenAI's timestamp_last rule: after TEXT the next timestamp must be
     STRICTLY greater than the running max (no zero-length segments); while

@@ -138,14 +138,27 @@ def main():
         results[name] = ms
         print(f"{name:28s} {ms:8.2f} ms", file=sys.stderr)
 
-    for name, key in [("E full step threefry", key_tf), ("F full step rbg", key_rbg)]:
-        step = make_train_step(cfg, tc, tx, sched, donate=False)
+    for name, key, tel in [
+        ("E full step threefry", key_tf, False),
+        ("F full step rbg", key_rbg, False),
+        ("G full step rbg + telemetry", key_rbg, True),
+    ]:
+        step = make_train_step(
+            cfg, tc, tx, sched, donate=False,
+            per_layer_grad_norms=tel, grad_histograms=tel,
+        )
 
         @jax.jit
-        def train_chain(st, b, key=key):
+        def train_chain(st, b, key=key, step=step):
             def body(s, _):
                 s2, m = step(s, b, key)
-                return s2, m["loss"]
+                # consume EVERY metric (incl. telemetry tensors) — dropping
+                # them inside the scan would let XLA DCE their computation,
+                # which the production Trainer (which fetches them) cannot
+                consumed = sum(
+                    jnp.sum(v).astype(jnp.float32) for v in m.values()
+                )
+                return s2, consumed
             s2, losses = jax.lax.scan(body, st, None, length=N_CHAIN)
             return losses[-1]
 

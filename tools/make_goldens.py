@@ -46,9 +46,12 @@ def make_softnms_goldens():
         centers = rng.uniform(0, 1800, size=n)
         durs = rng.uniform(10, 90, size=n)
         segs = np.stack([centers - durs / 2, centers + durs / 2], axis=1)
+        # float32 tensors: production passes model outputs (float32); the
+        # whole reference decay loop then runs float32 numpy, which the
+        # repo's implementations reproduce dtype-for-dtype
         keep = soft_nms_intervals_cpu(
-            torch.tensor(scores.copy(), dtype=torch.float64),
-            torch.tensor(segs.copy(), dtype=torch.float64),
+            torch.tensor(scores.copy(), dtype=torch.float32),
+            torch.tensor(segs.copy(), dtype=torch.float32),
             sigma=sigma,
             thresh=thresh,
             max_seg_num=max_seg,
@@ -73,8 +76,44 @@ def make_softnms_goldens():
         durs = rng.uniform(10, 90, size=n)
         segs = np.stack([centers - durs / 2, centers + durs / 2], axis=1)
         keep = soft_nms_intervals_cpu(
-            torch.tensor(scores.copy(), dtype=torch.float64),
-            torch.tensor(segs.copy(), dtype=torch.float64),
+            torch.tensor(scores.copy(), dtype=torch.float32),
+            torch.tensor(segs.copy(), dtype=torch.float32),
+            sigma=sigma,
+            thresh=thresh,
+            max_seg_num=max_seg,
+        )
+        cases.append(
+            {
+                "case_id": case_id,
+                "scores": scores.tolist(),
+                "segments": segs.tolist(),
+                "sigma": sigma,
+                "thresh": thresh,
+                "max_seg_num": max_seg,
+                "keep": np.asarray(keep).tolist(),
+            }
+        )
+    # NEGATIVE stale-length totals: crowded timelines with extreme duration
+    # variance make post-swap unions where overlap exceeds the stale length
+    # sum (total < 0). The reference decays with a FINITE weight there (the
+    # candidate usually survives) — an earlier repo version wrongly dropped
+    # these; ~40 negative totals occur per case below.
+    # Seeds fuzz-selected so the finite-negative-weight semantics actually
+    # flip the keep set vs the old weight-0 behavior (4 discriminating seeds
+    # out of 400 fuzzed).
+    for case_id, seed in enumerate([49, 91, 128, 305], start=200):
+        r2 = np.random.default_rng(seed)
+        n = int(r2.integers(8, 30))
+        sigma, thresh, max_seg = 0.5, 0.01, n
+        scores = r2.uniform(0.05, 1.0, size=n).astype(np.float32)
+        centers = r2.uniform(0, 40, size=n)
+        durs = r2.uniform(1, 120, size=n)
+        segs = np.stack([centers - durs / 2, centers + durs / 2], axis=1).astype(
+            np.float32
+        )
+        keep = soft_nms_intervals_cpu(
+            torch.tensor(scores.astype(np.float32)),
+            torch.tensor(segs.astype(np.float32)),
             sigma=sigma,
             thresh=thresh,
             max_seg_num=max_seg,
