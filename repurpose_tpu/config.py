@@ -121,7 +121,8 @@ class TrainConfig:
     loss_norm: str = "config_batch_size"
     """"config_batch_size" reproduces the reference quirk of dividing the summed
     focal loss by the *configured* batch size even for ragged final batches
-    (main.py:331); "batch_size" divides by the actual batch size."""
+    (main.py:331); "batch_size" divides by the actual (non-padding) sample
+    count of the global batch."""
     reg_loss_weight: float = 0.0
     """Weight on the DIoU boundary-regression loss. The reference defines
     ctr_diou_loss_1d (models/losses.py:56) but trains with cls loss only

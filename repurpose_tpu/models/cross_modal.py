@@ -19,7 +19,6 @@ meaning, while the default model stays the parity-exact concat MMCT.
 
 from __future__ import annotations
 
-from typing import NamedTuple
 
 import flax.linen as nn
 import jax

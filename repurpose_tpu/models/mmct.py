@@ -110,18 +110,9 @@ class MMCT(nn.Module):
 
     def init_params(self, rng: jax.Array, bucket: int = 64, batch: int = 1):
         """Initialize a parameter pytree on tiny static shapes (jitted: one
-        compiled program instead of hundreds of eager init ops)."""
-        cfg = self.cfg
-        dummy = lambda d: jnp.zeros((batch, bucket, d), jnp.float32)
+        compiled program instead of hundreds of eager init ops). Delegates to
+        ``models.init_model_params`` — the single init path shared with
+        ``create_train_state``."""
+        from repurpose_tpu.models import init_model_params
 
-        def init(rng):
-            return self.init(
-                rng,
-                dummy(cfg.vis_dim),
-                dummy(cfg.aud_dim),
-                dummy(cfg.text_dim),
-                jnp.ones((batch, bucket), bool),
-                True,
-            )["params"]
-
-        return jax.jit(init)(rng)
+        return init_model_params(self, self.cfg, rng, bucket=bucket, batch=batch)

@@ -44,6 +44,14 @@ class Checkpointer:
         args = {"state": ocp.args.StandardSave(state)}
         if metadata is not None:
             args["meta"] = ocp.args.JsonSave(metadata)
+        # A best-checkpoint save can land on the step the periodic epoch save
+        # just wrote (no train step between them); this orbax raises
+        # StepAlreadyExistsError unconditionally (its `force` only bypasses
+        # the save-interval policy), so drain any in-flight save and replace
+        # the step — the re-save carries the richer metadata.
+        if step in self._mgr.all_steps():
+            self._mgr.wait_until_finished()
+            self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.Composite(**args))
         if not self._async:
             self._mgr.wait_until_finished()

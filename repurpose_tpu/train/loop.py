@@ -25,7 +25,6 @@ import dataclasses
 import itertools
 import logging
 import time
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +35,7 @@ from repurpose_tpu.data.batching import Batch, collate
 from repurpose_tpu.data.loader import BatchLoader
 from repurpose_tpu.infer import InferencePipeline
 from repurpose_tpu.parallel.mesh import create_mesh, describe_mesh, mesh_self_check
-from repurpose_tpu.parallel.sharding import batch_sharding, shard_params
+from repurpose_tpu.parallel.sharding import shard_params
 from repurpose_tpu.train.checkpoint import Checkpointer
 from repurpose_tpu.train.state import TrainState, create_train_state
 from repurpose_tpu.train.step import make_eval_step, make_train_step
@@ -196,11 +195,17 @@ class Trainer:
                 f"(by step {int(self.state.step)}); refusing to continue"
             )
 
-    def _save(self, epoch: int, extra: dict | None = None) -> None:
+    def _save(
+        self, epoch: int, extra: dict | None = None, epoch_complete: bool = True
+    ) -> None:
         # Never persist a poisoned state: the resume path must not restore NaNs.
         self._assert_finite()
         meta = {
-            "epoch": epoch + 1,
+            # epoch_complete=False (mid-epoch preemption save): resume must
+            # RE-RUN this epoch — recording epoch+1 would silently skip its
+            # remaining batches. The epoch's early batches are re-trained on
+            # restart (standard preemption semantics).
+            "epoch": epoch + 1 if epoch_complete else epoch,
             "best_tiou": self.best_tiou,
             "best_epoch": self.best_epoch,
         }
@@ -213,15 +218,18 @@ class Trainer:
         if self.val_ds is None:
             return None
         losses = []
-        loader = BatchLoader(
-            self.val_ds,
-            batch_size=self.cfg.train.batch_size,
-            buckets=self.cfg.train.buckets,
-            shuffle=False,
-            process_index=jax.process_index(),
-            process_count=jax.process_count(),
-        )
-        for batch in itertools.islice(loader.epoch(0), max_batches):
+        # deterministic (shuffle=False), so build once and reuse — a fresh
+        # loader every probe would re-group the whole val set each 50 steps
+        if not hasattr(self, "_val_loader"):
+            self._val_loader = BatchLoader(
+                self.val_ds,
+                batch_size=self.cfg.train.batch_size,
+                buckets=self.cfg.train.buckets,
+                shuffle=False,
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+            )
+        for batch in itertools.islice(self._val_loader.epoch(0), max_batches):
             out = self.eval_step(self.state.params, self._device_batch(batch))
             # Reference normalizes the val probe by the ACTUAL batch size
             # (main.py:460-463); n_real counts real samples in the GLOBAL batch.
@@ -343,7 +351,6 @@ class Trainer:
     def fit(self, epochs: int | None = None) -> dict:
         tc = self.cfg.train
         epochs = epochs if epochs is not None else tc.epochs
-        final_eval: dict = {}
 
         # Preemption-safe training (capability beyond the reference, which
         # loses up to save_epochs of work on eviction): SIGTERM checkpoints
@@ -369,6 +376,11 @@ class Trainer:
     def _fit_loop(self, epochs: int, preempted: dict) -> dict:
         tc = self.cfg.train
         final_eval: dict = {}
+        # Host-side step mirror: int(self.state.step) would block on the
+        # device every iteration (a tunnel round-trip per step on this box,
+        # CLAUDE.md), killing async dispatch. The jitted step increments by
+        # exactly 1, so the mirror never drifts.
+        step = int(jax.device_get(self.state.step))
         for epoch in range(self.start_epoch, epochs):
             t0 = time.time()
             epoch_losses = []
@@ -376,7 +388,7 @@ class Trainer:
                 self.state, m = self.train_step(
                     self.state, self._device_batch(batch), self.step_rng
                 )
-                step = int(self.state.step)
+                step += 1
                 epoch_losses.append(m["loss"])
                 if step % self.finite_check_freq == 1:
                     # Bounded-delay divergence probe; every step was already
@@ -417,7 +429,7 @@ class Trainer:
                         self.metrics.log({"val/loss": val_loss}, step)
                 if preempted["flag"]:
                     logger.warning("SIGTERM received: checkpointing and exiting")
-                    self._save(epoch, {"preempted": True})
+                    self._save(epoch, {"preempted": True}, epoch_complete=False)
                     return {"preempted": True, "epoch": epoch}
             epoch_loss = float(jnp.mean(jnp.stack(epoch_losses))) if epoch_losses else 0.0
             self.metrics.log(

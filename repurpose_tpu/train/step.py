@@ -35,21 +35,24 @@ def _loss_fn(model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bo
         rngs={"dropout": rng} if train else None,
     )
     cls_loss = masked_cls_loss(out.cls_logits, batch.labels, batch.mask)
+    # global count of real (non-padding) samples — the correct actual-batch
+    # and val-loss denominator under padded/multi-host global batches
+    n_real = jnp.sum(batch.durations > 0)
     # Multi-host: batch_size is per-process (DistributedSampler semantics);
     # dividing the GLOBAL summed loss by batch_size * process_count matches
     # the reference's per-rank loss/batch_size with DDP gradient averaging.
+    # "batch_size" divides by the ACTUAL sample count — n_real, not the
+    # batch dimension, which pad_last keeps equal to the configured size.
     norm = (
         float(train_cfg.batch_size) * jax.process_count()
         if train_cfg.loss_norm == "config_batch_size"
-        else batch.visual.shape[0]
+        else jnp.maximum(n_real, 1).astype(jnp.float32)
     )
     total = cls_loss / norm
     aux = {
         "cls_loss": cls_loss,
         "loss": total,
-        # global count of real (non-padding) samples — the correct val-loss
-        # denominator under multi-host global batches
-        "n_real": jnp.sum(batch.durations > 0),
+        "n_real": n_real,
     }
     if train_cfg.reg_loss_weight > 0.0:
         reg_loss = masked_reg_loss(out.offsets, batch.segments, batch.labels, batch.mask)

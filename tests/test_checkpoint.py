@@ -39,3 +39,16 @@ def test_max_to_keep(tmp_path):
     restored, meta = ckpt.restore(state)
     assert meta["epoch"] == 3
     ckpt.close()
+
+
+def test_same_step_resave_overwrites_metadata(tmp_path):
+    """Best-checkpoint saves can land on the step the periodic save just
+    wrote (no train step in between) — must overwrite, not raise
+    StepAlreadyExistsError (orbax 0.11 default)."""
+    state, _, _ = create_train_state(TINY, TrainConfig(), 2, jax.random.key(0))
+    ck = Checkpointer(str(tmp_path / "ck"))
+    ck.save(0, state, {"epoch": 1})
+    ck.save(0, state, {"epoch": 1, "best": True})  # same step, richer meta
+    _, meta = ck.restore(state, 0)
+    assert meta.get("best") is True
+    ck.close()
