@@ -18,11 +18,14 @@ Numerically close in spirit, not bit-identical to librosa (PARITY.md).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from repurpose_tpu.extractors.audio_frontend import mel_filterbank, stft_power
 
 FALLBACK_DIM = 2048
+_STFT_BATCH = 512  # fixed batch shape -> one compiled stft program
 
 
 def _dct_ii_ortho(x: np.ndarray, n_out: int) -> np.ndarray:
@@ -32,6 +35,7 @@ def _dct_ii_ortho(x: np.ndarray, n_out: int) -> np.ndarray:
     return dct(x, type=2, axis=0, norm="ortho")[:n_out]
 
 
+@functools.lru_cache(maxsize=4)
 def _chroma_map(sr: int, n_fft: int, tuning_hz: float = 440.0) -> np.ndarray:
     """[n_bins, 12] map folding FFT bins onto pitch classes."""
     freqs = np.linspace(0, sr / 2, n_fft // 2 + 1)
@@ -44,6 +48,7 @@ def _chroma_map(sr: int, n_fft: int, tuning_hz: float = 440.0) -> np.ndarray:
     return out
 
 
+@functools.lru_cache(maxsize=1)
 def _tonnetz_basis() -> np.ndarray:
     """[6, 12] tonal centroid transform (Harte et al. 2006)."""
     pc = np.arange(12)
@@ -56,14 +61,23 @@ def _tonnetz_basis() -> np.ndarray:
     return np.stack(basis)
 
 
+@functools.lru_cache(maxsize=2)
+def _mel_fb(sr: int, n_fft: int) -> np.ndarray:
+    return mel_filterbank(sr=sr, n_fft=n_fft, fmin=0.0, fmax=sr / 2)
+
+
 def fallback_features_window(window: np.ndarray, sr: int = 22050) -> np.ndarray:
     """One 1-second window -> 2048-d feature vector (38 informative dims)."""
     power = np.asarray(stft_power(window[None].astype(np.float32)))[0]  # [F, bins]
-    spec = power.T  # [bins, frames]
+    return _features_from_power(power.T, sr)
+
+
+def _features_from_power(spec: np.ndarray, sr: int) -> np.ndarray:
+    """[bins, frames] power spectrogram of one window -> 2048-d vector."""
     n_fft = 1024
 
     # MFCC(13): DCT of log-mel.
-    mel = mel_filterbank(sr=sr, n_fft=n_fft, fmin=0.0, fmax=sr / 2).T @ spec
+    mel = _mel_fb(sr, n_fft).T @ spec
     logmel = 10.0 * np.log10(np.maximum(mel, 1e-10))
     mfcc = _dct_ii_ortho(logmel, 13).mean(axis=1)
 
@@ -101,12 +115,27 @@ def fallback_features_window(window: np.ndarray, sr: int = 22050) -> np.ndarray:
 
 def fallback_features(wave: np.ndarray, sr: int = 22050) -> np.ndarray:
     """Full waveform -> (T_seconds, 2048) fallback features (1-s windows,
-    zero-padded tail — reference windowing, audio_feature_extractor.py:188-199)."""
+    zero-padded tail — reference windowing, audio_feature_extractor.py:188-199).
+
+    The STFT runs BATCHED in fixed-size blocks (one compiled program, one
+    dispatch per _STFT_BATCH windows) — per-window jitted dispatches would
+    pay this box's device-tunnel round trip 3600 times for an hour of audio
+    (CLAUDE.md); the remaining per-window feature math is cheap host numpy."""
     n = int(np.ceil(len(wave) / sr)) if len(wave) else 0
     out = np.zeros((n, FALLBACK_DIM), np.float32)
-    for i in range(n):
-        w = wave[i * sr : (i + 1) * sr]
-        if len(w) < sr:
-            w = np.pad(w, (0, sr - len(w)))
-        out[i] = fallback_features_window(w, sr)
+    if n == 0:
+        return out
+    padded = np.zeros(n * sr, np.float32)
+    padded[: len(wave)] = wave
+    windows = padded.reshape(n, sr)
+    for start in range(0, n, _STFT_BATCH):
+        block = windows[start : start + _STFT_BATCH]
+        real = block.shape[0]
+        if real < _STFT_BATCH:
+            block = np.concatenate(
+                [block, np.zeros((_STFT_BATCH - real, sr), np.float32)]
+            )
+        power = np.asarray(stft_power(block))  # [B, frames, bins]
+        for i in range(real):
+            out[start + i] = _features_from_power(power[i].T, sr)
     return out

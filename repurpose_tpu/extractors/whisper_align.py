@@ -66,21 +66,36 @@ def split_words(
     limitation vs openai's per-script splitter)."""
     words: list[tuple[str, int]] = []
     cur_text, cur_n = "", 0
+    pending = 0  # tokens of whitespace-only runs, folded into a neighbor
     prev = ""
     toks = list(tokens)
+
+    def flush() -> None:
+        # Token counts must sum to len(tokens) — the aligner indexes jump
+        # times by cumulative token position, so a dropped whitespace-only
+        # "word" would shift every later word's timing. Fold such runs into
+        # the next word (or the previous one at end-of-sequence).
+        nonlocal cur_text, cur_n, pending
+        if cur_text.strip():
+            words.append((cur_text.strip(), cur_n + pending))
+            pending = 0
+        else:
+            pending += cur_n
+        cur_text, cur_n = "", 0
+
     for i in range(len(toks)):
         text = decode(toks[: i + 1])
         piece = text[len(prev) :]
         prev = text
         starts_new = piece.startswith((" ", "\n", "\t")) and piece.strip() != ""
         if cur_n and starts_new:
-            if cur_text.strip():
-                words.append((cur_text.strip(), cur_n))
-            cur_text, cur_n = "", 0
+            flush()
         cur_text += piece
         cur_n += 1
-    if cur_n and cur_text.strip():
-        words.append((cur_text.strip(), cur_n))
+    flush()
+    if pending and words:  # trailing whitespace tokens join the last word
+        word, n = words[-1]
+        words[-1] = (word, n + pending)
     return words
 
 

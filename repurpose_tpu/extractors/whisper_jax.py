@@ -403,8 +403,10 @@ def _apply_timestamp_rules(
     logits = jnp.where(block_text | block_ts_pair | block_ts_low, neg, logits)
 
     # first sampled token must be a timestamp <= max_initial_timestamp
+    # (openai masks EVERYTHING below timestamp_begin here, EOT included —
+    # a chunk always opens with a timestamp)
     cap = ts0 + cfg.max_initial_timestamp_index
-    first_block = (~is_ts[None] | (ids[None] > cap)) & (ids != cfg.eot)[None]
+    first_block = ~is_ts[None] | (ids[None] > cap)
     logits = jnp.where(is_first & first_block, neg, logits)
 
     # sum-probability rule: if p(any timestamp) > max p(text), force a timestamp
@@ -446,13 +448,26 @@ def greedy_decode(
             variables, tok_in, pos, self_kv, cross_kv, method=WhisperDecoder.step
         )
         if with_timestamps:
+            # openai's rules look at the SAMPLED sequence only (seq =
+            # tokens[sample_begin:]): with no sampled token yet the "last"
+            # slot reads as non-timestamp, and with fewer than TWO sampled
+            # tokens the "penultimate" slot reads as timestamp
+            # (decoding.py ApplyTimestampRules: len(seq) < 2 clause). Feeding
+            # prompt tokens into those slots mispairs the state machine —
+            # the first sampled timestamp then looks like a segment CLOSER,
+            # text gets blocked, and every transcription decodes to
+            # empty-text timestamp pairs.
             emitted_ts = (tokens >= cfg.timestamp_begin) & (
-                jnp.arange(l)[None] <= pos
-            )
+                jnp.arange(l)[None] >= p
+            ) & (jnp.arange(l)[None] <= pos)
             logits = _apply_timestamp_rules(
                 logits,
-                tokens[:, pos],
-                jnp.where(pos >= 1, tokens[:, jnp.maximum(pos - 1, 0)], cfg.sot),
+                jnp.where(pos >= p, tokens[:, pos], cfg.sot),
+                jnp.where(
+                    pos >= p + 1,
+                    tokens[:, jnp.maximum(pos - 1, 0)],
+                    cfg.timestamp_begin,  # len(seq) < 2 reads as timestamp
+                ),
                 jnp.max(
                     jnp.where(emitted_ts, tokens, cfg.timestamp_begin), axis=1
                 ),

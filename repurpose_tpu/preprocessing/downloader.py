@@ -74,7 +74,13 @@ class VideoDownloader:
         return opts
 
     def video_path(self, video_id: str) -> str:
-        return os.path.join(self.output_dir, f"{video_id}.mp4")
+        """Existing video file for the id in any downloadable container
+        (.mp4/.webm/.mkv — the '/worst' fallback format can be a single
+        non-mp4 stream that merge_output_format does not remux), else the
+        canonical .mp4 target path."""
+        from repurpose_tpu.preprocessing.media import find_video_file
+
+        return find_video_file(self.output_dir, video_id)
 
     def _cleanup_partial(self, video_id: str) -> None:
         for p in glob.glob(os.path.join(self.output_dir, f"{video_id}.*.part")) + glob.glob(

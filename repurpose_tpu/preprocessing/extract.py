@@ -29,7 +29,12 @@ from typing import Callable, Sequence
 
 import numpy as np
 
-from repurpose_tpu.preprocessing.media import chunk_waveform, frames_1fps, load_audio
+from repurpose_tpu.preprocessing.media import (
+    chunk_waveform,
+    find_video_file,
+    frames_1fps,
+    load_audio,
+)
 from repurpose_tpu.preprocessing.progress import ProgressTracker
 
 logger = logging.getLogger(__name__)
@@ -53,7 +58,7 @@ def _resumable(kind: str):
             out_path = os.path.join(out_dir, f"{vid}.npy")
             if tracker.is_done(vid) and os.path.exists(out_path):
                 continue
-            src = os.path.join(video_dir, f"{vid}.mp4")
+            src = find_video_file(video_dir, vid)
             if not os.path.exists(src):
                 tracker.mark_failed(vid, "video file missing")
                 continue

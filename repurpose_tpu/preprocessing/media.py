@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import shutil
 import subprocess
 from typing import Iterator
@@ -33,6 +34,24 @@ def probe_duration(path: str) -> float:
     return float(json.loads(out.stdout)["format"]["duration"])
 
 
+VIDEO_EXTENSIONS = (".mp4", ".webm", ".mkv")
+"""Containers a download can land in: yt-dlp's merge_output_format=mp4 only
+remuxes MERGED streams, so a single-file fallback format keeps its native
+container (the reference checks the same three,
+video_downloader_ytdlp.py:126)."""
+
+
+def find_video_file(video_dir: str, video_id: str) -> str:
+    """First existing ``{video_id}{ext}`` under ``video_dir`` in
+    VIDEO_EXTENSIONS order; falls back to the .mp4 path (callers treat a
+    missing file as 'video file missing')."""
+    for ext in VIDEO_EXTENSIONS:
+        p = os.path.join(video_dir, f"{video_id}{ext}")
+        if os.path.exists(p):
+            return p
+    return os.path.join(video_dir, f"{video_id}.mp4")
+
+
 def frames_1fps(path: str, width: int = 224, height: int = 224) -> Iterator[np.ndarray]:
     """Yield one RGB uint8 frame per second of video, center-cropped to
     width x height by ffmpeg (scale shorter side + crop — CLIP preprocessing
@@ -48,15 +67,27 @@ def frames_1fps(path: str, width: int = 224, height: int = 224) -> Iterator[np.n
     )
     frame_bytes = width * height * 3
     assert proc.stdout is not None
+    finished = False
     try:
         while True:
             buf = proc.stdout.read(frame_bytes)
             if len(buf) < frame_bytes:
+                finished = True
                 break
             yield np.frombuffer(buf, np.uint8).reshape(height, width, 3)
     finally:
         proc.stdout.close()
-        proc.wait()
+        rc = proc.wait()
+        # A mid-stream decode failure ends the pipe early with a nonzero
+        # exit; swallowing it would save a silently-truncated feature file
+        # (the legacy bug cleanup_truncated exists to mop up). Only raise on
+        # normal exhaustion — a consumer abandoning the generator kills the
+        # pipe and a nonzero rc is expected then.
+        if finished and rc != 0:
+            raise RuntimeError(
+                f"ffmpeg frame decode failed for {path} (exit {rc}); "
+                "refusing to emit a truncated frame sequence"
+            )
 
 
 def load_audio(path: str, sr: int = 22050) -> np.ndarray:

@@ -63,39 +63,52 @@ class PreprocessingPipeline:
 
     # -- weights ---------------------------------------------------------------
 
-    def _clip_params(self):
+    @staticmethod
+    def _load_state_dict(path: str, weights_only: bool = True) -> dict:
+        """Numpy state dict from a torch .pth/.bin file, a .safetensors file,
+        or an HF checkpoint DIRECTORY (model.safetensors / pytorch_model.bin)
+        — the formats modern HF dumps actually ship in."""
+        if os.path.isdir(path):
+            st = os.path.join(path, "model.safetensors")
+            if os.path.exists(st):
+                path = st
+            else:
+                path = os.path.join(path, "pytorch_model.bin")
+        if path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            return dict(load_file(path))
         import torch
 
+        ckpt = torch.load(path, map_location="cpu", weights_only=weights_only)
+        sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+        return {k: v.numpy() for k, v in sd.items()}
+
+    def _clip_params(self):
         from repurpose_tpu.extractors.clip_vit import (
             CLIPVisionConfig,
             convert_hf_clip_vision,
         )
 
-        sd = torch.load(self.cfg.clip_checkpoint, map_location="cpu", weights_only=True)
-        return convert_hf_clip_vision(
-            {k: v.numpy() for k, v in sd.items()}, CLIPVisionConfig()
-        )
+        sd = self._load_state_dict(self.cfg.clip_checkpoint)
+        return convert_hf_clip_vision(sd, CLIPVisionConfig())
 
     def _panns_params(self):
-        import torch
-
         from repurpose_tpu.extractors.cnn14 import convert_panns_cnn14
 
-        ckpt = torch.load(self.cfg.panns_checkpoint, map_location="cpu", weights_only=False)
-        sd = ckpt.get("model", ckpt)
-        return convert_panns_cnn14({k: v.numpy() for k, v in sd.items()})
+        return convert_panns_cnn14(
+            self._load_state_dict(self.cfg.panns_checkpoint, weights_only=False)
+        )
 
     def _minilm(self):
-        import torch
         from transformers import AutoTokenizer
 
         from repurpose_tpu.extractors.minilm import MiniLMConfig, convert_hf_bert
 
         tok = AutoTokenizer.from_pretrained(self.cfg.minilm_checkpoint)
-        sd_path = os.path.join(self.cfg.minilm_checkpoint, "pytorch_model.bin")
-        sd = torch.load(sd_path, map_location="cpu", weights_only=True)
+        sd = self._load_state_dict(self.cfg.minilm_checkpoint)
         sd = {k.removeprefix("bert."): v for k, v in sd.items()}
-        return convert_hf_bert({k: v.numpy() for k, v in sd.items()}, MiniLMConfig()), tok
+        return convert_hf_bert(sd, MiniLMConfig()), tok
 
     # -- steps ------------------------------------------------------------------
 
@@ -124,10 +137,10 @@ class PreprocessingPipeline:
     def run_text(self, video_ids: Sequence[str]) -> dict:
         from repurpose_tpu.preprocessing.extract import (
             TextExtractor,
+            _resumable,
             bin_transcript_per_second,
         )
         from repurpose_tpu.preprocessing.media import probe_duration
-        from repurpose_tpu.preprocessing.progress import ProgressTracker
 
         params, tok = self._minilm()
         ex = TextExtractor(params, tok, batch_size=self.cfg.text_batch)
@@ -136,31 +149,26 @@ class PreprocessingPipeline:
             from repurpose_tpu.extractors.whisper_jax import WhisperASR
 
             asr = WhisperASR.from_hf_dir(self.cfg.whisper_checkpoint)
-        tracker = ProgressTracker(
-            os.path.join(self.cfg.text_dir, "text_progress.json"), len(video_ids)
+
+        def extract_text(src: str) -> np.ndarray:
+            vid = os.path.splitext(os.path.basename(src))[0]
+            segments = ex.transcribe(
+                src, os.path.join(self.cfg.transcript_dir, f"{vid}.json"),
+                asr=asr,
+            )
+            # floor, matching the reference's int(actual_duration)
+            # (text_feature_extractor.py:309)
+            duration = int(probe_duration(src))
+            bins = bin_transcript_per_second(segments, duration)
+            return ex.embed_bins(bins)
+
+        # shares the _resumable driver with visual/audio: same is_done
+        # skipping, missing-file categorization, AND the bad-feature-shape
+        # guard — a 0-second video now fails loudly instead of saving a
+        # degenerate (0, 384) file marked completed
+        return _resumable("text")(
+            extract_text, video_ids, self.cfg.video_dir, self.cfg.text_dir
         )
-        for vid in video_ids:
-            out_path = os.path.join(self.cfg.text_dir, f"{vid}.npy")
-            if tracker.is_done(vid) and os.path.exists(out_path):
-                continue
-            src = os.path.join(self.cfg.video_dir, f"{vid}.mp4")
-            if not os.path.exists(src):
-                tracker.mark_failed(vid, "video file missing")
-                continue
-            try:
-                segments = ex.transcribe(
-                    src, os.path.join(self.cfg.transcript_dir, f"{vid}.json"),
-                    asr=asr,
-                )
-                # floor, matching the reference's int(actual_duration)
-                # (text_feature_extractor.py:309)
-                duration = int(probe_duration(src))
-                bins = bin_transcript_per_second(segments, duration)
-                np.save(out_path, ex.embed_bins(bins))
-                tracker.mark_completed(vid)
-            except Exception as e:
-                tracker.mark_failed(vid, str(e))
-        return tracker.summary()
 
     def process_dataset(self, dataset_json: str, steps: Sequence[str] = STEPS) -> dict:
         video_ids = load_video_ids(dataset_json)

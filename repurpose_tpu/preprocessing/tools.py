@@ -106,7 +106,9 @@ def cleanup_truncated(
         removed_ids = {
             os.path.splitext(os.path.basename(p))[0]
             for p in removed
-            if os.path.dirname(p) == d
+            # normpath: a trailing slash in the configured dir must not make
+            # the progress-repair filter silently match nothing
+            if os.path.normpath(os.path.dirname(p)) == os.path.normpath(d)
         }
         if removed_ids and not dry_run:
             for name in os.listdir(d):

@@ -92,7 +92,15 @@ class Trainer:
             cfg.model, tc, steps_per_epoch, rng, mesh=model_mesh
         )
         self.state = self._place(state)
+        # Two compiled steps: histograms are logged 1/1000 steps (wandb.watch
+        # cadence) — computing 64-bin histograms over every kernel leaf in
+        # EVERY step is pure waste, so the common step carries only the cheap
+        # per-layer norms and the histogram variant runs on cadence steps.
         self.train_step = make_train_step(
+            cfg.model, tc, tx, schedule, mesh=model_mesh,
+            per_layer_grad_norms=True, grad_histograms=False,
+        )
+        self.train_step_hist = make_train_step(
             cfg.model, tc, tx, schedule, mesh=model_mesh,
             per_layer_grad_norms=True, grad_histograms=True,
         )
@@ -385,7 +393,11 @@ class Trainer:
             t0 = time.time()
             epoch_losses = []
             for i, batch in enumerate(self.train_loader.epoch(epoch)):
-                self.state, m = self.train_step(
+                # the histogram variant only on its cadence (this step's
+                # result has step+1, hence the off-by-one in the predicate)
+                hist_now = (step + 1) % self.hist_freq == 0 or step == 0
+                step_fn = self.train_step_hist if hist_now else self.train_step
+                self.state, m = step_fn(
                     self.state, self._device_batch(batch), self.step_rng
                 )
                 step += 1
@@ -410,7 +422,7 @@ class Trainer:
                          for j, n in enumerate(self._layer_names)}
                     )
                     self.metrics.log(record, step)
-                if step % self.hist_freq == 0 or step == 1:
+                if hist_now:
                     self.metrics.log_histograms(
                         self._layer_names,
                         m["hist/grads/counts"], m["hist/grads/edges"],

@@ -156,6 +156,7 @@ def test_auto_resume_does_not_retry_nan(tmp_path):
             raise FloatingPointError("nonfinite")
 
         t.train_step = poisoned
+        t.train_step_hist = poisoned  # step 1 routes to the histogram variant
         return t
 
     with _pytest.raises(FloatingPointError):

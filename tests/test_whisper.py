@@ -237,6 +237,49 @@ def test_timestamp_rules_strict_monotonicity(tiny):
     assert out[ts0] == 0.0
 
 
+def test_timestamp_rules_first_pair_state(tiny):
+    """State machine right after the FIRST sampled (segment-opening)
+    timestamp — openai's len(seq)<2 clause makes the penultimate slot read as
+    timestamp, so TEXT must be allowed and timestamps blocked. The round-2
+    regression fed prompt tokens into the penultimate slot instead, which
+    made the opener look like a segment CLOSER, forced a second timestamp,
+    and decoded EVERY transcription to empty-text pairs."""
+    from repurpose_tpu.extractors.whisper_jax import (
+        _apply_timestamp_rules,
+        _suppress_mask,
+    )
+
+    _, cfg, _, _ = tiny
+    ts0 = cfg.timestamp_begin
+    suppress = jnp.asarray(_suppress_mask(cfg))
+    logits = jnp.zeros((1, cfg.vocab_size), jnp.float32)
+    out = np.asarray(
+        _apply_timestamp_rules(
+            logits,
+            jnp.asarray([ts0 + 3]),  # last sampled = opening timestamp
+            jnp.asarray([ts0]),  # len(seq) < 2 marker (reads as timestamp)
+            jnp.asarray([ts0 + 3]),
+            jnp.asarray([True]),
+            jnp.asarray(False),
+            cfg,
+            suppress,
+        )
+    )[0]
+    assert out[100] == 0.0, "text must follow the opening timestamp"
+    assert out[ts0 + 7] <= -1e8, "no third timestamp inside an open segment"
+
+    # first sampled token: openai masks EVERYTHING below timestamp_begin,
+    # EOT included — a chunk always opens with a timestamp
+    out = np.asarray(
+        _apply_timestamp_rules(
+            logits, jnp.asarray([cfg.sot]), jnp.asarray([ts0]),
+            jnp.asarray([ts0]), jnp.asarray([False]), jnp.asarray(True),
+            cfg, suppress,
+        )
+    )[0]
+    assert out[cfg.eot] <= -1e8 and out[100] <= -1e8 and out[ts0] == 0.0
+
+
 def test_config_from_hf_english_only():
     """*.en checkpoints (vocab 51864) must get the bare <|sot|> prompt."""
     from transformers import WhisperConfig
@@ -291,7 +334,10 @@ def test_whisper_asr_end_to_end(tiny):
     rng = np.random.default_rng(6)
     wave = rng.normal(0, 0.1, int(16000 * 65.0)).astype(np.float32)
     segs = asr.transcribe_wave(wave)
-    assert isinstance(segs, list)
+    # even a random model must transcribe SOMETHING: the rules force an
+    # opening timestamp then text — all-empty output was the round-2
+    # state-machine regression
+    assert segs
     for s in segs:
         assert set(s) == {"start", "end", "text", "tokens"}
         assert 0 <= s["start"] <= s["end"] <= 3 * CHUNK_S
