@@ -73,6 +73,10 @@ def main() -> None:
         )
 
     os.makedirs(args.output_dir, exist_ok=True)
+    if min(args.videos, len(ds)) <= 0:
+        raise SystemExit(
+            f"no videos to analyze (dataset has {len(ds)}, --videos {args.videos})"
+        )
     all_results: dict = {}
     first_sample = None
     for i in range(min(args.videos, len(ds))):

@@ -4,9 +4,12 @@
 // (repurpose_tpu/ops/softnms.py, itself parity-locked to the reference's
 // models/softnms.py:3-38) including the behavioral quirks: pre-swap
 // threshold test, position-indexed stale lengths, break-before-decay, and
-// post-swap-order keep truncation. Used by the CPU evaluation path when the
-// native library is built; ~30x the numpy oracle's speed on 1000-candidate
-// inputs.
+// post-swap-order keep truncation. ~30x the numpy oracle's speed on
+// 1000-candidate inputs. Production decode runs Soft-NMS ON DEVICE
+// (ops/decode.py uses soft_nms_tpu); this kernel is the fast HOST
+// alternative for external pipelines that consume the library without a
+// TPU, and is parity-tested against the oracle + reference goldens
+// (tests/test_native.py).
 //
 // C ABI: soft_nms_f32(scores, segments, n, sigma, thresh, max_seg_num,
 //                     keep_out) -> number of kept candidates; keep_out gets

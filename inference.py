@@ -85,15 +85,26 @@ def main() -> None:
     per_thr = {t: [] for t in TIOU_THRESHOLDS}
     all_results = []
     time_offsets = {}
-    for i0 in range(0, len(ds), bs):
-        samples = [ds[i] for i in range(i0, min(i0 + bs, len(ds)))]
-        for smp in samples:
-            time_offsets[smp["video_id"]] = smp.get("time_offset", 0.0)
-        batch = collate(samples, cfg.train.buckets, bs)
-        results = pipe.score_batch(
-            batch.visual, batch.audio, batch.text, batch.mask,
-            batch.durations, [s["video_id"] for s in samples],
-        )
+    sample_blocks = []
+
+    def staged_batches():
+        # host staging (dataset reads + collate) for batch i+1 overlaps
+        # device compute for batch i via score_stream's in-flight window —
+        # the synchronous loop paid this box's per-dispatch RPC floor
+        # serially per batch
+        for i0 in range(0, len(ds), bs):
+            samples = [ds[i] for i in range(i0, min(i0 + bs, len(ds)))]
+            for smp in samples:
+                time_offsets[smp["video_id"]] = smp.get("time_offset", 0.0)
+            sample_blocks.append(samples)
+            batch = collate(samples, cfg.train.buckets, bs)
+            yield (
+                batch.visual, batch.audio, batch.text, batch.mask,
+                batch.durations, [s["video_id"] for s in samples],
+            )
+
+    for bi, results in enumerate(pipe.score_stream(staged_batches())):
+        samples = sample_blocks[bi]
         all_results.extend(results[: len(samples)])
         for s, r in zip(samples, results):
             tiou = calculate_tiou(

@@ -28,6 +28,11 @@ def main() -> None:
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args()
     logging.basicConfig(level=args.log_level.upper())
+    # every CLI honors JAX_PLATFORMS (the ambient sitecustomize overrides the
+    # env var via config — CLAUDE.md); the extractors are jax programs
+    from repurpose_tpu.utils.platform import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
 
     if args.split:
         from repurpose_tpu.preprocessing.tools import split_dataset

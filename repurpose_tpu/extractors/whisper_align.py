@@ -108,7 +108,7 @@ def words_from_matrix(
     """DTW the similarity matrix -> [{word, start, end}] with absolute times.
     The EOT row supplies the final word's end boundary."""
     n = len(text_tokens)
-    if n == 0 or matrix.shape[0] != n + 1:
+    if n == 0 or matrix.shape[0] != n + 1 or matrix.shape[1] == 0:
         return []
     ti, tj = dtw_path(-matrix.astype(np.float32))
     # first frame at which the path reaches each token row = that token's start

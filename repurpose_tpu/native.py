@@ -5,8 +5,9 @@ works without a toolchain:
 
 - ``batch_load_npy``: K float32 .npy files -> one pre-zeroed [B, T, D] numpy
   buffer via threaded pread (the collate hot loop);
-- ``soft_nms_native``: C++ Soft-NMS with oracle semantics for the host
-  evaluation path.
+- ``soft_nms_native``: C++ Soft-NMS with oracle semantics — the fast host
+  alternative for pipelines without a TPU (production decode runs
+  ``soft_nms_tpu`` on device);
 
 The library auto-builds on first use when g++ is available (make -C csrc).
 """
@@ -51,7 +52,10 @@ def get_lib() -> ctypes.CDLL | None:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) and not _build():
+        # run make even when the .so exists: its source dependencies make a
+        # fresh build a no-op, and skipping it would silently load a binary
+        # stale against edited csrc/*.cc (tests would then validate old code)
+        if not _build() and not os.path.exists(_SO):
             return None
         try:
             lib = ctypes.CDLL(_SO)
@@ -155,6 +159,10 @@ def dtw_path(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     otherwise; both produce identical paths."""
     cost = np.ascontiguousarray(cost, np.float32)
     n, m = cost.shape
+    if n == 0 or m == 0:
+        # no cells to traverse; the numpy backtrace would otherwise loop
+        # forever chasing an unreachable (0, 0) exit
+        return np.zeros(0, np.int32), np.zeros(0, np.int32)
     lib = get_lib()
     if lib is not None:
         ti = np.zeros(n + m, np.int32)

