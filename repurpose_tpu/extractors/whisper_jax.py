@@ -441,8 +441,8 @@ def greedy_decode(
         jnp.zeros((b, cfg.dec_layers, l, d), enc.dtype),
     )
 
-    def body(carry, pos):
-        tokens, self_kv, done = carry
+    def body(carry):
+        tokens, self_kv, done, pos = carry
         tok_in = tokens[:, pos]
         logits, self_kv = decoder.apply(
             variables, tok_in, pos, self_kv, cross_kv, method=WhisperDecoder.step
@@ -485,15 +485,22 @@ def greedy_decode(
         in_prompt = pos + 1 < p
         write = jnp.where(in_prompt, tokens[:, jnp.minimum(pos + 1, l - 1)], nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, write[:, None], (0, pos + 1))
-        return (tokens, self_kv, done), ()
+        return (tokens, self_kv, done, pos + 1)
+
+    def cond(carry):
+        _, _, done, pos = carry
+        # early exit once every row has hit EOT: the scan-over-448-positions
+        # formulation paid the full budget even for short transcripts —
+        # decode cost now tracks the LONGEST transcript in the batch
+        return (pos < l - 1) & ~jnp.all(done)
 
     tokens0 = jnp.full((b, l), cfg.eot, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(
         tokens0, jnp.tile(prompt_arr[None], (b, 1)), (0, 0)
     )
     done0 = jnp.zeros((b,), bool)
-    (tokens, _, _), _ = jax.lax.scan(
-        body, (tokens0, self_kv, done0), jnp.arange(l - 1)
+    tokens, _, _, _ = jax.lax.while_loop(
+        cond, body, (tokens0, self_kv, done0, jnp.int32(0))
     )
     return tokens
 
