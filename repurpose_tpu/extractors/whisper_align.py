@@ -205,10 +205,14 @@ class WhisperAligner:
         rows_text_tokens: Sequence[Sequence[int]],
         enc,  # [B, S, d] encoder states for the same rows
         content_samples: Sequence[int],
+        prompt: Sequence[int] | None = None,
     ) -> list[np.ndarray]:
         """-> per row, the [n_text + 1, content_positions] similarity matrix
-        (text rows + EOT row), ready for ``words_from_matrix``."""
-        p = len(self.prompt)
+        (text rows + EOT row), ready for ``words_from_matrix``. ``prompt``
+        overrides the constructor's (e.g. a per-video detected language);
+        prompt tokens sit in the DYNAMIC tokens array, so no recompile."""
+        prompt_seq = tuple(prompt) if prompt is not None else self.prompt
+        p = len(prompt_seq)
         b, s = len(rows_text_tokens), enc.shape[1]
         longest = max((len(r) for r in rows_text_tokens), default=0)
         l = self._bucket_len(min(p + longest + 1, self.cfg.max_target_positions))
@@ -219,7 +223,7 @@ class WhisperAligner:
         for i, row in enumerate(rows_text_tokens):
             row = list(row)[: l - p - 1]
             n_text.append(len(row))
-            tokens[i, :p] = self.prompt
+            tokens[i, :p] = prompt_seq
             tokens[i, p : p + len(row)] = row
             token_valid[i, : p + len(row) + 1] = True  # prompt + text + eot
             pos = max(1, -(-min(int(content_samples[i]), N_SAMPLES) // SAMPLES_PER_POSITION))

@@ -701,6 +701,7 @@ class WhisperASR:
         compute_dtype: str = "float32",
         max_chunk_batch: int = 16,
         alignment_heads: Sequence[tuple[int, int]] | None = None,
+        auto_language: bool = False,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -719,6 +720,10 @@ class WhisperASR:
             (cfg.sot, lang, cfg.transcribe) if cfg.n_langs else (cfg.sot,)
         )
         self.alignment_heads = alignment_heads
+        # per-video language detection (the reference's whisperx behavior);
+        # each distinct language compiles its own decode program (the prompt
+        # is static), which real corpora amortize over many videos
+        self._auto_lang = auto_language and cfg.n_langs > 0
         self._aligner = None
 
     @property
@@ -731,6 +736,30 @@ class WhisperASR:
                 self.decoder, self._dec_vars, self.prompt, self.alignment_heads
             )
         return self._aligner
+
+    def detect_language(self, wave_16k: np.ndarray) -> tuple[int, float]:
+        """(language token id, probability) from the first 30 s of audio —
+        openai's detect_language: one decoder step conditioned on <|sot|>,
+        softmax restricted to the 99 language tokens. The reference gets this
+        from whisperx's result["language"] (text_feature_extractor.py:131);
+        here it is one extra TPU forward. English-only checkpoints
+        (n_langs == 0) have nothing to detect and return (<|en|> slot, 1.0).
+        """
+        cfg = self.cfg
+        if not cfg.n_langs:
+            return cfg.lang_begin, 1.0
+        wave = np.zeros(N_SAMPLES, np.float32)
+        wave[: min(len(wave_16k), N_SAMPLES)] = wave_16k[:N_SAMPLES]
+        mel = log_mel_whisper(wave[None], n_mels=cfg.n_mels)
+        enc = self._encode(mel)
+        logits = self.decoder.apply(
+            self._dec_vars, jnp.asarray([[cfg.sot]], jnp.int32), enc
+        )[0, 0]
+        lang_slice = jax.nn.softmax(
+            logits[cfg.lang_begin : cfg.lang_begin + cfg.n_langs]
+        )
+        idx = int(jnp.argmax(lang_slice))
+        return cfg.lang_begin + idx, float(lang_slice[idx])
 
     @classmethod
     def from_hf_dir(
@@ -805,6 +834,10 @@ class WhisperASR:
             words_from_matrix,
         )
 
+        prompt = self.prompt
+        if self._auto_lang:
+            lang, _ = self.detect_language(wave_16k)
+            prompt = (self.cfg.sot, lang, self.cfg.transcribe)
         n = len(wave_16k)
         n_chunks = max(1, -(-n // N_SAMPLES))
         padded = np.zeros(n_chunks * N_SAMPLES, np.float32)
@@ -828,7 +861,7 @@ class WhisperASR:
             mel = log_mel_whisper(jnp.asarray(block), n_mels=self.cfg.n_mels)
             enc = self._encode(mel)
             tokens = np.asarray(
-                greedy_decode(self.decoder, self._dec_vars, enc, self.prompt)
+                greedy_decode(self.decoder, self._dec_vars, enc, prompt)
             )
             n_real = block.shape[0] - pad
             block_segments = [
@@ -853,7 +886,10 @@ class WhisperASR:
                     max(min(n - (i + j) * N_SAMPLES, N_SAMPLES), 1)
                     for j in range(block.shape[0])
                 ]
-                mats = self.aligner.align_block(rows_text, enc, content)
+                mats = self.aligner.align_block(
+                    rows_text, enc, content,
+                    prompt=(*prompt, self.cfg.no_timestamps),
+                )
                 for j in range(n_real):
                     words = words_from_matrix(
                         mats[j], rows_text[j], self.tokenizer.decode,

@@ -308,6 +308,65 @@ def test_config_from_hf_english_only():
     assert asr.prompt == (cfg.sot,)
 
 
+def test_detect_language_matches_hf_logits(tiny):
+    """openai detect_language: one decoder step on <|sot|>, argmax over the
+    99 language tokens — must agree with the HF model's logits for the same
+    mel (the reference reads whisperx's result['language'],
+    text_feature_extractor.py:131)."""
+    from repurpose_tpu.extractors.whisper_jax import log_mel_whisper
+
+    hf, cfg, enc_p, dec_p = tiny
+
+    class Tok:
+        def decode(self, ids):
+            return "x"
+
+    asr = WhisperASR(cfg, enc_p, dec_p, Tok())
+    rng = np.random.default_rng(17)
+    wave = rng.normal(0, 0.1, 16000 * 5).astype(np.float32)
+    lang_id, prob = asr.detect_language(wave)
+    assert cfg.lang_begin <= lang_id < cfg.lang_begin + cfg.n_langs
+    assert 0.0 < prob <= 1.0
+
+    padded = np.zeros(N_SAMPLES, np.float32)
+    padded[: len(wave)] = wave
+    mel = np.asarray(log_mel_whisper(padded[None], n_mels=cfg.n_mels))
+    with torch.no_grad():
+        logits = hf(
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            decoder_input_ids=torch.tensor([[cfg.sot]]),
+        ).logits[0, -1].numpy()
+    want = cfg.lang_begin + int(
+        np.argmax(logits[cfg.lang_begin : cfg.lang_begin + cfg.n_langs])
+    )
+    assert lang_id == want
+
+
+def test_auto_language_prompts_decode(tiny, monkeypatch):
+    """auto_language=True: the detected token lands in the decode prompt and
+    the aligner's (per-video, no recompile)."""
+    import repurpose_tpu.extractors.whisper_jax as wj
+
+    _, cfg, enc_p, dec_p = tiny
+
+    class Tok:
+        def decode(self, ids):
+            return " ".join(f"w{i}" for i in ids)
+
+    asr = WhisperASR(cfg, enc_p, dec_p, Tok(), auto_language=True)
+    fake_lang = cfg.lang_begin + 7
+    monkeypatch.setattr(asr, "detect_language", lambda w: (fake_lang, 0.9))
+    seen = {}
+
+    def fake_decode(decoder, variables, enc, prompt, with_timestamps=True):
+        seen["prompt"] = prompt
+        return jnp.full((enc.shape[0], cfg.max_target_positions), cfg.eot, jnp.int32)
+
+    monkeypatch.setattr(wj, "greedy_decode", fake_decode)
+    asr.transcribe_wave(np.zeros(16000, np.float32))
+    assert seen["prompt"] == (cfg.sot, fake_lang, cfg.transcribe)
+
+
 def test_log_mel_matches_hf_feature_extractor():
     from transformers import WhisperFeatureExtractor
 
