@@ -770,6 +770,7 @@ class WhisperASR:
         compute_dtype: str = "bfloat16",
         max_chunk_batch: int = 16,
         alignment_heads: Sequence[tuple[int, int]] | None = None,
+        auto_language: bool = False,
     ) -> "WhisperASR":
         """Build from a local HF Whisper checkpoint directory
         (config.json + model.safetensors / pytorch_model.bin [+ tokenizer
@@ -810,7 +811,7 @@ class WhisperASR:
         return cls(
             cfg, enc_p, dec_p, tokenizer, lang_id=lang_id,
             compute_dtype=compute_dtype, max_chunk_batch=max_chunk_batch,
-            alignment_heads=alignment_heads,
+            alignment_heads=alignment_heads, auto_language=auto_language,
         )
 
     def transcribe_file(self, path: str, word_timestamps: bool = False) -> list[dict]:

@@ -41,6 +41,9 @@ class PreprocessConfig:
     panns_checkpoint: str = ""  # PANNs Cnn14 .pth
     minilm_checkpoint: str = ""  # HF all-MiniLM-L6-v2 dir
     whisper_checkpoint: str = ""  # HF whisper dir -> ASR on TPU (else host whisper)
+    whisper_auto_language: bool = False  # per-video language detection
+    whisper_word_timestamps: bool = False  # cross-attention word aligner +
+    # word-level per-second binning (beyond-reference precision)
     download_workers: int = 3
     visual_batch: int = 128
     audio_batch: int = 512
@@ -148,18 +151,22 @@ class PreprocessingPipeline:
         if self.cfg.whisper_checkpoint:
             from repurpose_tpu.extractors.whisper_jax import WhisperASR
 
-            asr = WhisperASR.from_hf_dir(self.cfg.whisper_checkpoint)
+            asr = WhisperASR.from_hf_dir(
+                self.cfg.whisper_checkpoint,
+                auto_language=self.cfg.whisper_auto_language,
+            )
+        word_level = bool(asr) and self.cfg.whisper_word_timestamps
 
         def extract_text(src: str) -> np.ndarray:
             vid = os.path.splitext(os.path.basename(src))[0]
             segments = ex.transcribe(
                 src, os.path.join(self.cfg.transcript_dir, f"{vid}.json"),
-                asr=asr,
+                asr=asr, word_timestamps=word_level,
             )
             # floor, matching the reference's int(actual_duration)
             # (text_feature_extractor.py:309)
             duration = int(probe_duration(src))
-            bins = bin_transcript_per_second(segments, duration)
+            bins = bin_transcript_per_second(segments, duration, word_level=word_level)
             return ex.embed_bins(bins)
 
         # shares the _resumable driver with visual/audio: same is_done
