@@ -417,6 +417,44 @@ def _apply_timestamp_rules(
     return jnp.where(force, neg, logits)
 
 
+def _rules_for_position(
+    logits: Array,  # [N, V]
+    tokens: Array,  # [N, L] current sequences (prompt + sampled + EOT pad)
+    pos: Array,  # scalar int32 — position whose prediction `logits` is
+    p: int,  # prompt length
+    cfg: WhisperJaxConfig,
+    suppress: Array,
+) -> Array:
+    """Timestamp rules for the prediction made at ``pos``.
+
+    openai's rules look at the SAMPLED sequence only (seq =
+    tokens[sample_begin:]): with no sampled token yet the "last" slot reads
+    as non-timestamp, and with fewer than TWO sampled tokens the
+    "penultimate" slot reads as timestamp (decoding.py ApplyTimestampRules:
+    len(seq) < 2 clause). Feeding prompt tokens into those slots mispairs the
+    state machine — the first sampled timestamp then looks like a segment
+    CLOSER, text gets blocked, and every transcription decodes to empty-text
+    timestamp pairs."""
+    l = tokens.shape[1]
+    emitted_ts = (tokens >= cfg.timestamp_begin) & (
+        jnp.arange(l)[None] >= p
+    ) & (jnp.arange(l)[None] <= pos)
+    return _apply_timestamp_rules(
+        logits,
+        jnp.where(pos >= p, tokens[:, pos], cfg.sot),
+        jnp.where(
+            pos >= p + 1,
+            tokens[:, jnp.maximum(pos - 1, 0)],
+            cfg.timestamp_begin,  # len(seq) < 2 reads as timestamp
+        ),
+        jnp.max(jnp.where(emitted_ts, tokens, cfg.timestamp_begin), axis=1),
+        jnp.any(emitted_ts, axis=1),
+        jnp.asarray(pos == p - 1),
+        cfg,
+        suppress,
+    )
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3, 4))
 def greedy_decode(
     decoder: WhisperDecoder,
@@ -448,34 +486,7 @@ def greedy_decode(
             variables, tok_in, pos, self_kv, cross_kv, method=WhisperDecoder.step
         )
         if with_timestamps:
-            # openai's rules look at the SAMPLED sequence only (seq =
-            # tokens[sample_begin:]): with no sampled token yet the "last"
-            # slot reads as non-timestamp, and with fewer than TWO sampled
-            # tokens the "penultimate" slot reads as timestamp
-            # (decoding.py ApplyTimestampRules: len(seq) < 2 clause). Feeding
-            # prompt tokens into those slots mispairs the state machine —
-            # the first sampled timestamp then looks like a segment CLOSER,
-            # text gets blocked, and every transcription decodes to
-            # empty-text timestamp pairs.
-            emitted_ts = (tokens >= cfg.timestamp_begin) & (
-                jnp.arange(l)[None] >= p
-            ) & (jnp.arange(l)[None] <= pos)
-            logits = _apply_timestamp_rules(
-                logits,
-                jnp.where(pos >= p, tokens[:, pos], cfg.sot),
-                jnp.where(
-                    pos >= p + 1,
-                    tokens[:, jnp.maximum(pos - 1, 0)],
-                    cfg.timestamp_begin,  # len(seq) < 2 reads as timestamp
-                ),
-                jnp.max(
-                    jnp.where(emitted_ts, tokens, cfg.timestamp_begin), axis=1
-                ),
-                jnp.any(emitted_ts, axis=1),
-                jnp.asarray(pos == p - 1),
-                cfg,
-                suppress,
-            )
+            logits = _rules_for_position(logits, tokens, pos, p, cfg, suppress)
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.eot, nxt)
         # predictions at prompt-feeding positions are discarded below, so an
@@ -503,6 +514,116 @@ def greedy_decode(
         cond, body, (tokens0, self_kv, done0, jnp.int32(0))
     )
     return tokens
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def beam_decode(
+    decoder: WhisperDecoder,
+    variables: Mapping[str, Any],
+    enc: Array,  # [B, S, d]
+    prompt: tuple[int, ...],
+    beam_size: int = 5,
+    with_timestamps: bool = True,
+) -> Array:
+    """Batched beam search -> best tokens [B, max_target_positions].
+
+    The reference's host ASR (whisperx / faster-whisper) decodes with beam 5;
+    this is the TPU equivalent, designed for XLA: the beam dimension is
+    FOLDED INTO THE BATCH ([B*W] rows through the same KV-cached step as
+    greedy_decode), each iteration extends every hypothesis, takes the top-W
+    of the W*V candidates per batch element (one `lax.top_k`), and gathers
+    tokens + KV caches along the winning back-pointers. Finished hypotheses
+    extend only via EOT at zero cost (openai BeamSearchDecoder semantics);
+    the final pick maximizes length-normalized cumulative log-probability
+    (openai's MaximumLikelihoodRanker with its default penalty). Early-exits
+    once every hypothesis of every element has finished."""
+    cfg = decoder.cfg
+    b = enc.shape[0]
+    w = beam_size
+    v = cfg.vocab_size
+    l = cfg.max_target_positions
+    p = len(prompt)
+    prompt_arr = jnp.asarray(prompt, jnp.int32)
+    suppress = jnp.asarray(_suppress_mask(cfg))
+    neg = jnp.float32(-1e9)
+
+    enc_t = jnp.repeat(enc, w, axis=0)  # [B*W, S, d], beam-minor
+    cross_kv = decoder.apply(variables, enc_t, method=WhisperDecoder.precompute_cross)
+    d = cfg.d_model
+    self_kv = (
+        jnp.zeros((b * w, cfg.dec_layers, l, d), enc.dtype),
+        jnp.zeros((b * w, cfg.dec_layers, l, d), enc.dtype),
+    )
+    tokens0 = jnp.full((b * w, l), cfg.eot, jnp.int32)
+    tokens0 = jax.lax.dynamic_update_slice(
+        tokens0, jnp.tile(prompt_arr[None], (b * w, 1)), (0, 0)
+    )
+    # only beam 0 is live at the first sampling step (all beams are identical
+    # copies until then — without this the top-W would be W duplicates)
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros(1), jnp.full(w - 1, neg)]).astype(jnp.float32)[None],
+        (b, 1),
+    )
+    done0 = jnp.zeros((b, w), bool)
+
+    def gather_beams(x, src):
+        xr = x.reshape(b, w, *x.shape[1:])
+        idx = src.reshape(b, w, *([1] * (len(x.shape) - 1)))
+        return jnp.take_along_axis(xr, idx, axis=1).reshape(x.shape)
+
+    def body(carry):
+        tokens, self_kv, scores, done, pos = carry
+        tok_in = tokens[:, pos]
+        logits, self_kv = decoder.apply(
+            variables, tok_in, pos, self_kv, cross_kv, method=WhisperDecoder.step
+        )
+        if with_timestamps:
+            logits = _rules_for_position(logits, tokens, pos, p, cfg, suppress)
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, w, v)
+        ids = jnp.arange(v)
+        # finished hypotheses: the only extension is EOT, at zero cost
+        ext = jnp.where(
+            done[:, :, None],
+            jnp.where(ids[None, None] == cfg.eot, 0.0, neg),
+            logp,
+        )
+        cand = scores[:, :, None] + ext
+        top_s, top_i = jax.lax.top_k(cand.reshape(b, w * v), w)
+        src = (top_i // v).astype(jnp.int32)
+        tok = (top_i % v).astype(jnp.int32)
+
+        in_prompt = pos + 1 < p
+        # prompt phase: all beams identical — no reshuffle, no scoring
+        src = jnp.where(in_prompt, jnp.arange(w, dtype=jnp.int32)[None], src)
+        scores = jnp.where(in_prompt, scores, top_s)
+
+        tokens = gather_beams(tokens, src)
+        self_kv = (gather_beams(self_kv[0], src), gather_beams(self_kv[1], src))
+        done = jnp.take_along_axis(done, src, axis=1)
+
+        tok_flat = tok.reshape(b * w)
+        write = jnp.where(
+            in_prompt, tokens[:, jnp.minimum(pos + 1, l - 1)], tok_flat
+        )
+        tokens = jax.lax.dynamic_update_slice(tokens, write[:, None], (0, pos + 1))
+        done = done | ((tok == cfg.eot) & ~in_prompt)
+        return (tokens, self_kv, scores, done, pos + 1)
+
+    def cond(carry):
+        _, _, _, done, pos = carry
+        return (pos < l - 1) & ~jnp.all(done)
+
+    tokens, _, scores, done, _ = jax.lax.while_loop(
+        cond, body, (tokens0, self_kv, scores0, done0, jnp.int32(0))
+    )
+    # length-normalized ranking: sampled tokens up to and including EOT
+    tk = tokens.reshape(b, w, l)
+    sampled = tk[:, :, p:]
+    has_eot = jnp.any(sampled == cfg.eot, axis=-1)
+    first_eot = jnp.argmax(sampled == cfg.eot, axis=-1)
+    lengths = jnp.where(has_eot, first_eot + 1, l - p).astype(jnp.float32)
+    best = jnp.argmax(scores / jnp.maximum(lengths, 1.0), axis=1)
+    return tk[jnp.arange(b), best]
 
 
 # -- log-mel frontend ----------------------------------------------------------------
@@ -702,9 +823,11 @@ class WhisperASR:
         max_chunk_batch: int = 16,
         alignment_heads: Sequence[tuple[int, int]] | None = None,
         auto_language: bool = False,
+        beam_size: int = 1,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
+        self.beam_size = beam_size
         self.max_chunk_batch = max_chunk_batch
         self.encoder = WhisperEncoder(cfg, compute_dtype)
         self.decoder = WhisperDecoder(cfg, compute_dtype)
@@ -861,9 +984,17 @@ class WhisperASR:
                 block = np.concatenate([block, np.zeros((pad, N_SAMPLES), np.float32)])
             mel = log_mel_whisper(jnp.asarray(block), n_mels=self.cfg.n_mels)
             enc = self._encode(mel)
-            tokens = np.asarray(
-                greedy_decode(self.decoder, self._dec_vars, enc, prompt)
-            )
+            if self.beam_size > 1:
+                tokens = np.asarray(
+                    beam_decode(
+                        self.decoder, self._dec_vars, enc, prompt,
+                        self.beam_size,
+                    )
+                )
+            else:
+                tokens = np.asarray(
+                    greedy_decode(self.decoder, self._dec_vars, enc, prompt)
+                )
             n_real = block.shape[0] - pad
             block_segments = [
                 tokens_to_segments(
