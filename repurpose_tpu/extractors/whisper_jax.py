@@ -14,11 +14,16 @@ layout.
 TPU-first design notes:
 - the decoder decodes ALL 30 s chunks of a video as one batch (the reference
   decodes sequentially, one window at a time);
-- the greedy loop is a single `lax.scan` over static `max_target_positions`
-  steps with per-row done flags and a preallocated KV cache — one compiled
+- the greedy loop is a `lax.while_loop` with per-row done flags, a
+  preallocated KV cache, and EARLY EXIT once every row finishes (decode cost
+  tracks the longest transcript, not the 448-token budget) — one compiled
   program per (batch, prompt-length) shape, no dynamic shapes;
+- ``beam_decode`` folds the beam dimension into the batch through the same
+  KV-cached step (one top_k per iteration, KV gathers along back-pointers) —
+  the TPU equivalent of the reference host path's beam-5 default;
 - timestamp logit rules (pairing, monotonicity, the sum-probability rule,
-  the initial-timestamp cap) are vectorized over the batch inside the scan.
+  the initial-timestamp cap) are vectorized over the batch inside the loop;
+- ``detect_language`` is one extra decoder step over the language-token slice.
 """
 
 from __future__ import annotations
@@ -894,6 +899,7 @@ class WhisperASR:
         max_chunk_batch: int = 16,
         alignment_heads: Sequence[tuple[int, int]] | None = None,
         auto_language: bool = False,
+        beam_size: int = 1,
     ) -> "WhisperASR":
         """Build from a local HF Whisper checkpoint directory
         (config.json + model.safetensors / pytorch_model.bin [+ tokenizer
@@ -935,6 +941,7 @@ class WhisperASR:
             cfg, enc_p, dec_p, tokenizer, lang_id=lang_id,
             compute_dtype=compute_dtype, max_chunk_batch=max_chunk_batch,
             alignment_heads=alignment_heads, auto_language=auto_language,
+            beam_size=beam_size,
         )
 
     def transcribe_file(self, path: str, word_timestamps: bool = False) -> list[dict]:

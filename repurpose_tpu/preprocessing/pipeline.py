@@ -42,6 +42,7 @@ class PreprocessConfig:
     minilm_checkpoint: str = ""  # HF all-MiniLM-L6-v2 dir
     whisper_checkpoint: str = ""  # HF whisper dir -> ASR on TPU (else host whisper)
     whisper_auto_language: bool = False  # per-video language detection
+    whisper_beam_size: int = 1  # >1 -> batched TPU beam search (host default: 5)
     whisper_word_timestamps: bool = False  # cross-attention word aligner +
     # word-level per-second binning (beyond-reference precision)
     download_workers: int = 3
@@ -154,6 +155,7 @@ class PreprocessingPipeline:
             asr = WhisperASR.from_hf_dir(
                 self.cfg.whisper_checkpoint,
                 auto_language=self.cfg.whisper_auto_language,
+                beam_size=self.cfg.whisper_beam_size,
             )
         word_level = bool(asr) and self.cfg.whisper_word_timestamps
 
