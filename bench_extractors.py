@@ -108,6 +108,21 @@ def main() -> None:
         f"(batch {bc} x 30 s chunks, <=61 tokens/chunk)"
     )
 
+    from repurpose_tpu.extractors.whisper_jax import beam_decode
+
+    def asr_beam(wav):
+        enc = wenc.apply({"params": wparams}, log_mel_whisper(wav))
+        return beam_decode(
+            wdec, {"params": dparams}, enc,
+            (wcfg.sot, wcfg.lang_begin, wcfg.transcribe), 5,
+        )
+
+    dt = _bench(asr_beam, wav, n=3)
+    print(
+        f"Whisper-base ASR beam=5: {bc * 30 / dt:,.0f} audio-seconds/s "
+        f"(the beam rides the batch — launch-latency-bound decode)"
+    )
+
     # Word alignment: teacher-forced cross-attention matrix (TPU) + DTW (C++)
     # — the per-chunk cost of word_timestamps=True on top of ASR.
     from repurpose_tpu.extractors.whisper_align import WhisperAligner

@@ -103,8 +103,10 @@ def main() -> None:
                 batch.durations, [s["video_id"] for s in samples],
             )
 
-    for bi, results in enumerate(pipe.score_stream(staged_batches())):
-        samples = sample_blocks[bi]
+    for results in pipe.score_stream(staged_batches()):
+        # FIFO consume: score_stream yields in dispatch order; holding every
+        # batch's feature arrays for the whole run would grow without bound
+        samples = sample_blocks.pop(0)
         all_results.extend(results[: len(samples)])
         for s, r in zip(samples, results):
             tiou = calculate_tiou(

@@ -535,13 +535,15 @@ def beam_decode(
     The reference's host ASR (whisperx / faster-whisper) decodes with beam 5;
     this is the TPU equivalent, designed for XLA: the beam dimension is
     FOLDED INTO THE BATCH ([B*W] rows through the same KV-cached step as
-    greedy_decode), each iteration extends every hypothesis, takes the top-W
-    of the W*V candidates per batch element (one `lax.top_k`), and gathers
-    tokens + KV caches along the winning back-pointers. Finished hypotheses
-    extend only via EOT at zero cost (openai BeamSearchDecoder semantics);
-    the final pick maximizes length-normalized cumulative log-probability
-    (openai's MaximumLikelihoodRanker with its default penalty). Early-exits
-    once every hypothesis of every element has finished."""
+    greedy_decode); each iteration extends every live hypothesis, takes the
+    top-2W of the W*V candidates per element (one `lax.top_k`), refills the
+    beam with the best W non-EOT candidates, moves EOT candidates ranked
+    above the W-th live one into a first-come finished pool capped at W
+    (openai BeamSearchDecoder's exact bookkeeping), and gathers tokens + KV
+    caches along the winning back-pointers. The final pick maximizes
+    score / sampled-length-excluding-EOT (openai's MaximumLikelihoodRanker
+    default). Early-exits once every element has W finished hypotheses;
+    oracle-tested token-for-token (tests/test_whisper_beam.py)."""
     cfg = decoder.cfg
     b = enc.shape[0]
     w = beam_size
@@ -569,7 +571,14 @@ def beam_decode(
         jnp.concatenate([jnp.zeros(1), jnp.full(w - 1, neg)]).astype(jnp.float32)[None],
         (b, 1),
     )
-    done0 = jnp.zeros((b, w), bool)
+    # finished pool (openai: a hypothesis that emits EOT LEAVES the beam; the
+    # beam refills with W live candidates). First-come capped at W entries,
+    # in candidate-score order within a step — exactly BeamSearchDecoder's
+    # previously_finished bookkeeping.
+    fin_scores0 = jnp.full((b, w), neg)
+    fin_tokens0 = jnp.full((b, w, l), cfg.eot, jnp.int32)
+    fin_lengths0 = jnp.ones((b, w), jnp.float32)
+    fin_count0 = jnp.zeros((b,), jnp.int32)
 
     def gather_beams(x, src):
         xr = x.reshape(b, w, *x.shape[1:])
@@ -577,7 +586,8 @@ def beam_decode(
         return jnp.take_along_axis(xr, idx, axis=1).reshape(x.shape)
 
     def body(carry):
-        tokens, self_kv, scores, done, pos = carry
+        (tokens, self_kv, scores, fin_scores, fin_tokens, fin_lengths,
+         fin_count, pos) = carry
         tok_in = tokens[:, pos]
         logits, self_kv = decoder.apply(
             variables, tok_in, pos, self_kv, cross_kv, method=WhisperDecoder.step
@@ -585,50 +595,104 @@ def beam_decode(
         if with_timestamps:
             logits = _rules_for_position(logits, tokens, pos, p, cfg, suppress)
         logp = jax.nn.log_softmax(logits, axis=-1).reshape(b, w, v)
-        ids = jnp.arange(v)
-        # finished hypotheses: the only extension is EOT, at zero cost
-        ext = jnp.where(
-            done[:, :, None],
-            jnp.where(ids[None, None] == cfg.eot, 0.0, neg),
-            logp,
-        )
-        cand = scores[:, :, None] + ext
-        top_s, top_i = jax.lax.top_k(cand.reshape(b, w * v), w)
+        cand = scores[:, :, None] + logp
+        # top 2W of W*V covers both the W live refills and every EOT
+        # candidate ranked above the W-th live one (openai scans candidates
+        # in score order and stops collecting at W live)
+        k2 = min(2 * w, v)
+        top_s, top_i = jax.lax.top_k(cand.reshape(b, w * v), k2)
         src = (top_i // v).astype(jnp.int32)
         tok = (top_i % v).astype(jnp.int32)
+        is_eot = tok == cfg.eot
+
+        # live refill: best W non-EOT candidates
+        live_s = jnp.where(is_eot, neg, top_s)
+        lsel_s, lsel_i = jax.lax.top_k(live_s, w)  # indices into the k2
+        live_src = jnp.take_along_axis(src, lsel_i, axis=1)
+        live_tok = jnp.take_along_axis(tok, lsel_i, axis=1)
 
         in_prompt = pos + 1 < p
         # prompt phase: all beams identical — no reshuffle, no scoring
-        src = jnp.where(in_prompt, jnp.arange(w, dtype=jnp.int32)[None], src)
-        scores = jnp.where(in_prompt, scores, top_s)
+        live_src = jnp.where(
+            in_prompt, jnp.arange(w, dtype=jnp.int32)[None], live_src
+        )
+        new_scores = jnp.where(in_prompt, scores, lsel_s)
 
-        tokens = gather_beams(tokens, src)
-        self_kv = (gather_beams(self_kv[0], src), gather_beams(self_kv[1], src))
-        done = jnp.take_along_axis(done, src, axis=1)
+        # finished candidates: EOT extensions ranked at/above the W-th live
+        # candidate (the ones openai's scan reaches before its break)
+        wth = lsel_s[:, w - 1 : w]
+        fin_cand_s = jnp.where(is_eot & (top_s >= wth) & ~in_prompt, top_s, neg)
+        # candidate-score order (top_s is already sorted, so fin_cand_s is
+        # sorted among its valid entries after this top_k)
+        fsel_s, fsel_i = jax.lax.top_k(fin_cand_s, k2)
+        fin_cand_src = jnp.take_along_axis(src, fsel_i, axis=1)
+        # build the finished sequences: source tokens + EOT at pos+1
+        cand_tokens = jnp.take_along_axis(
+            tokens.reshape(b, w, l), fin_cand_src[:, :, None], axis=1
+        )  # [B, k2, L] (rows beyond the valid prefix are junk, never admitted)
+        cand_tokens = jax.lax.dynamic_update_slice(
+            cand_tokens, jnp.full((b, k2, 1), cfg.eot, jnp.int32), (0, 0, pos + 1)
+        )
+        # first-come fill: slot j takes new candidate j - fin_count while
+        # slots remain and the candidate is valid; existing entries are never
+        # evicted (openai caps, it does not re-rank)
+        j = jnp.arange(w, dtype=jnp.int32)[None]
+        new_idx = jnp.clip(j - fin_count[:, None], 0, k2 - 1)
+        incoming_s = jnp.take_along_axis(fsel_s, new_idx, axis=1)
+        take_new = (j >= fin_count[:, None]) & (incoming_s > neg / 2)
+        fin_scores = jnp.where(take_new, incoming_s, fin_scores)
+        incoming_tokens = jnp.take_along_axis(
+            cand_tokens, new_idx[:, :, None], axis=1
+        )
+        fin_tokens = jnp.where(take_new[:, :, None], incoming_tokens, fin_tokens)
+        # openai's ranker length EXCLUDES the EOT token
+        n_sampled = jnp.float32(pos + 1 - p)
+        fin_lengths = jnp.where(
+            take_new, jnp.maximum(n_sampled, 1.0), fin_lengths
+        )
+        n_new = jnp.sum(fsel_s > neg / 2, axis=1).astype(jnp.int32)
+        fin_count = jnp.minimum(fin_count + n_new, w)
 
-        tok_flat = tok.reshape(b * w)
+        tokens = gather_beams(tokens, live_src)
+        self_kv = (
+            gather_beams(self_kv[0], live_src),
+            gather_beams(self_kv[1], live_src),
+        )
+        tok_flat = live_tok.reshape(b * w)
         write = jnp.where(
             in_prompt, tokens[:, jnp.minimum(pos + 1, l - 1)], tok_flat
         )
         tokens = jax.lax.dynamic_update_slice(tokens, write[:, None], (0, pos + 1))
-        done = done | ((tok == cfg.eot) & ~in_prompt)
-        return (tokens, self_kv, scores, done, pos + 1)
+        return (tokens, self_kv, new_scores, fin_scores, fin_tokens,
+                fin_lengths, fin_count, pos + 1)
 
     def cond(carry):
-        _, _, _, done, pos = carry
-        return (pos < l - 1) & ~jnp.all(done)
+        fin_count = carry[6]
+        pos = carry[7]
+        # stop when every element has collected W finished hypotheses
+        return (pos < l - 1) & ~jnp.all(fin_count >= w)
 
-    tokens, _, scores, done, _ = jax.lax.while_loop(
-        cond, body, (tokens0, self_kv, scores0, done0, jnp.int32(0))
+    (tokens, _, scores, fin_scores, fin_tokens, fin_lengths, fin_count, _) = (
+        jax.lax.while_loop(
+            cond, body,
+            (tokens0, self_kv, scores0, fin_scores0, fin_tokens0,
+             fin_lengths0, fin_count0, jnp.int32(0)),
+        )
     )
-    # length-normalized ranking: sampled tokens up to and including EOT
-    tk = tokens.reshape(b, w, l)
-    sampled = tk[:, :, p:]
-    has_eot = jnp.any(sampled == cfg.eot, axis=-1)
-    first_eot = jnp.argmax(sampled == cfg.eot, axis=-1)
-    lengths = jnp.where(has_eot, first_eot + 1, l - p).astype(jnp.float32)
-    best = jnp.argmax(scores / jnp.maximum(lengths, 1.0), axis=1)
-    return tk[jnp.arange(b), best]
+    # finalize: elements short of W finished fall back to their best live
+    # hypothesis (openai pads unfinished sequences in at finalize)
+    live_best = jnp.argmax(scores, axis=1)
+    live_tokens = tokens.reshape(b, w, l)[jnp.arange(b), live_best]
+    live_scores = scores[jnp.arange(b), live_best]
+    no_fin = fin_count == 0
+    fb_scores = jnp.where(no_fin, live_scores, neg)
+    fin_scores = jnp.concatenate([fin_scores, fb_scores[:, None]], axis=1)
+    fin_tokens = jnp.concatenate([fin_tokens, live_tokens[:, None]], axis=1)
+    fin_lengths = jnp.concatenate(
+        [fin_lengths, jnp.full((b, 1), float(max(l - 1 - p, 1)))], axis=1
+    )
+    best = jnp.argmax(fin_scores / fin_lengths, axis=1)
+    return fin_tokens[jnp.arange(b), best]
 
 
 # -- log-mel frontend ----------------------------------------------------------------
@@ -876,16 +940,22 @@ class WhisperASR:
         cfg = self.cfg
         if not cfg.n_langs:
             return cfg.lang_begin, 1.0
+        if not hasattr(self, "_detect_fn"):
+            # jitted once; an eager decoder forward would dispatch per-op
+            # over the device tunnel (CLAUDE.md: always jit)
+            def _detect(enc):
+                logits = self.decoder.apply(
+                    self._dec_vars, jnp.asarray([[cfg.sot]], jnp.int32), enc
+                )[0, 0]
+                return jax.nn.softmax(
+                    logits[cfg.lang_begin : cfg.lang_begin + cfg.n_langs]
+                )
+
+            self._detect_fn = jax.jit(_detect)
         wave = np.zeros(N_SAMPLES, np.float32)
         wave[: min(len(wave_16k), N_SAMPLES)] = wave_16k[:N_SAMPLES]
         mel = log_mel_whisper(wave[None], n_mels=cfg.n_mels)
-        enc = self._encode(mel)
-        logits = self.decoder.apply(
-            self._dec_vars, jnp.asarray([[cfg.sot]], jnp.int32), enc
-        )[0, 0]
-        lang_slice = jax.nn.softmax(
-            logits[cfg.lang_begin : cfg.lang_begin + cfg.n_langs]
-        )
+        lang_slice = self._detect_fn(self._encode(mel))
         idx = int(jnp.argmax(lang_slice))
         return cfg.lang_begin + idx, float(lang_slice[idx])
 

@@ -306,7 +306,21 @@ class TextExtractor:
 
         if cache_path and os.path.exists(cache_path):
             with open(cache_path) as f:
-                return json.load(f)
+                cached = json.load(f)
+            if (
+                word_timestamps
+                and asr is not None
+                and cached
+                and not any("words" in s for s in cached)
+            ):
+                # cache predates word_timestamps=True: silently returning it
+                # would no-op the requested word-level feature — re-transcribe
+                logger.info(
+                    "transcript cache %s lacks word timestamps; re-transcribing",
+                    cache_path,
+                )
+            else:
+                return cached
         segments = None
         if asr is not None:
             segments = asr.transcribe_file(audio_path, word_timestamps=word_timestamps)

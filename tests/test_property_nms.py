@@ -47,7 +47,8 @@ def candidates(draw):
     )
     # exclude exactly/near-zero lengths (module docstring): clamp to +-1e-3
     lengths = np.where(
-        np.abs(lengths) < 1e-3, np.float32(1e-3) * np.sign(lengths + 0.5e-3),
+        np.abs(lengths) < 1e-3,
+        np.where(lengths >= np.float32(-0.5e-3), np.float32(1e-3), np.float32(-1e-3)),
         lengths,
     ).astype(np.float32)
     segs = np.stack([begins, begins + lengths], axis=1)

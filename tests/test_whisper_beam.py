@@ -26,17 +26,19 @@ from tests.test_whisper import tiny  # noqa: F401  (module-scoped fixture)
 
 
 def _reference_beam(decoder, dec_p, enc_row, prompt, w, l, cfg, with_ts):
-    """Slow oracle: hypotheses as explicit lists, full teacher-forced forward
-    per step (no KV cache), exhaustive candidate expansion."""
+    """Slow oracle with openai BeamSearchDecoder semantics: hypotheses as
+    explicit lists, full teacher-forced forward per step (no KV cache);
+    per-source top-(w+1) candidate expansion; candidates scanned in score
+    order — EOT ones join the finished pool (first-come, capped at w, no
+    eviction), the rest refill the live beam until w; stop when w finished;
+    final pick by score / length-excluding-EOT (MaximumLikelihoodRanker)."""
     suppress = jnp.asarray(_suppress_mask(cfg))
-    hyps = [(list(prompt), 0.0, False)]
+    hyps = [(list(prompt), 0.0)]
+    finished: list[tuple[list, float, int]] = []  # (tokens, score, n_sampled)
     p = len(prompt)
     for pos in range(p - 1, l - 1):
         cands = []
-        for tokens, score, done in hyps:
-            if done:
-                cands.append((tokens + [cfg.eot], score, True))
-                continue
+        for tokens, score in hyps:
             padded = tokens + [cfg.eot] * (l - len(tokens))
             logits = decoder.apply(
                 {"params": dec_p}, jnp.asarray([padded], jnp.int32),
@@ -48,22 +50,30 @@ def _reference_beam(decoder, dec_p, enc_row, prompt, w, l, cfg, with_ts):
                     jnp.asarray(pos), p, cfg, suppress,
                 )[0]
             logp = np.asarray(jax.nn.log_softmax(logits.astype(jnp.float32)))
-            # expanding every vocab entry is infeasible; the fast path's
-            # top-W of W*V can involve at most W continuations per source
-            top = np.argsort(-logp)[: w + 1]
-            for t in top:
-                cands.append(
-                    (tokens + [int(t)], score + float(logp[t]), int(t) == cfg.eot)
-                )
+            for t in np.argsort(-logp)[: w + 1]:
+                cands.append((tokens + [int(t)], score + float(logp[t])))
         cands.sort(key=lambda c: -c[1])
-        hyps = cands[:w]
-        if all(d for _, _, d in hyps):
+        hyps = []
+        step_finished = []
+        for tokens, score in cands:
+            if tokens[-1] == cfg.eot:
+                step_finished.append((tokens, score, pos + 1 - p))
+            else:
+                hyps.append((tokens, score))
+                if len(hyps) == w:
+                    break
+        for entry in step_finished:  # already in score order
+            if len(finished) >= w:
+                break
+            finished.append(entry)
+        if len(finished) >= w:
             break
+    if not finished:  # fallback: best live hypothesis, truncated
+        tokens, score = max(hyps, key=lambda c: c[1])
+        finished = [(tokens, score, max(l - 1 - p, 1))]
     best, best_rank = None, -np.inf
-    for tokens, score, _ in hyps:
-        sampled = tokens[p:]
-        length = sampled.index(cfg.eot) + 1 if cfg.eot in sampled else l - p
-        rank = score / max(length, 1)
+    for tokens, score, n_sampled in finished:
+        rank = score / max(n_sampled, 1)
         if rank > best_rank:
             best_rank, best = rank, tokens
     return best + [cfg.eot] * (l - len(best))
