@@ -18,6 +18,16 @@ the backward too); TrainConfig.rng_impl="rbg" (now the default) captures the
 36 ms. Two hard-won measurement rules encoded here: perturb the scan input
 with the carry or XLA hoists loop-invariant forwards out of the chain, and
 consume every gradient leaf or DCE deletes most of the backward.
+
+Known backend issue: variant G (histogram telemetry inside the 20-length
+scan) reproducibly CRASHES the v5e worker on this box ("TPU worker process
+crashed"). Production is unaffected — the Trainer runs the histogram step
+standalone on its 1/1000 cadence (train.py smoke passes, including the
+step-1 histogram step); only the scanned x20 formulation trips it.
+
+H (unsafe_rbg) measured IDENTICAL to rbg (84.2 vs 84.3 ms/step standalone
+A/B, 2026-08-17) — rbg's per-key determinism costs nothing here, so it
+stays the default and no unsafe knob is exposed.
 """
 
 from __future__ import annotations
@@ -138,10 +148,12 @@ def main():
         results[name] = ms
         print(f"{name:28s} {ms:8.2f} ms", file=sys.stderr)
 
+    key_urbg = jax.random.key(2, impl="unsafe_rbg")
     for name, key, tel in [
         ("E full step threefry", key_tf, False),
         ("F full step rbg", key_rbg, False),
         ("G full step rbg + telemetry", key_rbg, True),
+        ("H full step unsafe_rbg", key_urbg, False),
     ]:
         step = make_train_step(
             cfg, tc, tx, sched, donate=False,
