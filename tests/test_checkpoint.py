@@ -38,6 +38,8 @@ def test_max_to_keep(tmp_path):
     assert ckpt.latest_step() == 3
     restored, meta = ckpt.restore(state)
     assert meta["epoch"] == 3
+    # the named behavior: old steps are actually PRUNED
+    assert sorted(ckpt._mgr.all_steps()) == [2, 3]
     ckpt.close()
 
 

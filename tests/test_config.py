@@ -86,5 +86,9 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         assert os.listdir(d), "compiled program should be written to the cache dir"
     finally:
         # tmp_path is deleted after the test; don't leave the process
-        # pointed at a dead cache dir
+        # pointed at a dead cache dir — and restore the thresholds
+        # enable_compilation_cache zeroed, or later tests in this process
+        # would cache every trivial program (cross-test state bleed)
         jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -13,6 +13,28 @@ import sys
 
 import pytest
 
+
+def _free_port() -> str:
+    """OS-assigned free port: hardcoded ports collide across concurrent test
+    sessions (and with workers leaked by a previous timed-out run)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return str(s.getsockname()[1])
+
+
+def _communicate_all(procs, timeout=420):
+    """communicate() on every worker, killing ALL of them on any failure so a
+    hung run cannot leak port-holding processes into later tests."""
+    try:
+        return [p.communicate(timeout=timeout)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+
+
 WORKER = r"""
 import os, sys
 pid = int(sys.argv[1])
@@ -20,7 +42,7 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
-    coordinator_address="localhost:29517", num_processes=2, process_id=pid
+    coordinator_address="localhost:" + os.environ["COORD_PORT"], num_processes=2, process_id=pid
 )
 import numpy as np
 sys.path.insert(0, os.environ["REPO"])
@@ -67,7 +89,7 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(
-    coordinator_address="localhost:29519", num_processes=2, process_id=pid
+    coordinator_address="localhost:" + os.environ["COORD_PORT"], num_processes=2, process_id=pid
 )
 sys.path.insert(0, os.environ["REPO"])
 from tests.test_multihost import eval_trainer_config, make_eval_datasets
@@ -134,6 +156,7 @@ def test_two_process_evaluate_matches_single_host(tmp_path):
         os.environ,
         REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         PALLAS_AXON_POOL_IPS="",
+        COORD_PORT=_free_port(),
     )
     procs = [
         subprocess.Popen(
@@ -142,7 +165,7 @@ def test_two_process_evaluate_matches_single_host(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = _communicate_all(procs)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     evals = []
@@ -165,6 +188,7 @@ def test_two_process_training(tmp_path):
         os.environ,
         REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         PALLAS_AXON_POOL_IPS="",  # keep the TPU-tunnel plugin out of workers
+        COORD_PORT=_free_port(),
     )
     procs = [
         subprocess.Popen(
@@ -173,7 +197,7 @@ def test_two_process_training(tmp_path):
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = _communicate_all(procs)
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     loss_lines = [

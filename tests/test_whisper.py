@@ -28,25 +28,6 @@ import jax
 import jax.numpy as jnp
 
 
-@pytest.fixture(scope="module")
-def tiny():
-    from transformers import WhisperConfig, WhisperForConditionalGeneration
-
-    hf_cfg = WhisperConfig(
-        vocab_size=51865, num_mel_bins=8, d_model=16, encoder_layers=2,
-        decoder_layers=2, encoder_attention_heads=2, decoder_attention_heads=2,
-        encoder_ffn_dim=32, decoder_ffn_dim=32, max_source_positions=1500,
-        max_target_positions=24,
-    )
-    # eager attention so output_attentions works (cross-attention parity,
-    # tests/test_whisper_align.py); numerics are identical to sdpa
-    hf_cfg._attn_implementation = "eager"
-    torch.manual_seed(0)
-    hf = WhisperForConditionalGeneration(hf_cfg).eval()
-    cfg = config_from_hf(hf_cfg)
-    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
-    enc_p, dec_p = convert_hf_whisper(sd, cfg)
-    return hf, cfg, enc_p, dec_p
 
 
 def test_config_from_hf_token_layout(tiny):
@@ -343,8 +324,9 @@ def test_detect_language_matches_hf_logits(tiny):
 
 
 def test_auto_language_prompts_decode(tiny, monkeypatch):
-    """auto_language=True: the detected token lands in the decode prompt and
-    the aligner's (per-video, no recompile)."""
+    """auto_language=True: the detected token lands in the decode prompt.
+    (The aligner takes the same per-video prompt via align_block's ``prompt``
+    argument — covered by test_whisper_align.)"""
     import repurpose_tpu.extractors.whisper_jax as wj
 
     _, cfg, enc_p, dec_p = tiny

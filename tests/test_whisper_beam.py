@@ -22,7 +22,6 @@ from repurpose_tpu.extractors.whisper_jax import (
     beam_decode,
     greedy_decode,
 )
-from tests.test_whisper import tiny  # noqa: F401  (module-scoped fixture)
 
 
 def _reference_beam(decoder, dec_p, enc_row, prompt, w, l, cfg, with_ts):
