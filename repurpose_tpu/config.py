@@ -183,6 +183,10 @@ class MeshConfig:
 class TestConfig:
     """Inference/decode settings (reference: configs/Repurpose.yaml:52-61)."""
 
+    # Not a pytest test class despite the Test* name (silences
+    # PytestCollectionWarning wherever tests import it).
+    __test__ = False
+
     pre_nms_topk: int = 1000
     pre_nms_thresh: float = 0.5
     duration_thresh: float = 10.0

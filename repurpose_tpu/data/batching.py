@@ -12,9 +12,12 @@ dict, RepurposeClip.py:536-575, minus host-only metadata).
 
 from __future__ import annotations
 
+import logging
 from typing import NamedTuple, Sequence
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 class Batch(NamedTuple):
@@ -30,11 +33,23 @@ class Batch(NamedTuple):
 def pick_bucket(length: int, buckets: Sequence[int]) -> int:
     """Smallest bucket >= length; sequences longer than the largest bucket are
     truncated to it (the capacity limit the reference expressed via its
-    PE max_len=5000, models/MMCTransformer.py:11)."""
+    PE max_len=5000, models/MMCTransformer.py:11) — with a warning, so the
+    data loss is visible: raise TrainConfig.buckets to cover the corpus."""
     for b in buckets:
         if length <= b:
             return b
+    if buckets[-1] not in _truncation_warned:  # once per bucket config, not per batch
+        _truncation_warned.add(buckets[-1])
+        logger.warning(
+            "sequence of length %d exceeds the largest bucket %d and will be "
+            "TRUNCATED — add a larger bucket to TrainConfig.buckets to keep the "
+            "tail (labels beyond the bucket are dropped; warned once)",
+            length, buckets[-1],
+        )
     return buckets[-1]
+
+
+_truncation_warned: set[int] = set()
 
 
 def collate(

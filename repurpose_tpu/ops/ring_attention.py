@@ -21,7 +21,7 @@ LSE — dq accumulates locally while dk/dv accumulators travel WITH their
 blocks and take one final hop home. Peak backward memory is the same O(T/n)
 as the forward (autodiff-through-scan would have saved all n rotated K/V
 blocks, i.e. the full sequence — measured by the memory-analysis test in
-tests/test_ring_memory.py).
+tests/test_ring_attention.py::test_backward_memory_advantage).
 
 Usage (inside jit, activations sharded [B, T, H, Dh] with T over "seq"):
 

@@ -132,6 +132,13 @@ class Trainer:
             and all(b % axis.get("seq", 1) == 0 for b in tc.buckets)
         )
         keep_impl = cfg.model.attention_impl != "ring" or ring_eval
+        if cfg.model.attention_impl == "ring" and not ring_eval:
+            logger.warning(
+                "ring attention disabled for EVAL (train keeps it): batch %d / "
+                "buckets %s don't divide mesh axes %s, or multi-host — eval "
+                "falls back to gather attention on replicated batches",
+                tc.batch_size, tc.buckets, axis,
+            )
         eval_model_cfg = dataclasses.replace(
             cfg.model, dropout=0.0,
             attention_impl=cfg.model.attention_impl if keep_impl else "auto",
