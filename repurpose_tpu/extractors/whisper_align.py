@@ -17,10 +17,14 @@ from the model itself (the approach of openai-whisper's ``timing`` module):
 3. group tokens into words and read each word's start/end from the path's
    jump times (20 ms per encoder position).
 
-Alignment heads default to every head of the top half of decoder layers —
-openai's fallback for checkpoints without a dumped head list; pass the
-checkpoint's known ``alignment_heads`` [(layer, head), ...] for sharper
-timings.
+Alignment heads: ``resolve_alignment_heads`` supplies the checkpoint's
+published head list — from the HF directory's generation_config.json when
+present, else from the bundled ``PUBLISHED_ALIGNMENT_HEADS`` table covering
+every openai/whisper-* release (the lists openai ships as compressed blobs
+in whisper/__init__.py and HF republishes in each model's
+generation_config.json). Checkpoints matched by neither fall back to every
+head of the top half of decoder layers (openai's own fallback), which gives
+blunter timings.
 """
 
 from __future__ import annotations
@@ -53,6 +57,134 @@ def default_alignment_heads(cfg: WhisperJaxConfig) -> list[tuple[int, int]]:
     ]
 
 
+# (decoder layer, head) pairs whose cross-attention tracks the audio position,
+# per released openai checkpoint — the values HF republishes in each model's
+# generation_config.json ("alignment_heads"), decoded from openai-whisper's
+# _ALIGNMENT_HEADS blobs. Using the dumped heads instead of the top-half
+# fallback is what WhisperX-quality timing needs (the fallback averages in
+# many heads that attend elsewhere, blurring the DTW ridge).
+PUBLISHED_ALIGNMENT_HEADS: dict[str, tuple[tuple[int, int], ...]] = {
+    "tiny": ((2, 2), (3, 0), (3, 2), (3, 3), (3, 4), (3, 5)),
+    "tiny.en": ((1, 0), (2, 0), (2, 5), (3, 0), (3, 1), (3, 2), (3, 3), (3, 4)),
+    "base": ((3, 1), (4, 2), (4, 3), (4, 7), (5, 1), (5, 2), (5, 4), (5, 6)),
+    "base.en": ((3, 3), (4, 7), (5, 1), (5, 5), (5, 7)),
+    "small": (
+        (5, 3), (5, 9), (8, 0), (8, 4), (8, 7), (8, 8), (9, 0), (9, 7),
+        (9, 9), (10, 5),
+    ),
+    "small.en": (
+        (6, 6), (7, 0), (7, 3), (7, 8), (8, 2), (8, 5), (8, 7), (9, 0),
+        (9, 4), (9, 8), (9, 10),
+    ),
+    "medium": ((13, 15), (15, 4), (15, 15), (16, 1), (20, 0), (23, 4)),
+    "medium.en": (
+        (11, 4), (14, 1), (14, 12), (14, 14), (15, 4), (16, 0), (16, 4),
+        (16, 9), (17, 12), (17, 14), (18, 7), (18, 10), (18, 15), (20, 0),
+        (20, 3), (20, 9), (20, 14), (21, 12),
+    ),
+    "large-v1": (
+        (9, 19), (11, 2), (11, 4), (11, 17), (22, 7), (22, 11), (22, 17),
+        (23, 2), (23, 15),
+    ),
+    "large-v2": (
+        (10, 12), (13, 17), (16, 11), (16, 12), (16, 13), (17, 15), (17, 16),
+        (18, 4), (18, 11), (18, 19), (19, 11), (21, 2), (21, 3), (22, 3),
+        (22, 9), (22, 12), (23, 5), (23, 7), (23, 13), (25, 5), (26, 1),
+        (26, 12), (27, 15),
+    ),
+    "large-v3": (
+        (7, 0), (10, 17), (12, 18), (13, 12), (16, 1), (17, 14), (19, 11),
+        (21, 4), (24, 1), (25, 6),
+    ),
+    "large-v3-turbo": ((2, 4), (2, 11), (3, 3), (3, 6), (3, 11), (3, 14)),
+}
+
+# (d_model, decoder layers, vocab size, mel bins) -> checkpoint name; .en
+# variants differ from multilingual only in vocab (51864 vs 51865), v3-family
+# in mels (128) and vocab (51866). large-v1 and large-v2 share dims — v2 wins
+# the dims lookup (it superseded v1 as openai's "large"); pass
+# alignment_heads explicitly or name the directory "...large-v1" to override.
+_DIMS_TO_NAME: dict[tuple[int, int, int, int], str] = {
+    (384, 4, 51865, 80): "tiny",
+    (384, 4, 51864, 80): "tiny.en",
+    (512, 6, 51865, 80): "base",
+    (512, 6, 51864, 80): "base.en",
+    (768, 12, 51865, 80): "small",
+    (768, 12, 51864, 80): "small.en",
+    (1024, 24, 51865, 80): "medium",
+    (1024, 24, 51864, 80): "medium.en",
+    (1280, 32, 51865, 80): "large-v2",
+    (1280, 32, 51866, 128): "large-v3",
+    (1280, 4, 51866, 128): "large-v3-turbo",
+}
+
+
+def resolve_alignment_heads(
+    path: str | None = None,
+    cfg: WhisperJaxConfig | None = None,
+    name: str | None = None,
+) -> list[tuple[int, int]] | None:
+    """Best-available alignment heads for a checkpoint, or None (caller falls
+    back to ``default_alignment_heads``). Precedence:
+
+    1. ``generation_config.json`` in the HF directory (authoritative — HF
+       ships the openai dump there);
+    2. checkpoint name match (directory basename or explicit ``name``,
+       e.g. "whisper-base.en") against the bundled table;
+    3. model-dimension match (unique per release except large-v1/v2).
+    """
+    import json
+    import os
+    import re
+
+    if path is not None:
+        gc = os.path.join(path, "generation_config.json")
+        if os.path.exists(gc):
+            try:
+                with open(gc) as f:
+                    heads = json.load(f).get("alignment_heads")
+                if heads:
+                    return [(int(l), int(h)) for l, h in heads]
+            except (ValueError, OSError, TypeError):
+                pass
+    candidates = []
+    if name:
+        candidates.append(name)
+    if path:
+        candidates.append(os.path.basename(os.path.normpath(path)))
+    for cand in candidates:
+        m = re.search(r"(tiny|base|small|medium|large(?:-v\d+)?(?:-turbo)?)(\.en)?",
+                      cand.lower())
+        if m:
+            key = m.group(1) + (m.group(2) or "")
+            if key == "large":
+                key = "large-v2"
+            if key in PUBLISHED_ALIGNMENT_HEADS:
+                return list(PUBLISHED_ALIGNMENT_HEADS[key])
+    if cfg is not None:
+        key = _DIMS_TO_NAME.get(
+            (cfg.d_model, cfg.dec_layers, cfg.vocab_size, cfg.n_mels)
+        )
+        if key is not None:
+            return list(PUBLISHED_ALIGNMENT_HEADS[key])
+    return None
+
+
+# Scripts written without inter-word spaces (openai-whisper treats zh/ja/th/
+# lo/my/yue as such and splits words per decoded unicode character there):
+# CJK ideographs (+ext A, compat), kana, Thai, Lao, Myanmar.
+_NO_SPACE_RANGES = (
+    (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0xF900, 0xFAFF),  # CJK ideographs
+    (0x3040, 0x309F), (0x30A0, 0x30FF),  # hiragana, katakana
+    (0x0E00, 0x0E7F), (0x0E80, 0x0EFF), (0x1000, 0x109F),  # Thai, Lao, Myanmar
+)
+
+
+def _no_space_script(ch: str) -> bool:
+    cp = ord(ch)
+    return any(lo <= cp <= hi for lo, hi in _NO_SPACE_RANGES)
+
+
 def split_words(
     tokens: Sequence[int], decode: Callable[[list[int]], str]
 ) -> list[tuple[str, int]]:
@@ -61,14 +193,36 @@ def split_words(
     Uses incremental decoding (a new word starts when the decoded piece opens
     with whitespace), so it works with byte-level BPE vocabularies where a
     single token can be a partial UTF-8 sequence; a piece that decodes to the
-    replacement character joins the current word. Space-delimited languages
-    only — CJK tokens group into one word per whitespace run (documented
-    limitation vs openai's per-script splitter)."""
+    replacement character joins the current word. Spaceless scripts (CJK,
+    Thai, Lao, Myanmar) split per decoded character instead — the behavior of
+    openai's split_tokens_on_unicode for zh/ja/th/lo/my — so each ideogram
+    gets its own timestamp rather than one blob per whitespace run."""
+    toks = list(tokens)
+
+    # Stage 1 (openai split_tokens_on_unicode): tokens -> complete decoded
+    # units. A unit is the smallest token run whose incremental decode piece
+    # is UTF-8 complete (doesn't end in U+FFFD) — so a character split across
+    # byte-level BPE tokens becomes ONE unit carrying ALL its tokens, instead
+    # of a stale replacement char attributed to the previous word.
+    units: list[tuple[str, int]] = []
+    boundary_text = ""  # decode at the last unit boundary
+    start = 0
+    for i in range(len(toks)):
+        full = decode(toks[: i + 1])
+        piece = full[len(boundary_text) :]
+        if piece == "" or not piece.endswith("�"):
+            units.append((piece, i + 1 - start))
+            boundary_text = full
+            start = i + 1
+    if start < len(toks):  # trailing incomplete bytes lump into a final unit
+        units.append((decode(toks)[len(boundary_text) :], len(toks) - start))
+
+    # Stage 2 (split_tokens_on_spaces): units -> words. A new word starts at
+    # leading whitespace, or at a spaceless-script seam (CJK/Thai/Lao/Myanmar
+    # — each ideogram is its own word, openai's behavior for zh/ja/th/lo/my).
     words: list[tuple[str, int]] = []
     cur_text, cur_n = "", 0
     pending = 0  # tokens of whitespace-only runs, folded into a neighbor
-    prev = ""
-    toks = list(tokens)
 
     def flush() -> None:
         # Token counts must sum to len(tokens) — the aligner indexes jump
@@ -83,15 +237,18 @@ def split_words(
             pending += cur_n
         cur_text, cur_n = "", 0
 
-    for i in range(len(toks)):
-        text = decode(toks[: i + 1])
-        piece = text[len(prev) :]
-        prev = text
-        starts_new = piece.startswith((" ", "\n", "\t")) and piece.strip() != ""
+    for piece, n_tok in units:
+        stripped = piece.strip()
+        starts_new = piece.startswith((" ", "\n", "\t")) and stripped != ""
+        if not starts_new and stripped and cur_text.strip():
+            if _no_space_script(stripped[0]) or _no_space_script(
+                cur_text.strip()[-1]
+            ):
+                starts_new = True
         if cur_n and starts_new:
             flush()
         cur_text += piece
-        cur_n += 1
+        cur_n += n_tok
     flush()
     if pending and words:  # trailing whitespace tokens join the last word
         word, n = words[-1]

@@ -1000,6 +1000,14 @@ class WhisperASR:
                 ).items()
             }
         enc_p, dec_p = convert_hf_whisper(sd, cfg)
+        if alignment_heads is None:
+            # published per-checkpoint head dump (generation_config.json /
+            # bundled table); None falls back to top-half heads in the aligner
+            from repurpose_tpu.extractors.whisper_align import (
+                resolve_alignment_heads,
+            )
+
+            alignment_heads = resolve_alignment_heads(path=path, cfg=cfg)
         if tokenizer is None:
             from transformers import WhisperTokenizer
 

@@ -21,26 +21,37 @@ from repurpose_tpu.models import build_model
 from repurpose_tpu.ops.decode import DecodeResult, decode_batch
 
 
-def _unpack(res: DecodeResult, durations, video_ids) -> list[dict]:
+def _unpack(res: DecodeResult, durations, video_ids, raw=None) -> list[dict]:
     """Fixed-size decode output -> per-video result dicts (rows beyond
-    len(video_ids) are batch padding from ragged final batches)."""
+    len(video_ids) are batch padding from ragged final batches).
+
+    ``raw`` (cls_logits [B,T,1], offsets [B,T,2]) attaches the model's raw
+    per-second outputs, duration-sliced, as ``raw_logits``/``raw_offsets`` —
+    so debug/visualization consumers reuse the decode program's forward
+    instead of running a second one (Trainer.evaluate debug_viz)."""
     segments = np.asarray(res.segments)
     scores = np.asarray(res.scores)
     labels = np.asarray(res.labels)
     keep = np.asarray(res.keep)
+    if raw is not None:
+        raw_logits = np.asarray(raw[0])
+        raw_offsets = np.asarray(raw[1])
     out = []
     for b in range(segments.shape[0]):
         k = keep[b]
         has_id = video_ids is not None and b < len(video_ids)
-        out.append(
-            {
-                "segments": segments[b][k],
-                "scores": scores[b][k],
-                "labels": labels[b][k],
-                "video_id": video_ids[b] if has_id else str(b),
-                "duration": int(durations[b]),
-            }
-        )
+        r = {
+            "segments": segments[b][k],
+            "scores": scores[b][k],
+            "labels": labels[b][k],
+            "video_id": video_ids[b] if has_id else str(b),
+            "duration": int(durations[b]),
+        }
+        if raw is not None:
+            d = int(durations[b])
+            r["raw_logits"] = raw_logits[b, :d, 0]
+            r["raw_offsets"] = raw_offsets[b, :d]
+        out.append(r)
     return out
 
 
@@ -51,7 +62,10 @@ class InferencePipeline:
     the jit cache.
     """
 
-    def __init__(self, cfg: ModelConfig, params, test_cfg: TestConfig, mesh=None):
+    def __init__(
+        self, cfg: ModelConfig, params, test_cfg: TestConfig, mesh=None,
+        raw_outputs: bool = False,
+    ):
         """``mesh``: pass the training mesh to keep ``attention_impl="ring"``
         live at evaluation — batches are then staged seq-sharded and the whole
         forward+decode runs sequence-parallel (requires batch % data-axis == 0
@@ -71,6 +85,7 @@ class InferencePipeline:
         self.cfg = cfg
         self.test_cfg = test_cfg
         self.params = params
+        self.raw_outputs = raw_outputs
         model = build_model(cfg, mesh=self._mesh)
 
         @jax.jit
@@ -78,9 +93,14 @@ class InferencePipeline:
             out = model.apply(
                 {"params": params}, visual, audio, text, mask, True
             )
-            return decode_batch(
+            res = decode_batch(
                 out.cls_logits[..., 0], out.offsets, mask, durations, test_cfg
             )
+            if raw_outputs:
+                # already computed on device; returning them costs one small
+                # extra host fetch and saves debug consumers a second forward
+                return res, (out.cls_logits, out.offsets)
+            return res
 
         self._fn = _forward_and_decode
 
@@ -118,11 +138,12 @@ class InferencePipeline:
         video_id, duration} — the reference's per-video result schema
         (MMCTransformer.py:226-228, 270-272). ``params`` overrides the
         instance params (e.g. the current train state during eval)."""
-        res: DecodeResult = self._fn(
+        out = self._fn(
             params if params is not None else self.params,
             *self._stage(visual, audio, text, mask, durations),
         )
-        return _unpack(res, durations, video_ids)
+        res, raw = out if self.raw_outputs else (out, None)
+        return _unpack(res, durations, video_ids, raw)
 
     def score_videos(
         self,
@@ -200,8 +221,9 @@ class InferencePipeline:
 
         def dispatch(item):
             visual, audio, text, mask, durations, video_ids = item
-            res = self._fn(p, *self._stage(visual, audio, text, mask, durations))
-            return res, list(durations), video_ids
+            out = self._fn(p, *self._stage(visual, audio, text, mask, durations))
+            res, raw = out if self.raw_outputs else (out, None)
+            return res, list(durations), video_ids, raw
 
         for item in batches:
             pending.append(dispatch(item))

@@ -9,11 +9,22 @@ everything in VMEM:
   static in-kernel loop over the Dblk/dh head slices, so there are no
   [B,T,H,Dh]<->[B,H,T,Dh] transposes around the kernel (the [B,T,H,Dh] ->
   [B,T,D] reshape merges contiguous axes — free). Each program owns one query
-  block; the K/V slabs for its head group sit in VMEM (no online-softmax
-  streaming needed at Repurpose lengths; revisit with k-blocking beyond
-  T~16k). Also emits the per-row logsumexp (LSE) for the backward. Measured
-  2.75x XLA's fused attention and 6% over the transposed-layout flash kernel
-  at T=2048 on v5e (tools/bench_attention_fwd.py).
+  block; the K/V slabs for its head group sit in VMEM. Also emits the per-row
+  logsumexp (LSE) for the backward. Measured 2.75x XLA's fused attention and
+  6% over the transposed-layout flash kernel at T=2048 on v5e
+  (tools/bench_attention_fwd.py).
+- **long T (> STREAM_MAX_T): k-blocked streaming interior.** The single-slab
+  kernels hold a [Tq, T] float32 score buffer in VMEM, which stops fitting
+  past T~2-4k. The ``*_stream`` kernel variants keep the same grid, layout,
+  and VMEM-resident K/V slabs but tile the score axis: the forward runs the
+  canonical online-softmax recurrence over k-blocks (running max/denominator,
+  rescaled accumulator), dq streams k-blocks re-normalizing via the saved
+  LSE, and dk/dv streams q-chunks. Score VMEM becomes O(Tq * k_block)
+  regardless of T; the remaining T-scaling is the K/V (forward) and Q/O/G
+  (backward) slabs at ~T*128*2 bytes each, which caps this strategy at
+  T~16-32k — beyond that the slabs themselves need HBM streaming (documented
+  limit, not implemented). Selection is automatic in ``mha_pallas``; both
+  paths produce identical math (same fp32 softmax, tests compare exactly).
 - **backward**: the canonical two-kernel FlashAttention split —
   a dq kernel gridded over q blocks (row softmax recomputed from full K/V)
   and a dk/dv kernel gridded over K blocks (columns normalized via the saved
@@ -58,6 +69,13 @@ Array = jax.Array
 
 DEFAULT_Q_BLOCK = 512  # measured best at T=2048 on v5e (tools/bench_attention_fwd.py)
 DEFAULT_K_BLOCK = 256
+
+# Beyond this sequence length the [Tq, T] f32 score slab (q_block * T * 4
+# bytes, 2 live copies) outgrows VMEM and the streaming (k-blocked) kernel
+# interiors take over. At the default q_block=512, T=2048 keeps scores at
+# 4 MB; T=4096 would need 8 MB x2 plus slabs — streaming wins there.
+STREAM_MAX_T = 2048
+STREAM_K_BLOCK = 1024  # score tile [q_block, STREAM_K_BLOCK] along the key axis
 
 
 def _pick_block(t: int, preferred: int) -> int | None:
@@ -151,10 +169,17 @@ def _flash_forward(
         (1, heads_per_block, q_block, 1), lambda bi, di, i: (bi, di, i, 0),
         memory_space=pltpu.VMEM,
     )
-    out, lse = pl.pallas_call(
-        functools.partial(
+    if t > STREAM_MAX_T:
+        kernel = functools.partial(
+            _flash_fwd_stream_kernel, scale=scale, heads=heads_per_block,
+            k_block=_pick_block(t, STREAM_K_BLOCK),
+        )
+    else:
+        kernel = functools.partial(
             _flash_fwd_kernel, scale=scale, heads=heads_per_block
-        ),
+        )
+    out, lse = pl.pallas_call(
+        kernel,
         grid=(b, d // d_block, t // q_block),
         in_specs=[blk_q, blk_kv, blk_kv, blk_mask],
         out_specs=(blk_q, blk_lse),
@@ -165,6 +190,56 @@ def _flash_forward(
         interpret=interpret,
     )(qf, kf, vf, mask)
     return out.reshape(b, t, h, dh), lse
+
+
+def _flash_fwd_stream_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+    *, scale: float, heads: int, k_block: int,
+):
+    # Streaming (long-T) forward: same FLAT layout and refs as
+    # _flash_fwd_kernel, but the [Tq, T] score slab is tiled into
+    # [Tq, k_block] chunks with the online-softmax recurrence, so VMEM no
+    # longer scales with T (only the K/V slabs do). fori_loop keeps code size
+    # flat as T grows (T=16k would unroll 16 blocks per head otherwise).
+    d = q_ref.shape[-1]
+    dh = d // heads
+    tq = q_ref.shape[1]
+    t = k_ref.shape[1]
+    n_kb = t // k_block
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+
+        def body(kb, carry):
+            m, l, acc = carry
+            ks = k_ref[0, pl.ds(kb * k_block, k_block), sl]
+            vs = v_ref[0, pl.ds(kb * k_block, k_block), sl]
+            bias = jnp.where(
+                mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
+            )  # [1, k_block]
+            s = jax.lax.dot_general(
+                q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vs.dtype), vs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l, acc * alpha + pv
+
+        # -1e30 (not -inf): fully-masked rows must stay finite (NEG_INF bias
+        # keeps s ~ -1e9, so the first real block always overwrites this max)
+        m0 = jnp.full((tq, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((tq, 1), jnp.float32)
+        acc0 = jnp.zeros((tq, dh), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
+        o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
+        lse_ref[0, h] = m + jnp.log(l)
 
 
 # -- backward: dq kernel (grid over q blocks) -------------------------------------
@@ -209,6 +284,51 @@ def _bwd_dq_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dq_stream_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dq_ref,
+    *, scale: float, heads: int, k_block: int,
+):
+    # Streaming dq: k-blocked accumulation. No online softmax needed — the
+    # saved LSE normalizes every block exactly (p = exp(s + bias - lse)).
+    d = q_ref.shape[-1]
+    dh = d // heads
+    tq = q_ref.shape[1]
+    t = k_ref.shape[1]
+    n_kb = t // k_block
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        g = g_ref[0, :, sl].astype(jnp.float32)
+        o = o_ref[0, :, sl].astype(jnp.float32)
+        lse = lse_ref[0, h]  # [Tq, 1]
+        dterm = jnp.sum(g * o, axis=-1, keepdims=True)
+
+        def body(kb, dq_acc):
+            ks = k_ref[0, pl.ds(kb * k_block, k_block), sl]
+            vs = v_ref[0, pl.ds(kb * k_block, k_block), sl]
+            bias = jnp.where(
+                mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
+            )
+            s = jax.lax.dot_general(
+                q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            p = jnp.exp(s + bias - lse)
+            dp = jax.lax.dot_general(
+                g, vs, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - dterm)
+            return dq_acc + jax.lax.dot_general(
+                ds.astype(ks.dtype), ks,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        dq = jax.lax.fori_loop(0, n_kb, body, jnp.zeros((tq, dh), jnp.float32))
         dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -259,6 +379,61 @@ def _bwd_dkv_kernel(
         ).astype(dk_ref.dtype)
 
 
+def _bwd_dkv_stream_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref,
+    *, scale: float, heads: int, q_chunk: int,
+):
+    # Streaming dk/dv: the [T, Tk] score slab is tiled into [q_chunk, Tk]
+    # chunks; dk/dv accumulate over q chunks (columns are LSE-normalized, so
+    # chunk contributions just sum). k/dk/dv blocks [1, Tk, Dblk]; the full
+    # q/o/g slabs stay VMEM-resident like the non-streaming kernel.
+    d = q_ref.shape[-1]
+    dh = d // heads
+    t = q_ref.shape[1]
+    tk = k_ref.shape[1]
+    n_qc = t // q_chunk
+    bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, Tk]
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        k = k_ref[0, :, sl]  # [Tk, Dh]
+        v = v_ref[0, :, sl]
+
+        def body(qc, carry):
+            dk_acc, dv_acc = carry
+            rows = pl.ds(qc * q_chunk, q_chunk)
+            q = (q_ref[0, rows, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+            g = g_ref[0, rows, sl].astype(jnp.float32)
+            o = o_ref[0, rows, sl].astype(jnp.float32)
+            lse = lse_ref[0, h, rows]  # [q_chunk, 1]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+            p = jnp.exp(s - lse)  # [q_chunk, Tk]
+            dv_acc = dv_acc + jax.lax.dot_general(
+                p.astype(g_ref.dtype), g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dterm = jnp.sum(g * o, axis=-1, keepdims=True)
+            ds = p * (dp - dterm)
+            dk_acc = dk_acc + jax.lax.dot_general(
+                ds.astype(q.dtype), q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return dk_acc, dv_acc
+
+        z = jnp.zeros((tk, dh), jnp.float32)
+        dk, dv = jax.lax.fori_loop(0, n_qc, body, (z, z))
+        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+
+
 def _flash_backward(
     q, k, v, key_valid, o, lse, g, q_block: int, k_block: int, interpret: bool
 ):
@@ -294,8 +469,17 @@ def _flash_backward(
         (1, heads_per_block, q_block, 1), lambda bi, di, i: (bi, di, i, 0),
         memory_space=pltpu.VMEM,
     )
+    if t > STREAM_MAX_T:
+        dq_kernel = functools.partial(
+            _bwd_dq_stream_kernel, scale=scale, heads=heads_per_block,
+            k_block=_pick_block(t, STREAM_K_BLOCK),
+        )
+    else:
+        dq_kernel = functools.partial(
+            _bwd_dq_kernel, scale=scale, heads=heads_per_block
+        )
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, heads=heads_per_block),
+        dq_kernel,
         grid=(b, d // d_block, t // q_block),
         in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_q, blk_q, blk_lse_q],
         out_specs=blk_q,
@@ -313,8 +497,17 @@ def _flash_backward(
         (1, heads_per_block, t, 1), lambda bi, di, i: (bi, di, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    if t > STREAM_MAX_T:
+        dkv_kernel = functools.partial(
+            _bwd_dkv_stream_kernel, scale=scale, heads=heads_per_block,
+            q_chunk=_pick_block(t, DEFAULT_Q_BLOCK),
+        )
+    else:
+        dkv_kernel = functools.partial(
+            _bwd_dkv_kernel, scale=scale, heads=heads_per_block
+        )
     dk, dv = pl.pallas_call(
-        functools.partial(_bwd_dkv_kernel, scale=scale, heads=heads_per_block),
+        dkv_kernel,
         grid=(b, d // d_block, t // k_block),
         in_specs=[blk_full, blk_k, blk_k, blk_kmask, blk_full, blk_full, blk_lse],
         out_specs=(blk_k, blk_k),

@@ -92,11 +92,17 @@ class Trainer:
             cfg.model, tc, steps_per_epoch, rng, mesh=model_mesh
         )
         self.state = self._place(state)
-        # Two compiled steps: histograms are logged 1/1000 steps (wandb.watch
-        # cadence) — computing 64-bin histograms over every kernel leaf in
-        # EVERY step is pure waste, so the common step carries only the cheap
-        # per-layer norms and the histogram variant runs on cadence steps.
+        # Three compiled steps, matching the observability cadences: per-layer
+        # grad norms are logged 1/10 steps (reference main.py:345-367) and
+        # histograms 1/1000 (wandb.watch cadence) — computing 72 per-kernel
+        # norm reductions (let alone 64-bin histograms) in EVERY step is pure
+        # waste, so the common step carries only the scalar loss/grad-norm
+        # metrics and the telemetry variants run on their cadence steps.
         self.train_step = make_train_step(
+            cfg.model, tc, tx, schedule, mesh=model_mesh,
+            per_layer_grad_norms=False, grad_histograms=False,
+        )
+        self.train_step_norms = make_train_step(
             cfg.model, tc, tx, schedule, mesh=model_mesh,
             per_layer_grad_norms=True, grad_histograms=False,
         )
@@ -145,10 +151,12 @@ class Trainer:
         )
         # params=None: the initial params get DONATED by the first train
         # step; evaluate() always passes the live ones explicitly.
+        self._eval_model_cfg = eval_model_cfg
+        self._ring_eval_mesh = self.mesh if ring_eval else None
         self.pipeline = InferencePipeline(
-            eval_model_cfg, None, cfg.test_cfg,
-            mesh=self.mesh if ring_eval else None,
+            eval_model_cfg, None, cfg.test_cfg, mesh=self._ring_eval_mesh,
         )
+        self._debug_pipeline = None  # lazy raw-outputs variant (debug_viz)
         from repurpose_tpu.models import build_model
 
         # mesh must follow attention_impl: a retained "ring" impl needs the
@@ -298,45 +306,94 @@ class Trainer:
         rank, world = jax.process_index(), jax.process_count()
         params = self._host_local_params()
         bs = self.cfg.train.batch_size
+        buckets = self.cfg.train.buckets
         n = len(ds) if max_videos is None else min(len(ds), max_videos)
         my_idx = list(range(rank, n, world))
         sums = {t: 0.0 for t in TIOU_THRESHOLDS}
         count = 0
         debugger = None
-        if debug_viz and rank == 0:
+        want_debug = debug_viz and rank == 0
+        if want_debug:
             from repurpose_tpu.utils.debug_viz import ValidationDebugger
 
             debugger = ValidationDebugger(self.workdir)
-        for i0 in range(0, len(my_idx), bs):
-            samples = [ds[i] for i in my_idx[i0 : i0 + bs]]
-            batch = collate(samples, self.cfg.train.buckets, bs)
-            results = self.pipeline.score_batch(
-                batch.visual, batch.audio, batch.text, batch.mask,
-                batch.durations, [s["video_id"] for s in samples],
-                params=params,
-            )
-            for s, r in zip(samples, results):
-                gt = s.get("gt_segments") or []
-                tiou = calculate_tiou(gt, r["segments"].tolist(), TIOU_THRESHOLDS)
+            if self._debug_pipeline is None:
+                # raw-outputs variant: the decode program also returns the
+                # model's per-second logits/offsets, so debug figures reuse
+                # the SAME forward instead of a second one per batch
+                self._debug_pipeline = InferencePipeline(
+                    self._eval_model_cfg, None, self.cfg.test_cfg,
+                    mesh=self._ring_eval_mesh, raw_outputs=True,
+                )
+        pipeline = self._debug_pipeline if want_debug else self.pipeline
+        entries = getattr(ds, "entries", None)
+        # FIFO of host-side per-batch metadata consumed in dispatch order
+        # (score_stream yields FIFO); features themselves are NOT retained.
+        meta_fifo: list = []
+
+        def staged():
+            # Host staging for batch i+1 overlaps device compute for batch i
+            # via score_stream's in-flight window; the native whole-batch
+            # loader (RepurposeDataset.load_batch) skips per-sample numpy
+            # round-trips where it applies.
+            for i0 in range(0, len(my_idx), bs):
+                idxs = my_idx[i0 : i0 + bs]
+                batch = None
+                if hasattr(ds, "load_batch"):
+                    batch = ds.load_batch(idxs, buckets, bs)
+                if batch is not None and entries is not None:
+                    metas = [
+                        {
+                            "video_id": entries[i]["youtube_id"],
+                            "gt_segments": [
+                                list(s) for s in entries[i]["segmentsOffset"]
+                            ],
+                        }
+                        for i in idxs
+                    ]
+                else:
+                    samples = [ds[i] for i in idxs]
+                    if batch is None:
+                        batch = collate(samples, buckets, bs)
+                    metas = [
+                        {
+                            "video_id": s["video_id"],
+                            "gt_segments": s.get("gt_segments") or [],
+                        }
+                        for s in samples
+                    ]
+                meta_fifo.append(
+                    (metas, batch.labels, batch.segments, batch.durations)
+                )
+                yield (
+                    batch.visual, batch.audio, batch.text, batch.mask,
+                    batch.durations, [m["video_id"] for m in metas],
+                )
+
+        for results in pipeline.score_stream(staged(), params=params):
+            metas, b_labels, b_segments, b_durs = meta_fifo.pop(0)
+            for j, (meta, r) in enumerate(zip(metas, results)):
+                tiou = calculate_tiou(
+                    meta["gt_segments"], r["segments"].tolist(), TIOU_THRESHOLDS
+                )
                 for t in TIOU_THRESHOLDS:
                     sums[t] += tiou[t]
                 count += 1
-            if debugger is not None and len(debugger.samples) < max_debug_samples:
-                fwd = self._fwd(
-                    params, batch.visual, batch.audio, batch.text, batch.mask
-                )
-                for j, (s, r) in enumerate(zip(samples, results)):
-                    if len(debugger.samples) >= max_debug_samples:
-                        break
-                    d = int(batch.durations[j])
+                if debugger is not None and len(debugger.samples) < max_debug_samples:
+                    d = int(b_durs[j])
+                    x = np.asarray(r["raw_logits"], np.float64)
+                    probs = np.where(  # overflow-safe sigmoid
+                        x >= 0, 1.0 / (1.0 + np.exp(-np.abs(x))),
+                        np.exp(-np.abs(x)) / (1.0 + np.exp(-np.abs(x))),
+                    )
                     debugger.add_sample(
-                        s["video_id"],
-                        probs=jax.nn.sigmoid(fwd.cls_logits[j, :d, 0]),
-                        offsets=fwd.offsets[j, :d],
-                        gt_labels=batch.labels[j, :d],
-                        gt_offsets=batch.segments[j, :d],
+                        meta["video_id"],
+                        probs=probs,
+                        offsets=r["raw_offsets"],
+                        gt_labels=b_labels[j, :d],
+                        gt_offsets=b_segments[j, :d],
                         pred_segments=r["segments"],
-                        gt_segments=s.get("gt_segments"),
+                        gt_segments=meta["gt_segments"],
                     )
         if debugger is not None:
             paths = debugger.render(max_debug_samples)
@@ -400,10 +457,15 @@ class Trainer:
             t0 = time.time()
             epoch_losses = []
             for i, batch in enumerate(self.train_loader.epoch(epoch)):
-                # the histogram variant only on its cadence (this step's
+                # telemetry variants only on their cadences (this step's
                 # result has step+1, hence the off-by-one in the predicate)
                 hist_now = (step + 1) % self.hist_freq == 0 or step == 0
-                step_fn = self.train_step_hist if hist_now else self.train_step
+                norms_now = i % self.grad_norm_freq == 0
+                step_fn = (
+                    self.train_step_hist if hist_now
+                    else self.train_step_norms if norms_now
+                    else self.train_step
+                )
                 self.state, m = step_fn(
                     self.state, self._device_batch(batch), self.step_rng
                 )

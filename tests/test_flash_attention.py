@@ -114,3 +114,88 @@ def test_fully_masked_rows_finite(rng):
     mask = jnp.zeros((1, 128), bool)  # every key padded
     out = jax.jit(lambda *a: mha_pallas(*a, q_block=128))(q, k, v, mask)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_streaming_forward_matches_xla(rng, monkeypatch):
+    """Long-T (k-blocked online-softmax) forward interior: force the
+    streaming path at a CPU-friendly T and compare against XLA exactly."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAM_MAX_T", 128)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    q, k, v, mask = _inputs(rng, t=256)
+    want = jax.jit(mha_xla)(q, k, v, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64))(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+
+
+def test_streaming_gradients_match_xla(rng, monkeypatch):
+    """Streaming dq (k-blocked) and dk/dv (q-chunked) kernels vs XLA grads."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAM_MAX_T", 128)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    q, k, v, mask = _inputs(rng, t=256)
+
+    def loss(fn):
+        return lambda a, b_, c: jnp.sum(
+            jnp.where(mask[..., None, None], fn(a, b_, c), 0.0) ** 2
+        )
+
+    g_p = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_pallas(a, b_, c, mask, q_block=64, backward="pallas")),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    g_x = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_xla(a, b_, c, mask)), argnums=(0, 1, 2)
+    ))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), atol=1e-4, rtol=1e-3, err_msg=name
+        )
+
+
+def test_streaming_t4096_forward_and_grad(rng):
+    """The real trigger (T > STREAM_MAX_T = 2048) at reduced head dims:
+    fwd + both backward kernels run the streaming interiors and match XLA."""
+    q, k, v, mask = _inputs(rng, b=1, t=4096, h=2, dh=8, masked_tail=False)
+    mask = np.array(mask)  # writable copy
+    mask[0, 3000:] = False
+    mask = jnp.asarray(mask)
+
+    def loss(fn):
+        return lambda a, b_, c: jnp.mean(
+            jnp.where(mask[..., None, None], fn(a, b_, c), 0.0) ** 2
+        )
+
+    want = jax.jit(mha_xla)(q, k, v, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, backward="pallas"))(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+    g_p = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_pallas(a, b_, c, mask, backward="pallas")),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    g_x = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_xla(a, b_, c, mask)), argnums=(0, 1, 2)
+    ))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), atol=1e-6, rtol=1e-3, err_msg=name
+        )
+
+
+def test_fully_masked_rows_finite_streaming(rng, monkeypatch):
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAM_MAX_T", 64)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    q, k, v, _ = _inputs(rng, b=1, t=128, masked_tail=False)
+    mask = jnp.zeros((1, 128), bool)
+    out = jax.jit(lambda *a: mha_pallas(*a, q_block=64))(q, k, v, mask)
+    assert np.isfinite(np.asarray(out)).all()

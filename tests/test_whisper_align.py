@@ -294,3 +294,105 @@ def test_word_level_binning():
     # word-level: each second gets only the words spoken during it
     word_bins = bin_transcript_per_second(segments, 5, word_level=True)
     assert word_bins == ["alpha", "beta", "beta", "gamma", ""]
+
+
+def test_split_words_cjk_per_character():
+    """Spaceless scripts split per decoded character (openai's
+    split_tokens_on_unicode behavior for zh/ja): each ideogram is its own
+    word even with no whitespace anywhere, and token counts still sum."""
+    vocab = {1: "你", 2: "好", 3: "世", 4: "界", 5: " ok"}
+    words = split_words([1, 2, 3, 4, 5], lambda ids: "".join(vocab[i] for i in ids))
+    assert words == [("你", 1), ("好", 1), ("世", 1), ("界", 1), ("ok", 1)]
+
+
+def test_split_words_multibyte_token_pieces():
+    """A CJK char split across two byte-level tokens must stay ONE word of 2
+    tokens (the partial piece decodes to U+FFFD and may not break)."""
+    # token 1 -> first byte(s) of 好 (decodes alone to replacement char),
+    # token 2 completes it; token 3 is another full char
+    full = {(1,): "�", (1, 2): "好", (1, 2, 3): "好了"}
+    words = split_words([1, 2, 3], lambda ids: full[tuple(ids)])
+    assert words == [("好", 2), ("了", 1)]
+
+
+def test_split_words_thai_breaks_from_latin():
+    vocab = {1: "hi", 2: "ไ", 3: "ป"}
+    words = split_words([1, 2, 3], lambda ids: "".join(vocab[i] for i in ids))
+    assert words == [("hi", 1), ("ไ", 1), ("ป", 1)]
+
+
+# -- alignment-head resolution ------------------------------------------------------
+
+
+def test_resolve_heads_generation_config_wins(tmp_path):
+    import json
+
+    from repurpose_tpu.extractors.whisper_align import resolve_alignment_heads
+
+    d = tmp_path / "whisper-base"
+    d.mkdir()
+    (d / "generation_config.json").write_text(
+        json.dumps({"alignment_heads": [[1, 2], [3, 4]]})
+    )
+    # the file wins over the name-matched bundled "base" table
+    assert resolve_alignment_heads(path=str(d)) == [(1, 2), (3, 4)]
+
+
+def test_resolve_heads_by_name_and_dims():
+    from repurpose_tpu.extractors.whisper_align import (
+        PUBLISHED_ALIGNMENT_HEADS,
+        resolve_alignment_heads,
+    )
+    from repurpose_tpu.extractors.whisper_jax import WhisperJaxConfig
+
+    assert resolve_alignment_heads(name="openai/whisper-small.en") == list(
+        PUBLISHED_ALIGNMENT_HEADS["small.en"]
+    )
+    # bare "large" means v2 (openai's current alias)
+    assert resolve_alignment_heads(name="whisper-large") == list(
+        PUBLISHED_ALIGNMENT_HEADS["large-v2"]
+    )
+    # dims-only lookup (default config is whisper-base dims)
+    assert resolve_alignment_heads(cfg=WhisperJaxConfig()) == list(
+        PUBLISHED_ALIGNMENT_HEADS["base"]
+    )
+    # unknown checkpoint -> None -> caller falls back to top-half heads
+    assert (
+        resolve_alignment_heads(
+            name="custom", cfg=WhisperJaxConfig(d_model=96, dec_layers=2)
+        )
+        is None
+    )
+
+
+def test_published_heads_are_in_range():
+    from repurpose_tpu.extractors.whisper_align import (
+        PUBLISHED_ALIGNMENT_HEADS,
+        _DIMS_TO_NAME,
+    )
+
+    dims = {name: key for key, name in _DIMS_TO_NAME.items()}
+    heads_per_model = {384: 6, 512: 8, 768: 12, 1024: 16, 1280: 20}
+    for name, pairs in PUBLISHED_ALIGNMENT_HEADS.items():
+        key = dims.get(name)
+        if key is None:  # large-v1 shares large-v2 dims
+            key = dims["large-v2"]
+        d_model, layers, _, _ = key
+        n_heads = heads_per_model[d_model]
+        for layer, head in pairs:
+            assert 0 <= layer < layers, (name, layer)
+            assert 0 <= head < n_heads, (name, head)
+
+
+def test_aligner_uses_given_heads(tiny):
+    """WhisperAligner's head-weight matrix is nonzero exactly at the supplied
+    pairs (so a published dump actually drives the similarity matrix)."""
+    _, cfg, _, dec_p = tiny
+    dec = WhisperDecoder(cfg, compute_dtype="float32")
+    aligner = WhisperAligner(
+        dec, {"params": dec_p}, prompt=(cfg.sot,), alignment_heads=[(0, 1), (1, 0)]
+    )
+    w = np.asarray(aligner._head_w)
+    assert w[0, 1] > 0 and w[1, 0] > 0
+    assert np.isclose(w.sum(), 1.0)
+    assert (w > 0).sum() == 2
