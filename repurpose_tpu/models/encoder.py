@@ -66,7 +66,10 @@ class SelfAttention(nn.Module):
                 q, k, v, key_valid, self.mesh, precision=cfg.matmul_precision
             )
         else:
-            attn = select_attention_impl(cfg.attention_impl, t, cfg.matmul_precision)
+            attn = select_attention_impl(
+                cfg.attention_impl, t, cfg.matmul_precision,
+                cfg.attn_softmax_dtype,
+            )
             out = attn(q, k, v, key_valid)
         # Attention-weight dropout (torch MHA's `dropout` arg) is not applied
         # inside the fused kernel; it is approximated by dropout on the

@@ -56,7 +56,10 @@ def mha_xla(
     return out.astype(q.dtype)
 
 
-def select_attention_impl(impl: str, seq_len: int, precision: str = "default") -> Callable:
+def select_attention_impl(
+    impl: str, seq_len: int, precision: str = "default",
+    softmax_dtype: str = "float32",
+) -> Callable:
     """Resolve "auto"/"xla"/"pallas"/"pallas_full" to a callable
     (q, k, v, key_valid) -> out.
 
@@ -79,6 +82,7 @@ def select_attention_impl(impl: str, seq_len: int, precision: str = "default") -
             # backward (fp32 parity mode must not silently drop to
             # bf16-grade dots, CLAUDE.md)
             return functools.partial(
-                mha_pallas, backward=backward, precision=precision
+                mha_pallas, backward=backward, precision=precision,
+                softmax_dtype=softmax_dtype,
             )
     return functools.partial(mha_xla, precision=precision)

@@ -101,7 +101,8 @@ def _pick_d_block(d: int, dh: int) -> int:
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, *, scale: float, heads: int
+    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+    *, scale: float, heads: int, sm_dtype=jnp.float32,
 ):
     # FLAT layout (no transposes): q_ref [1, Tq, Dblk]; k/v [1, T, Dblk];
     # mask [1, 1, T]; lse [1, heads, Tq, 1]. Dblk packs `heads` head slices;
@@ -112,6 +113,9 @@ def _flash_fwd_kernel(
     # over [Tq, T] counts: the scale folds into q ([Tq, Dh] — one dot input),
     # and the softmax divide is DEFERRED past the PV matmul so it lands on
     # [Tq, Dh] instead of [Tq, T] ((e @ v) / denom == (e / denom) @ v).
+    # ``sm_dtype=bfloat16`` runs the [Tq, T] max/sub/exp passes at 2x VPU rate
+    # (scores still accumulate f32 on the MXU; the denominator sum and LSE are
+    # f32) — the accuracy-gated production mode (ModelConfig.attn_softmax_dtype).
     d = q_ref.shape[-1]
     dh = d // heads
     bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T] broadcasts over rows
@@ -122,21 +126,22 @@ def _flash_fwd_kernel(
             q, k_ref[0, :, sl], dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        s = s + bias
+        s = (s + bias).astype(sm_dtype)
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True)
+        denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
         o = jax.lax.dot_general(
             e.astype(v_ref.dtype), v_ref[0, :, sl],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
-        lse_ref[0, h] = (m + jnp.log(denom)).astype(jnp.float32)  # [Tq, 1]
+        lse_ref[0, h] = m.astype(jnp.float32) + jnp.log(denom)  # [Tq, 1]
 
 
 def _flash_forward(
-    q: Array, k: Array, v: Array, key_valid: Array, q_block: int, interpret: bool
+    q: Array, k: Array, v: Array, key_valid: Array, q_block: int, interpret: bool,
+    sm_dtype=jnp.float32,
 ) -> tuple[Array, Array]:
     """q/k/v: [B, T, H, Dh] -> (out [B, T, H, Dh], lse [B, H, T, 1]).
 
@@ -172,11 +177,12 @@ def _flash_forward(
     if t > STREAM_MAX_T:
         kernel = functools.partial(
             _flash_fwd_stream_kernel, scale=scale, heads=heads_per_block,
-            k_block=_pick_block(t, STREAM_K_BLOCK),
+            k_block=_pick_block(t, STREAM_K_BLOCK), sm_dtype=sm_dtype,
         )
     else:
         kernel = functools.partial(
-            _flash_fwd_kernel, scale=scale, heads=heads_per_block
+            _flash_fwd_kernel, scale=scale, heads=heads_per_block,
+            sm_dtype=sm_dtype,
         )
     out, lse = pl.pallas_call(
         kernel,
@@ -194,7 +200,7 @@ def _flash_forward(
 
 def _flash_fwd_stream_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-    *, scale: float, heads: int, k_block: int,
+    *, scale: float, heads: int, k_block: int, sm_dtype=jnp.float32,
 ):
     # Streaming (long-T) forward: same FLAT layout and refs as
     # _flash_fwd_kernel, but the [Tq, T] score slab is tiled into
@@ -217,14 +223,16 @@ def _flash_fwd_stream_kernel(
             bias = jnp.where(
                 mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
             )  # [1, k_block]
-            s = jax.lax.dot_general(
+            s = (jax.lax.dot_general(
                 q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) + bias
-            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            ) + bias).astype(sm_dtype)
+            m_new = jnp.maximum(
+                m, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+            )
             alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new)
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            p = jnp.exp(s - m_new.astype(sm_dtype))
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
             pv = jax.lax.dot_general(
                 p.astype(vs.dtype), vs,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -247,7 +255,7 @@ def _flash_fwd_stream_kernel(
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dq_ref,
-    *, scale: float, heads: int,
+    *, scale: float, heads: int, sm_dtype=jnp.float32,
 ):
     # FLAT layout (see _flash_fwd_kernel): q/o/g/dq blocks [1, Tq, Dblk],
     # k/v slabs [1, T, Dblk], mask [1, 1, T], lse [1, heads, Tq, 1]; static
@@ -271,14 +279,16 @@ def _bwd_dq_kernel(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        p = jnp.exp(s + bias - lse)  # exact softmax rows via saved logsumexp
+        # exact softmax rows via saved logsumexp; the [Tq, T] exp and ds
+        # passes run in sm_dtype (2x VPU rate at bf16)
+        p = jnp.exp((s + bias - lse).astype(sm_dtype))
 
         dp = jax.lax.dot_general(
             g, v, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         dterm = jnp.sum(g * o, axis=-1, keepdims=True)
-        ds = p * (dp - dterm)  # true ds up to the scale folded into q
+        ds = p * (dp - dterm).astype(sm_dtype)  # true ds up to the scale folded into q
         dq = jax.lax.dot_general(
             ds.astype(k.dtype), k,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -289,7 +299,7 @@ def _bwd_dq_kernel(
 
 def _bwd_dq_stream_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dq_ref,
-    *, scale: float, heads: int, k_block: int,
+    *, scale: float, heads: int, k_block: int, sm_dtype=jnp.float32,
 ):
     # Streaming dq: k-blocked accumulation. No online softmax needed — the
     # saved LSE normalizes every block exactly (p = exp(s + bias - lse)).
@@ -316,12 +326,12 @@ def _bwd_dq_stream_kernel(
                 q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            p = jnp.exp(s + bias - lse)
+            p = jnp.exp((s + bias - lse).astype(sm_dtype))
             dp = jax.lax.dot_general(
                 g, vs, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            ds = p * (dp - dterm)
+            ds = p * (dp - dterm).astype(sm_dtype)
             return dq_acc + jax.lax.dot_general(
                 ds.astype(ks.dtype), ks,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -337,7 +347,7 @@ def _bwd_dq_stream_kernel(
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref,
-    *, scale: float, heads: int,
+    *, scale: float, heads: int, sm_dtype=jnp.float32,
 ):
     # FLAT layout: q/o/g full slabs [1, T, Dblk]; k/v/dk/dv blocks
     # [1, Tk, Dblk]; mask block [1, 1, Tk]; lse [1, heads, T, 1]; static loop
@@ -360,8 +370,9 @@ def _bwd_dkv_kernel(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [T, Tk]
-        s = s + bias
-        p = jnp.exp(s - lse)  # exact softmax columns via saved logsumexp
+        # exact softmax columns via saved logsumexp; [T, Tk] exp/ds passes in
+        # sm_dtype (2x VPU rate at bf16)
+        p = jnp.exp((s + bias - lse).astype(sm_dtype))
 
         dv_ref[0, :, sl] = jax.lax.dot_general(
             p.astype(g_ref.dtype), g, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -372,7 +383,7 @@ def _bwd_dkv_kernel(
             preferred_element_type=jnp.float32,
         )  # [T, Tk]
         dterm = jnp.sum(g * o, axis=-1, keepdims=True)  # [T, 1]
-        ds = p * (dp - dterm)
+        ds = p * (dp - dterm).astype(sm_dtype)
         dk_ref[0, :, sl] = jax.lax.dot_general(
             ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -381,7 +392,7 @@ def _bwd_dkv_kernel(
 
 def _bwd_dkv_stream_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref,
-    *, scale: float, heads: int, q_chunk: int,
+    *, scale: float, heads: int, q_chunk: int, sm_dtype=jnp.float32,
 ):
     # Streaming dk/dv: the [T, Tk] score slab is tiled into [q_chunk, Tk]
     # chunks; dk/dv accumulate over q chunks (columns are LSE-normalized, so
@@ -409,7 +420,7 @@ def _bwd_dkv_stream_kernel(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) + bias
-            p = jnp.exp(s - lse)  # [q_chunk, Tk]
+            p = jnp.exp((s - lse).astype(sm_dtype))  # [q_chunk, Tk]
             dv_acc = dv_acc + jax.lax.dot_general(
                 p.astype(g_ref.dtype), g,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -420,7 +431,7 @@ def _bwd_dkv_stream_kernel(
                 preferred_element_type=jnp.float32,
             )
             dterm = jnp.sum(g * o, axis=-1, keepdims=True)
-            ds = p * (dp - dterm)
+            ds = p * (dp - dterm).astype(sm_dtype)
             dk_acc = dk_acc + jax.lax.dot_general(
                 ds.astype(q.dtype), q,
                 dimension_numbers=(((0,), (0,)), ((), ())),
@@ -435,7 +446,8 @@ def _bwd_dkv_stream_kernel(
 
 
 def _flash_backward(
-    q, k, v, key_valid, o, lse, g, q_block: int, k_block: int, interpret: bool
+    q, k, v, key_valid, o, lse, g, q_block: int, k_block: int, interpret: bool,
+    sm_dtype=jnp.float32,
 ):
     """All-flat backward: both kernels index the native [B, T, D] layout (the
     [B,T,H,Dh] -> [B,T,D] reshapes are free), so no transposes at all — the
@@ -472,11 +484,12 @@ def _flash_backward(
     if t > STREAM_MAX_T:
         dq_kernel = functools.partial(
             _bwd_dq_stream_kernel, scale=scale, heads=heads_per_block,
-            k_block=_pick_block(t, STREAM_K_BLOCK),
+            k_block=_pick_block(t, STREAM_K_BLOCK), sm_dtype=sm_dtype,
         )
     else:
         dq_kernel = functools.partial(
-            _bwd_dq_kernel, scale=scale, heads=heads_per_block
+            _bwd_dq_kernel, scale=scale, heads=heads_per_block,
+            sm_dtype=sm_dtype,
         )
     dq = pl.pallas_call(
         dq_kernel,
@@ -500,11 +513,12 @@ def _flash_backward(
     if t > STREAM_MAX_T:
         dkv_kernel = functools.partial(
             _bwd_dkv_stream_kernel, scale=scale, heads=heads_per_block,
-            q_chunk=_pick_block(t, DEFAULT_Q_BLOCK),
+            q_chunk=_pick_block(t, DEFAULT_Q_BLOCK), sm_dtype=sm_dtype,
         )
     else:
         dkv_kernel = functools.partial(
-            _bwd_dkv_kernel, scale=scale, heads=heads_per_block
+            _bwd_dkv_kernel, scale=scale, heads=heads_per_block,
+            sm_dtype=sm_dtype,
         )
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -528,22 +542,27 @@ def _flash_backward(
 # -- custom VJP --------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _mha_pallas(q, k, v, key_valid, q_block, interpret, backward, precision):
-    out, _ = _flash_forward(q, k, v, key_valid, q_block, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _mha_pallas(q, k, v, key_valid, q_block, interpret, backward, precision, sm_name):
+    out, _ = _flash_forward(
+        q, k, v, key_valid, q_block, interpret, sm_dtype=_SM_DTYPES[sm_name]
+    )
     return out
 
 
-def _mha_fwd(q, k, v, key_valid, q_block, interpret, backward, precision):
-    o, lse = _flash_forward(q, k, v, key_valid, q_block, interpret)
+def _mha_fwd(q, k, v, key_valid, q_block, interpret, backward, precision, sm_name):
+    o, lse = _flash_forward(
+        q, k, v, key_valid, q_block, interpret, sm_dtype=_SM_DTYPES[sm_name]
+    )
     return o, (q, k, v, key_valid, o, lse)
 
 
-def _mha_bwd(q_block, interpret, backward, precision, res, g):
+def _mha_bwd(q_block, interpret, backward, precision, sm_name, res, g):
     q, k, v, key_valid, o, lse = res
     if backward == "pallas":
         dq, dk, dv = _flash_backward(
-            q, k, v, key_valid, o, lse, g, q_block, DEFAULT_K_BLOCK, interpret
+            q, k, v, key_valid, o, lse, g, q_block, DEFAULT_K_BLOCK, interpret,
+            sm_dtype=_SM_DTYPES[sm_name],
         )
     else:
         # XLA-recompute backward escape hatch (attention_impl="pallas"):
@@ -560,12 +579,16 @@ def _mha_bwd(q_block, interpret, backward, precision, res, g):
 _mha_pallas.defvjp(_mha_fwd, _mha_bwd)
 
 
+_SM_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
+
+
 def mha_pallas(
     q: Array, k: Array, v: Array, key_valid: Array,
     q_block: int = DEFAULT_Q_BLOCK,
     interpret: bool | None = None,
     backward: str = "pallas",
     precision: str = "default",
+    softmax_dtype: str = "float32",
 ) -> Array:
     """Drop-in replacement for ``mha_xla`` (same signature/semantics on valid
     rows). Runs interpreted off-TPU so CPU tests exercise the same code.
@@ -581,4 +604,6 @@ def mha_pallas(
         return mha_xla(q, k, v, key_valid, precision=precision)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _mha_pallas(q, k, v, key_valid, picked, interpret, backward, precision)
+    return _mha_pallas(
+        q, k, v, key_valid, picked, interpret, backward, precision, softmax_dtype
+    )

@@ -199,3 +199,55 @@ def test_fully_masked_rows_finite_streaming(rng, monkeypatch):
     mask = jnp.zeros((1, 128), bool)
     out = jax.jit(lambda *a: mha_pallas(*a, q_block=64))(q, k, v, mask)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bf16_softmax_interior_close_to_f32(rng):
+    """attn_softmax_dtype="bfloat16": outputs stay within bf16-grade error of
+    the f32-interior kernel, forward and gradients (both kernel families)."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    for t, kw in [(256, {}), (256, {"q_block": 64})]:
+        q, k, v, mask = _inputs(rng, t=t)
+        f32 = jax.jit(lambda *a: mha_pallas(*a, **kw))(q, k, v, mask)
+        b16 = jax.jit(lambda *a: mha_pallas(*a, softmax_dtype="bfloat16", **kw))(
+            q, k, v, mask
+        )
+        valid = np.asarray(mask)
+        np.testing.assert_allclose(
+            np.asarray(b16)[valid], np.asarray(f32)[valid], atol=2e-2
+        )
+
+    q, k, v, mask = _inputs(rng, t=256)
+
+    def loss(sm):
+        return lambda a, b_, c: jnp.mean(
+            jnp.where(
+                mask[..., None, None],
+                mha_pallas(a, b_, c, mask, backward="pallas", softmax_dtype=sm),
+                0.0,
+            )
+            ** 2
+        )
+
+    g32 = jax.jit(jax.grad(loss("float32"), argnums=(0, 1, 2)))(q, k, v)
+    g16 = jax.jit(jax.grad(loss("bfloat16"), argnums=(0, 1, 2)))(q, k, v)
+    for a, b_, name in zip(g16, g32, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=5e-4, err_msg=name
+        )
+
+
+def test_bf16_softmax_streaming(rng, monkeypatch):
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAM_MAX_T", 128)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    q, k, v, mask = _inputs(rng, t=256)
+    want = jax.jit(mha_xla)(q, k, v, mask)
+    got = jax.jit(
+        lambda *a: mha_pallas(*a, q_block=64, softmax_dtype="bfloat16")
+    )(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-2
+    )
