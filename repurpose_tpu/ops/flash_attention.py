@@ -77,6 +77,21 @@ DEFAULT_K_BLOCK = 256
 STREAM_MAX_T = 2048
 STREAM_K_BLOCK = 1024  # score tile [q_block, STREAM_K_BLOCK] along the key axis
 
+# Mosaic grid-axis semantics for all four kernels' (batch, d-block, t-block)
+# grids. Every program is independent (no cross-step accumulation), so all
+# axes are legal as "parallel"; None keeps the compiler default. Set via
+# tools/bench_r3_campaign follow-ups; the shipped value is whatever measured
+# fastest on v5e.
+GRID_SEMANTICS: tuple[str, str, str] | None = None
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as _pltpu
+
+    if GRID_SEMANTICS is None:
+        return None
+    return _pltpu.CompilerParams(dimension_semantics=GRID_SEMANTICS)
+
 
 def _pick_block(t: int, preferred: int) -> int | None:
     """Largest block <= preferred that divides t (None if t has no usable
@@ -194,6 +209,7 @@ def _flash_forward(
             jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
         ),
         interpret=interpret,
+        **({"compiler_params": _compiler_params()} if _compiler_params() else {}),
     )(qf, kf, vf, mask)
     return out.reshape(b, t, h, dh), lse
 
@@ -498,6 +514,7 @@ def _flash_backward(
         out_specs=blk_q,
         out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
         interpret=interpret,
+        **({"compiler_params": _compiler_params()} if _compiler_params() else {}),
     )(qf, kf, vf, mask, of, gf, lse)
 
     blk_k = pl.BlockSpec(
@@ -530,6 +547,7 @@ def _flash_backward(
             jax.ShapeDtypeStruct((b, t, d), v.dtype),
         ),
         interpret=interpret,
+        **({"compiler_params": _compiler_params()} if _compiler_params() else {}),
     )(qf, kf, vf, mask, of, gf, lse)
 
     return (
