@@ -408,57 +408,59 @@ def _bwd_dkv_kernel(
 
 def _bwd_dkv_stream_kernel(
     q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref,
-    *, scale: float, heads: int, q_chunk: int, sm_dtype=jnp.float32,
+    dk_acc, dv_acc, *, scale: float, heads: int, sm_dtype=jnp.float32,
 ):
-    # Streaming dk/dv: the [T, Tk] score slab is tiled into [q_chunk, Tk]
-    # chunks; dk/dv accumulate over q chunks (columns are LSE-normalized, so
-    # chunk contributions just sum). k/dk/dv blocks [1, Tk, Dblk]; the full
-    # q/o/g slabs stay VMEM-resident like the non-streaming kernel.
+    # Streaming dk/dv: 4-axis grid (b, d-block, k-block, q-chunk) with the
+    # q-chunk axis innermost. Each step fetches only [1, Qc, Dblk] q/o/g
+    # blocks (a VMEM-resident full slab per input OOM'd at T=8192 — 28.5M vs
+    # the 16M scoped-vmem limit, measured); dk/dv accumulate in f32 SCRATCH
+    # across the q sweep (TPU scratch persists over grid steps) and write out
+    # once on the last chunk. VMEM is now O(Qc * Tk), independent of T.
+    qi = pl.program_id(3)
+    n_q = pl.num_programs(3)
     d = q_ref.shape[-1]
     dh = d // heads
-    t = q_ref.shape[1]
-    tk = k_ref.shape[1]
-    n_qc = t // q_chunk
     bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, Tk]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         k = k_ref[0, :, sl]  # [Tk, Dh]
         v = v_ref[0, :, sl]
+        q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+        g = g_ref[0, :, sl].astype(jnp.float32)
+        o = o_ref[0, :, sl].astype(jnp.float32)
+        lse = lse_ref[0, h]  # [Qc, 1]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bias
+        p = jnp.exp((s - lse).astype(sm_dtype))  # [Qc, Tk]
+        dv_acc[:, sl] += jax.lax.dot_general(
+            p.astype(g_ref.dtype), g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dterm = jnp.sum(g * o, axis=-1, keepdims=True)
+        ds = p * (dp - dterm).astype(sm_dtype)
+        dk_acc[:, sl] += jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
-        def body(qc, carry):
-            dk_acc, dv_acc = carry
-            rows = pl.ds(qc * q_chunk, q_chunk)
-            q = (q_ref[0, rows, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
-            g = g_ref[0, rows, sl].astype(jnp.float32)
-            o = o_ref[0, rows, sl].astype(jnp.float32)
-            lse = lse_ref[0, h, rows]  # [q_chunk, 1]
-            s = jax.lax.dot_general(
-                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bias
-            p = jnp.exp((s - lse).astype(sm_dtype))  # [q_chunk, Tk]
-            dv_acc = dv_acc + jax.lax.dot_general(
-                p.astype(g_ref.dtype), g,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dp = jax.lax.dot_general(
-                g, v, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dterm = jnp.sum(g * o, axis=-1, keepdims=True)
-            ds = p * (dp - dterm).astype(sm_dtype)
-            dk_acc = dk_acc + jax.lax.dot_general(
-                ds.astype(q.dtype), q,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return dk_acc, dv_acc
-
-        z = jnp.zeros((tk, dh), jnp.float32)
-        dk, dv = jax.lax.fori_loop(0, n_qc, body, (z, z))
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 def _flash_backward(
@@ -528,27 +530,61 @@ def _flash_backward(
         memory_space=pltpu.VMEM,
     )
     if t > STREAM_MAX_T:
-        dkv_kernel = functools.partial(
-            _bwd_dkv_stream_kernel, scale=scale, heads=heads_per_block,
-            q_chunk=_pick_block(t, DEFAULT_Q_BLOCK), sm_dtype=sm_dtype,
+        # 4-axis grid, q-chunk innermost; dk/dv blocks revisit across the q
+        # sweep (index_map ignores qi) and accumulate in f32 scratch.
+        q_chunk = _pick_block(t, DEFAULT_Q_BLOCK)
+        blk_qc = pl.BlockSpec(
+            (1, q_chunk, d_block), lambda bi, di, ki, qi: (bi, qi, di),
+            memory_space=pltpu.VMEM,
         )
+        blk_k4 = pl.BlockSpec(
+            (1, k_block, d_block), lambda bi, di, ki, qi: (bi, ki, di),
+            memory_space=pltpu.VMEM,
+        )
+        blk_kmask4 = pl.BlockSpec(
+            (1, 1, k_block), lambda bi, di, ki, qi: (bi, 0, ki),
+            memory_space=pltpu.VMEM,
+        )
+        blk_lse4 = pl.BlockSpec(
+            (1, heads_per_block, q_chunk, 1),
+            lambda bi, di, ki, qi: (bi, di, qi, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_dkv_stream_kernel, scale=scale, heads=heads_per_block,
+                sm_dtype=sm_dtype,
+            ),
+            grid=(b, d // d_block, t // k_block, t // q_chunk),
+            in_specs=[blk_qc, blk_k4, blk_k4, blk_kmask4, blk_qc, blk_qc, blk_lse4],
+            out_specs=(blk_k4, blk_k4),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, d), k.dtype),
+                jax.ShapeDtypeStruct((b, t, d), v.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((k_block, d_block), jnp.float32),
+                pltpu.VMEM((k_block, d_block), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qf, kf, vf, mask, of, gf, lse)
     else:
         dkv_kernel = functools.partial(
             _bwd_dkv_kernel, scale=scale, heads=heads_per_block,
             sm_dtype=sm_dtype,
         )
-    dk, dv = pl.pallas_call(
-        dkv_kernel,
-        grid=(b, d // d_block, t // k_block),
-        in_specs=[blk_full, blk_k, blk_k, blk_kmask, blk_full, blk_full, blk_lse],
-        out_specs=(blk_k, blk_k),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t, d), k.dtype),
-            jax.ShapeDtypeStruct((b, t, d), v.dtype),
-        ),
-        interpret=interpret,
-        **({"compiler_params": _compiler_params()} if _compiler_params() else {}),
-    )(qf, kf, vf, mask, of, gf, lse)
+        dk, dv = pl.pallas_call(
+            dkv_kernel,
+            grid=(b, d // d_block, t // k_block),
+            in_specs=[blk_full, blk_k, blk_k, blk_kmask, blk_full, blk_full, blk_lse],
+            out_specs=(blk_k, blk_k),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, d), k.dtype),
+                jax.ShapeDtypeStruct((b, t, d), v.dtype),
+            ),
+            interpret=interpret,
+            **({"compiler_params": _compiler_params()} if _compiler_params() else {}),
+        )(qf, kf, vf, mask, of, gf, lse)
 
     return (
         dq.reshape(b, t, h, dh),
