@@ -40,13 +40,18 @@ import numpy as np
 
 A100_REFERENCE_VIDEOS_PER_S = 52.0  # derivation above + BASELINE.md
 
-BUCKETS = (256, 512, 1024, 2048)
+BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
 HEADLINE_BUCKET = 2048
 BATCH = 8
 TRAIN_BATCH = 6  # the reference's per-GPU batch (configs/Repurpose.yaml:40)
 TRAIN_BUCKETS = (1024, 2048)
+# Long-T capability rows (streaming flash kernels past T=2048; the reference
+# hard-caps at PE max_len 5000, models/MMCTransformer.py:11): batch shrinks
+# and remat turns on to fit v5e HBM at T=8192.
+LONGT_TRAIN = ((3, 4096, False), (1, 8192, True))
 N_CHAIN = 20
 N_TRAIN_CHAIN = 10
+N_LONGT_CHAIN = 5
 DURATIONS = [1800, 1313, 900, 1800, 600, 1500, 1100, 1750]  # ~p50/p90 mix
 
 # v5e peak: 394 TFLOP/s bf16 (jax-ml.github.io/scaling-book hardware table).
@@ -142,8 +147,9 @@ def main() -> None:
 
     results: dict = {"buckets": {}, "train": {}, "n_chain": N_CHAIN}
     for t in BUCKETS:
+        n = N_CHAIN if t <= HEADLINE_BUCKET else N_LONGT_CHAIN
         args = make_args(BATCH, t)
-        full_s = _time(chained("full", N_CHAIN), *args) / N_CHAIN
+        full_s = _time(chained("full", n), *args) / n
         vids = BATCH / full_s
         mfu = _flops_forward(cfg, BATCH, t) / full_s / peak
         results["buckets"][str(t)] = {
@@ -173,19 +179,22 @@ def main() -> None:
     )
 
     # train step throughput (reference batch 6; remat off — fits v5e HBM)
+    import dataclasses
+
     from repurpose_tpu.data.batching import Batch
     from repurpose_tpu.train.state import create_train_state
     from repurpose_tpu.train.step import make_train_step
 
-    for t in TRAIN_BUCKETS:
-        tc = TrainConfig(batch_size=TRAIN_BATCH, buckets=(t,))
-        state, tx, sched = create_train_state(cfg, tc, 100, jax.random.key(1))
-        step = make_train_step(cfg, tc, tx, sched, donate=False)
-        v, a, x, m, durs = make_args(TRAIN_BATCH, t)
+    def measure_train(b: int, t: int, remat: bool, n_chain: int) -> dict:
+        mcfg = dataclasses.replace(cfg, remat=remat)
+        tc = TrainConfig(batch_size=b, buckets=(t,))
+        state, tx, sched = create_train_state(mcfg, tc, 100, jax.random.key(1))
+        step = make_train_step(mcfg, tc, tx, sched, donate=False)
+        v, a, x, m, durs = make_args(b, t)
         labels = jax.device_put(
-            (rng.uniform(size=(TRAIN_BATCH, t)) < 0.3).astype(np.float32)
+            (rng.uniform(size=(b, t)) < 0.3).astype(np.float32)
         )
-        segs = jax.device_put(np.abs(rng.normal(0, 10, (TRAIN_BATCH, t, 2))).astype(np.float32))
+        segs = jax.device_put(np.abs(rng.normal(0, 10, (b, t, 2))).astype(np.float32))
         batch = Batch(v, a, x, m, labels, segs, durs)
 
         step_key = jax.random.key(2, impl="rbg" if tc.rng_impl == "rbg" else None)
@@ -195,19 +204,33 @@ def main() -> None:
             def body(st, _):
                 st, metrics = step(st, batch, step_key)
                 return st, metrics["loss"]
-            st, losses = jax.lax.scan(body, state, None, length=N_TRAIN_CHAIN)
+            st, losses = jax.lax.scan(body, state, None, length=n_chain)
             return losses[-1]
 
-        step_s = _time(train_chain, state, batch) / N_TRAIN_CHAIN
-        mfu = 3 * _flops_forward(cfg, TRAIN_BATCH, t) / step_s / peak
-        results["train"][str(t)] = {
+        step_s = _time(train_chain, state, batch) / n_chain
+        mfu = 3 * _flops_forward(mcfg, b, t) / step_s / peak
+        return {
             "step_ms": round(step_s * 1e3, 2),
-            "videos_per_s": round(TRAIN_BATCH / step_s, 1),
+            "videos_per_s": round(b / step_s, 1),
+            "batch": b,
+            "remat": remat,
             "mfu": round(mfu, 3),
         }
+
+    for t in TRAIN_BUCKETS:
+        r = measure_train(TRAIN_BATCH, t, False, N_TRAIN_CHAIN)
+        results["train"][str(t)] = r
         print(
-            f"train bucket {t}: {step_s*1e3:.1f} ms/step (batch {TRAIN_BATCH}, "
-            f"MFU {mfu:.1%})",
+            f"train bucket {t}: {r['step_ms']:.1f} ms/step (batch {TRAIN_BATCH}, "
+            f"MFU {r['mfu']:.1%})",
+            file=sys.stderr,
+        )
+    for b, t, remat in LONGT_TRAIN:
+        r = measure_train(b, t, remat, N_LONGT_CHAIN)
+        results["train"][str(t)] = r
+        print(
+            f"train bucket {t}: {r['step_ms']:.1f} ms/step (batch {b}, "
+            f"remat {remat}, MFU {r['mfu']:.1%})",
             file=sys.stderr,
         )
 

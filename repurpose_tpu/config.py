@@ -58,12 +58,14 @@ class ModelConfig:
     """XLA dot precision: "default" lets the backend use fast reduced-precision
     passes (bf16 on the MXU); "highest" forces true float32 accumulation —
     required for bit-level parity against the fp32 torch reference."""
-    attn_softmax_dtype: str = "float32"
-    """Element dtype of the [Tq, T] softmax interior passes in the Pallas
+    attn_softmax_dtype: str = "bfloat16"
+    """Element dtype of the [Tq, T] softmax-interior buffers in the Pallas
     attention kernels (scores still accumulate float32 on the MXU, the
-    denominator/LSE stay float32). "bfloat16" runs the VPU-bound max/exp/ds
-    passes at 2x rate — the measured production win on v5e — at ~1e-3
-    relative output error; parity modes keep "float32"."""
+    denominator/LSE stay float32). bfloat16 halves the interior's VMEM
+    traffic — measured ~3% on the T=2048 model forward on v5e (the VPU ALU
+    rate itself is dtype-independent) at ~1e-3 relative output error.
+    Parity modes set "float32" (every golden test pins it or uses the XLA
+    path, which ignores this knob)."""
     modalities: tuple[str, ...] = ("visual", "audio", "text")
     """Modality ablation: which feature streams feed the fusion concat
     (e.g. ("visual",) for visual-only). Disabled streams are dropped before

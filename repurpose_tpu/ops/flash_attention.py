@@ -77,12 +77,14 @@ DEFAULT_K_BLOCK = 256
 STREAM_MAX_T = 2048
 STREAM_K_BLOCK = 1024  # score tile [q_block, STREAM_K_BLOCK] along the key axis
 
-# Mosaic grid-axis semantics for all four kernels' (batch, d-block, t-block)
-# grids. Every program is independent (no cross-step accumulation), so all
-# axes are legal as "parallel"; None keeps the compiler default. Set via
-# tools/bench_r3_campaign follow-ups; the shipped value is whatever measured
-# fastest on v5e.
-GRID_SEMANTICS: tuple[str, str, str] | None = None
+# Mosaic grid-axis semantics for the three 3-axis kernels' (batch, d-block,
+# t-block) grids. Every program is independent (no cross-step accumulation),
+# so all axes are legal as "parallel". Swept on v5e (tools/bench_dimsem.py,
+# back-to-back one process): default 2.343/5.636 ms fwd/grad at
+# [8,2048,8,64], all-parallel 2.325/5.588, parallel+arbitrary 2.295/5.594 —
+# ~1-2%, never worse; ship the best. (The 4-axis streaming dkv grid keeps
+# compiler defaults: its q-axis accumulates in scratch.)
+GRID_SEMANTICS: tuple[str, str, str] | None = ("parallel", "parallel", "arbitrary")
 
 
 def _compiler_params():
@@ -128,9 +130,12 @@ def _flash_fwd_kernel(
     # over [Tq, T] counts: the scale folds into q ([Tq, Dh] — one dot input),
     # and the softmax divide is DEFERRED past the PV matmul so it lands on
     # [Tq, Dh] instead of [Tq, T] ((e @ v) / denom == (e / denom) @ v).
-    # ``sm_dtype=bfloat16`` runs the [Tq, T] max/sub/exp passes at 2x VPU rate
-    # (scores still accumulate f32 on the MXU; the denominator sum and LSE are
-    # f32) — the accuracy-gated production mode (ModelConfig.attn_softmax_dtype).
+    # ``sm_dtype=bfloat16`` stores the [Tq, T] softmax interior in bf16
+    # (scores still accumulate f32 on the MXU; denominator sum and LSE are
+    # f32). Measured ~3% on the full model fwd at T=2048 on v5e (28.19 ->
+    # 27.22 ms/batch, tools/bench_r3_campaign.py) — the VPU's ALU rate is
+    # dtype-independent, so the win is only halved buffer traffic, not the
+    # hoped-for 2x. Kept as the production default (accuracy-gated ~1e-3).
     d = q_ref.shape[-1]
     dh = d // heads
     bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T] broadcasts over rows
