@@ -1,10 +1,15 @@
 #!/usr/bin/env python
-"""CNN14 extractor part-wise bench: where do the cycles go, and does anything
-on ROADMAP's candidate list (batch scaling, stage isolation) move the number?
+"""CNN14 extractor part-wise bench: where do the cycles go?
 
-All timings chained on-device in one process (CLAUDE.md: cross-process TPU
-timings on this box are noise). Stages: logmel frontend only, full pipeline,
-CNN truncated after each ConvBlock — the per-block deltas localize the cost.
+NOTE on method: a lax.scan chain around the 12-conv network never finished
+compiling through this box's remote-compile relay (broken pipe after ~35 min
+— measured failure, see ROADMAP). So unlike the attention benches, these are
+single-dispatch timings (best of 5, fetch-synced): each includes the tunnel's
+~30-40 ms RPC floor, which is why the large-batch rows are the meaningful
+ones (device time >> floor) and all comparisons stay within this process.
+
+Stages: logmel frontend only, full pipeline at several batches, CNN truncated
+after each ConvBlock at b=512 — per-block deltas localize the cost.
 """
 
 from __future__ import annotations
@@ -28,7 +33,7 @@ def _sync(out):
     np.asarray(jax.tree.leaves(out)[0])
 
 
-def _time(fn, *args, reps=3):
+def _time(fn, *args, reps=5):
     _sync(fn(*args))
     best = float("inf")
     for _ in range(reps):
@@ -50,37 +55,27 @@ def main() -> None:
     import jax.numpy as jnp
 
     from repurpose_tpu.extractors.audio_frontend import logmel
-    from repurpose_tpu.extractors.cnn14 import CNN14, CNN14Config, _ConvBlock, _Affine
+    from repurpose_tpu.extractors.cnn14 import CNN14, CNN14Config, _Affine, _ConvBlock
 
     results = {}
     rng = np.random.default_rng(0)
     cnn = CNN14()
     waves512 = jnp.asarray(rng.normal(0, 0.1, (512, 22050)).astype(np.float32))
     params = cnn.init(jax.random.key(0), logmel(waves512[:2]))["params"]
-    N = 10
 
-    def chain(fn):
-        @jax.jit
-        def run(w):
-            def body(c, _):
-                out = fn(w + c * 1e-9)
-                return out.ravel()[0].astype(jnp.float32), ()
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=N)
-            return c
-        return run
-
-    for b in (256, 512, 1024):
+    full = jax.jit(lambda w: cnn.apply({"params": params}, logmel(w)))
+    for b in (256, 512, 1024, 2048):
         waves = jnp.asarray(rng.normal(0, 0.1, (b, 22050)).astype(np.float32))
-        dt = _time(chain(lambda w: cnn.apply({"params": params}, logmel(w))), waves) / N
+        dt = _time(full, waves)
+        results[f"full_b{b}_ms"] = round(dt * 1e3, 1)
         results[f"full_b{b}_audio_s_per_s"] = round(b / dt)
-        log(f"full pipeline b={b}: {b/dt:,.0f} audio-s/s ({dt*1e3:.1f} ms)")
+        log(f"full pipeline b={b}: {b/dt:,.0f} audio-s/s ({dt*1e3:.1f} ms incl RPC floor)")
 
-    waves = waves512
-    dt = _time(chain(lambda w: logmel(w)), waves) / N
+    mel_only = jax.jit(lambda w: logmel(w))
+    dt = _time(mel_only, waves512)
     results["logmel_b512_ms"] = round(dt * 1e3, 2)
     log(f"logmel only b=512: {dt*1e3:.2f} ms")
 
-    # truncated CNN: mel -> first k blocks only (stage deltas localize cost)
     class Trunc(nn.Module):
         k: int
 
@@ -94,12 +89,11 @@ def main() -> None:
                 x = _ConvBlock(ch, pool, name=f"block{i + 1}")(x)
             return x
 
-    mel = logmel(waves)
+    sub = {k: v for k, v in params.items() if k == "bn0" or k.startswith("block")}
     prev = results["logmel_b512_ms"]
     for k in range(1, 7):
-        sub = {kk: v for kk, v in params.items() if kk == "bn0" or kk.startswith("block")}
-        fn = lambda w, k=k: Trunc(k).apply({"params": sub}, logmel(w))
-        dt = _time(chain(fn), waves) / N * 1e3
+        fn = jax.jit(lambda w, k=k: Trunc(k).apply({"params": sub}, logmel(w)))
+        dt = _time(fn, waves512) * 1e3
         results[f"through_block{k}_ms"] = round(dt, 2)
         log(f"logmel+blocks1..{k}: {dt:.2f} ms (+{dt - prev:.2f})")
         prev = dt
