@@ -63,10 +63,13 @@ def main() -> None:
     waves512 = jnp.asarray(rng.normal(0, 0.1, (512, 22050)).astype(np.float32))
     params = cnn.init(jax.random.key(0), logmel(waves512[:2]))["params"]
 
-    full = jax.jit(lambda w: cnn.apply({"params": params}, logmel(w)))
+    # params as ARGUMENTS: closed-over they bake into the HLO as constants,
+    # ballooning the remote-compile request past the relay limit (HTTP 413,
+    # measured)
+    full = jax.jit(lambda p, w: cnn.apply({"params": p}, logmel(w)))
     for b in (256, 512, 1024, 2048):
         waves = jnp.asarray(rng.normal(0, 0.1, (b, 22050)).astype(np.float32))
-        dt = _time(full, waves)
+        dt = _time(full, params, waves)
         results[f"full_b{b}_ms"] = round(dt * 1e3, 1)
         results[f"full_b{b}_audio_s_per_s"] = round(b / dt)
         log(f"full pipeline b={b}: {b/dt:,.0f} audio-s/s ({dt*1e3:.1f} ms incl RPC floor)")
@@ -92,8 +95,8 @@ def main() -> None:
     sub = {k: v for k, v in params.items() if k == "bn0" or k.startswith("block")}
     prev = results["logmel_b512_ms"]
     for k in range(1, 7):
-        fn = jax.jit(lambda w, k=k: Trunc(k).apply({"params": sub}, logmel(w)))
-        dt = _time(fn, waves512) * 1e3
+        fn = jax.jit(lambda p, w, k=k: Trunc(k).apply({"params": p}, logmel(w)))
+        dt = _time(fn, sub, waves512) * 1e3
         results[f"through_block{k}_ms"] = round(dt, 2)
         log(f"logmel+blocks1..{k}: {dt:.2f} ms (+{dt - prev:.2f})")
         prev = dt
