@@ -166,3 +166,56 @@ def test_score_videos_routes_buckets_and_preserves_order():
         direct = pipe.score_batch(vis, aud, txt, mask, [t], [f"vid{i}"])[0]
         np.testing.assert_array_equal(results[i]["segments"], direct["segments"])
         np.testing.assert_array_equal(results[i]["scores"], direct["scores"])
+
+
+def test_pipeline_raw_outputs_match_forward():
+    """InferencePipeline(raw_outputs=True) must attach the SAME per-second
+    logits/offsets a direct forward produces (duration-sliced) — the contract
+    that lets Trainer.evaluate's debug figures reuse the decode program's
+    forward instead of running a second one."""
+    import jax
+
+    from repurpose_tpu.config import ModelConfig
+    from repurpose_tpu.infer import InferencePipeline
+    from repurpose_tpu.models import build_model, init_model_params
+
+    cfg = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=6, d_model=16, self_num_layers=1,
+        num_heads=2, d_ff=32, hidden_dim=8, dropout=0.0,
+        compute_dtype="float32", attention_impl="xla",
+    )
+    model = build_model(cfg)
+    params = init_model_params(model, cfg, jax.random.key(0))
+    rng = np.random.default_rng(5)
+    b, t = 2, 64
+    vis = rng.normal(0, 1, (b, t, cfg.vis_dim)).astype(np.float32)
+    aud = rng.normal(0, 1, (b, t, cfg.aud_dim)).astype(np.float32)
+    txt = rng.normal(0, 1, (b, t, cfg.text_dim)).astype(np.float32)
+    mask = np.zeros((b, t), bool)
+    durs = np.asarray([64, 40], np.int32)
+    for i, d in enumerate(durs):
+        mask[i, :d] = True
+
+    tc = TestConfig(pre_nms_topk=16, pre_nms_thresh=0.1, duration_thresh=0.0,
+                    duration_thresh_max=90.0, max_seg_per_min=2.0)
+    pipe = InferencePipeline(cfg, params, tc, raw_outputs=True)
+    results = pipe.score_batch(vis, aud, txt, mask, durs, ["a", "b"])
+    fwd = model.apply({"params": params}, vis, aud, txt, mask, True)
+    for i, r in enumerate(results):
+        d = int(durs[i])
+        assert r["raw_logits"].shape == (d,)
+        assert r["raw_offsets"].shape == (d, 2)
+        # jit vs op-by-op op-order drift ~1e-7; atol also covers exact zeros
+        np.testing.assert_allclose(
+            r["raw_logits"], np.asarray(fwd.cls_logits)[i, :d, 0],
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            r["raw_offsets"], np.asarray(fwd.offsets)[i, :d],
+            rtol=1e-5, atol=1e-5,
+        )
+    # score_stream carries the same raw fields
+    streamed = list(pipe.score_stream(iter([(vis, aud, txt, mask, durs, ["a", "b"])])))
+    np.testing.assert_allclose(
+        streamed[0][0]["raw_logits"], results[0]["raw_logits"]
+    )

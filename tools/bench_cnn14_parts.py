@@ -66,7 +66,15 @@ def main() -> None:
     # params as ARGUMENTS: closed-over they bake into the HLO as constants,
     # ballooning the remote-compile request past the relay limit (HTTP 413,
     # measured)
-    full = jax.jit(lambda p, w: cnn.apply({"params": p}, logmel(w)))
+    # scalar-reduce INSIDE jit: fetching real outputs over this box's TPU
+    # tunnel measures transfer, not compute (a [512,100,64,64] truncated
+    # activation is ~420 MB — measured 4.8 s "through_block1" before this)
+    import jax.numpy as _jnp
+    full = jax.jit(
+        lambda p, w: _jnp.sum(
+            cnn.apply({"params": p}, logmel(w)), dtype=_jnp.float32
+        )
+    )
     for b in (256, 512, 1024, 2048):
         waves = jnp.asarray(rng.normal(0, 0.1, (b, 22050)).astype(np.float32))
         dt = _time(full, params, waves)
@@ -74,7 +82,7 @@ def main() -> None:
         results[f"full_b{b}_audio_s_per_s"] = round(b / dt)
         log(f"full pipeline b={b}: {b/dt:,.0f} audio-s/s ({dt*1e3:.1f} ms incl RPC floor)")
 
-    mel_only = jax.jit(lambda w: logmel(w))
+    mel_only = jax.jit(lambda w: jnp.sum(logmel(w), dtype=jnp.float32))
     dt = _time(mel_only, waves512)
     results["logmel_b512_ms"] = round(dt * 1e3, 2)
     log(f"logmel only b=512: {dt*1e3:.2f} ms")
@@ -95,7 +103,11 @@ def main() -> None:
     sub = {k: v for k, v in params.items() if k == "bn0" or k.startswith("block")}
     prev = results["logmel_b512_ms"]
     for k in range(1, 7):
-        fn = jax.jit(lambda p, w, k=k: Trunc(k).apply({"params": p}, logmel(w)))
+        fn = jax.jit(
+            lambda p, w, k=k: jnp.sum(
+                Trunc(k).apply({"params": p}, logmel(w)), dtype=jnp.float32
+            )
+        )
         dt = _time(fn, sub, waves512) * 1e3
         results[f"through_block{k}_ms"] = round(dt, 2)
         log(f"logmel+blocks1..{k}: {dt:.2f} ms (+{dt - prev:.2f})")
