@@ -94,10 +94,11 @@ class Trainer:
         self.state = self._place(state)
         # Three compiled steps, matching the observability cadences: per-layer
         # grad norms are logged 1/10 steps (reference main.py:345-367) and
-        # histograms 1/1000 (wandb.watch cadence) — computing 72 per-kernel
-        # norm reductions (let alone 64-bin histograms) in EVERY step is pure
-        # waste, so the common step carries only the scalar loss/grad-norm
-        # metrics and the telemetry variants run on their cadence steps.
+        # histograms 1/1000 (wandb.watch cadence). Device-side the telemetry
+        # is measured FREE (84.8 ms/step for plain/norms/hist alike at
+        # T=2048 on v5e — the reductions hide under the model pass), so the
+        # split's real effect is skipping the off-cadence host FETCHES of
+        # unconsumed telemetry buffers, which ride this box's tunnel RPC.
         self.train_step = make_train_step(
             cfg.model, tc, tx, schedule, mesh=model_mesh,
             per_layer_grad_norms=False, grad_histograms=False,
