@@ -156,6 +156,9 @@ def main() -> None:
             "full_ms_per_batch": round(full_s * 1e3, 2),
             "videos_per_s": round(vids, 1),
             "mfu": round(mfu, 3),
+            # long-T rows chain fewer steps — record it so row reliability
+            # is judgeable (timings here fluctuate with chain length)
+            "n_chain": n,
         }
         print(
             f"bucket {t}: forward+decode+nms {full_s*1e3:.2f} ms/batch "
@@ -215,6 +218,7 @@ def main() -> None:
             "batch": b,
             "remat": remat,
             "mfu": round(mfu, 3),
+            "n_chain": n_chain,
         }
 
     for t in TRAIN_BUCKETS:

@@ -132,10 +132,24 @@ def resolve_alignment_heads(
     2. checkpoint name match (directory basename or explicit ``name``,
        e.g. "whisper-base.en") against the bundled table;
     3. model-dimension match (unique per release except large-v1/v2).
+
+    When ``cfg`` is given, any resolved list whose (layer, head) pairs don't
+    fit the actual architecture is REJECTED (returns None -> top-half-heads
+    fallback) — e.g. a distil-whisper directory named "*large-v3*" matches
+    the name table but has 2 decoder layers; indexing (7, 0) would crash.
     """
     import json
     import os
     import re
+
+    def _fits(heads_list):
+        if cfg is None:
+            return heads_list
+        ok = all(
+            0 <= l < cfg.dec_layers and 0 <= h < cfg.heads
+            for l, h in heads_list
+        )
+        return heads_list if ok else None
 
     if path is not None:
         gc = os.path.join(path, "generation_config.json")
@@ -144,7 +158,9 @@ def resolve_alignment_heads(
                 with open(gc) as f:
                     heads = json.load(f).get("alignment_heads")
                 if heads:
-                    return [(int(l), int(h)) for l, h in heads]
+                    resolved = _fits([(int(l), int(h)) for l, h in heads])
+                    if resolved:
+                        return resolved
             except (ValueError, OSError, TypeError):
                 pass
     candidates = []
@@ -160,13 +176,15 @@ def resolve_alignment_heads(
             if key == "large":
                 key = "large-v2"
             if key in PUBLISHED_ALIGNMENT_HEADS:
-                return list(PUBLISHED_ALIGNMENT_HEADS[key])
+                resolved = _fits(list(PUBLISHED_ALIGNMENT_HEADS[key]))
+                if resolved:
+                    return resolved
     if cfg is not None:
         key = _DIMS_TO_NAME.get(
             (cfg.d_model, cfg.dec_layers, cfg.vocab_size, cfg.n_mels)
         )
         if key is not None:
-            return list(PUBLISHED_ALIGNMENT_HEADS[key])
+            return _fits(list(PUBLISHED_ALIGNMENT_HEADS[key]))
     return None
 
 
@@ -194,9 +212,12 @@ def split_words(
     with whitespace), so it works with byte-level BPE vocabularies where a
     single token can be a partial UTF-8 sequence; a piece that decodes to the
     replacement character joins the current word. Spaceless scripts (CJK,
-    Thai, Lao, Myanmar) split per decoded character instead — the behavior of
-    openai's split_tokens_on_unicode for zh/ja/th/lo/my — so each ideogram
-    gets its own timestamp rather than one blob per whitespace run."""
+    Thai, Lao, Myanmar) split at every TOKEN-RUN seam between their
+    characters instead of only at whitespace — each singly-tokenized ideogram
+    gets its own timestamp rather than one blob per whitespace run. Timing
+    granularity is the token: a single BPE token that decodes to multiple
+    ideograms stays one word (openai's per-character splitter has the same
+    floor — sub-token timestamps would be fabricated)."""
     toks = list(tokens)
 
     # Stage 1 (openai split_tokens_on_unicode): tokens -> complete decoded

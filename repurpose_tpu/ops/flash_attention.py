@@ -87,12 +87,16 @@ STREAM_K_BLOCK = 1024  # score tile [q_block, STREAM_K_BLOCK] along the key axis
 GRID_SEMANTICS: tuple[str, str, str] | None = ("parallel", "parallel", "arbitrary")
 
 
-def _compiler_params():
-    from jax.experimental.pallas import tpu as _pltpu
-
+def _cp_kwargs() -> dict:
+    """compiler_params kwargs for the 3-axis pallas_calls ({} when
+    GRID_SEMANTICS is None — read at trace time so benches can sweep it)."""
     if GRID_SEMANTICS is None:
-        return None
-    return _pltpu.CompilerParams(dimension_semantics=GRID_SEMANTICS)
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            dimension_semantics=GRID_SEMANTICS
+        )
+    }
 
 
 def _pick_block(t: int, preferred: int) -> int | None:
@@ -214,7 +218,7 @@ def _flash_forward(
             jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
         ),
         interpret=interpret,
-        **({"compiler_params": _compiler_params()} if _compiler_params() else {}),
+        **_cp_kwargs(),
     )(qf, kf, vf, mask)
     return out.reshape(b, t, h, dh), lse
 
@@ -521,7 +525,7 @@ def _flash_backward(
         out_specs=blk_q,
         out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
         interpret=interpret,
-        **({"compiler_params": _compiler_params()} if _compiler_params() else {}),
+        **_cp_kwargs(),
     )(qf, kf, vf, mask, of, gf, lse)
 
     blk_k = pl.BlockSpec(
@@ -588,7 +592,7 @@ def _flash_backward(
                 jax.ShapeDtypeStruct((b, t, d), v.dtype),
             ),
             interpret=interpret,
-            **({"compiler_params": _compiler_params()} if _compiler_params() else {}),
+            **_cp_kwargs(),
         )(qf, kf, vf, mask, of, gf, lse)
 
     return (

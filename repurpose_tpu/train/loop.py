@@ -356,12 +356,20 @@ class Trainer:
                     samples = [ds[i] for i in idxs]
                     if batch is None:
                         batch = collate(samples, buckets, bs)
+                    # GT must not depend on WHICH staging path ran: prefer the
+                    # dataset's entries (same source the fast path reads) so a
+                    # keep_gt_segments=False dataset scores identically with
+                    # and without the native loader.
                     metas = [
                         {
                             "video_id": s["video_id"],
-                            "gt_segments": s.get("gt_segments") or [],
+                            "gt_segments": (
+                                [list(x) for x in entries[i]["segmentsOffset"]]
+                                if entries is not None
+                                else s.get("gt_segments") or []
+                            ),
                         }
-                        for s in samples
+                        for i, s in zip(idxs, samples)
                     ]
                 meta_fifo.append(
                     (metas, batch.labels, batch.segments, batch.durations)

@@ -114,15 +114,22 @@ def test_auto_resume_recovers_from_crash(tmp_path):
         t = Trainer(cfg, workdir, train_ds)
         trainers.append(t)
         if calls["n"] == 1:  # sabotage only the first incarnation
-            orig, count = t.train_step, {"i": 0}
+            # wrap ALL step variants: the loop routes per-cadence (plain /
+            # norms / hist — train/loop.py), so counting on one attribute
+            # would move the crash away from "first step of epoch 2"
+            count = {"i": 0}
 
-            def sabotaged(state, batch, rng):
-                count["i"] += 1
-                if count["i"] == 3:  # first step of epoch 2
-                    raise RuntimeError("injected crash")
-                return orig(state, batch, rng)
+            def wrap(orig):
+                def sabotaged(state, batch, rng):
+                    count["i"] += 1
+                    if count["i"] == 3:  # first step of epoch 2
+                        raise RuntimeError("injected crash")
+                    return orig(state, batch, rng)
+                return sabotaged
 
-            t.train_step = sabotaged
+            t.train_step = wrap(t.train_step)
+            t.train_step_norms = wrap(t.train_step_norms)
+            t.train_step_hist = wrap(t.train_step_hist)
         return t
 
     summary = fit_with_auto_resume(make_trainer, max_restarts=2)

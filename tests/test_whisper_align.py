@@ -396,3 +396,20 @@ def test_aligner_uses_given_heads(tiny):
     assert w[0, 1] > 0 and w[1, 0] > 0
     assert np.isclose(w.sum(), 1.0)
     assert (w > 0).sum() == 2
+
+
+def test_resolve_heads_rejects_architecture_mismatch():
+    """A distil-whisper-like checkpoint (name matches 'large-v3' but only 2
+    decoder layers) must NOT get the published large-v3 heads — indexing
+    (7, 0) on a 2-layer weight matrix would crash the aligner; expect None
+    (top-half-heads fallback)."""
+    from repurpose_tpu.extractors.whisper_align import resolve_alignment_heads
+    from repurpose_tpu.extractors.whisper_jax import WhisperJaxConfig
+
+    distil = WhisperJaxConfig(d_model=1280, dec_layers=2, heads=20,
+                              vocab_size=51866, n_mels=128)
+    assert resolve_alignment_heads(name="distil-large-v3", cfg=distil) is None
+    # with matching dims the same name resolves normally
+    real = WhisperJaxConfig(d_model=1280, enc_layers=32, dec_layers=32,
+                            heads=20, vocab_size=51866, n_mels=128)
+    assert resolve_alignment_heads(name="whisper-large-v3", cfg=real) is not None

@@ -21,26 +21,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import numpy as np
-
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def _sync(out):
-    np.asarray(jax.tree.leaves(out)[0])
+from tools._bench_common import log, sync as _sync, time_best  # noqa: E402
 
 
 def _time(fn, *args, reps=5):
-    _sync(fn(*args))
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        _sync(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+    return time_best(fn, *args, reps=reps)
+
+import jax
+import numpy as np
 
 
 def main() -> None:

@@ -16,6 +16,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._bench_common import log, sync as _sync, time_best  # noqa: E402
+
+
+def _time(fn, *args, reps=3):
+    return time_best(fn, *args, reps=reps)
+
 import numpy as np
 
 

@@ -22,18 +22,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tools._bench_common import log, sync as _sync, time_best  # noqa: E402
+
+
+def _time(fn, *args, reps=3):
+    return time_best(fn, *args, reps=reps)
+
 import jax
 import numpy as np
 
 REPEATS = 3
-
-
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
-
-
-def _sync(out):
-    np.asarray(jax.tree.leaves(out)[0])
 
 
 def _time(fn, *args, reps: int = REPEATS) -> float:
