@@ -86,6 +86,11 @@ STREAM_K_BLOCK = 1024  # score tile [q_block, STREAM_K_BLOCK] along the key axis
 # compiler defaults: its q-axis accumulates in scratch.)
 GRID_SEMANTICS: tuple[str, str, str] | None = ("parallel", "parallel", "arbitrary")
 
+# LSE value written for skipped (fully-padded) query blocks: large enough
+# that the backward's exp(s - lse) underflows to exactly 0 for any real
+# score, small enough to stay finite in f32 arithmetic.
+SKIP_LSE = 1e30
+
 
 def _cp_kwargs() -> dict:
     """compiler_params kwargs for the 3-axis pallas_calls ({} when
@@ -97,6 +102,19 @@ def _cp_kwargs() -> dict:
             dimension_semantics=GRID_SEMANTICS
         )
     }
+
+
+def _kv_len(key_valid: Array) -> Array:
+    """[B, 1] int32: last valid key index + 1 per batch row (0 if none) — the
+    exact prefix bound for block skipping under ARBITRARY masks: blocks past
+    it contain only masked keys (whose softmax weight underflows to exactly 0
+    under the -1e9 bias), so dropping them is a no-op numerically; interior
+    holes are still handled by the bias. Rank 2 because Mosaic rejects rank-1
+    SMEM blocks smaller than the array (tiling-size rule)."""
+    t = key_valid.shape[1]
+    idx = jnp.arange(t, dtype=jnp.int32)[None, :]
+    kvl = (jnp.max(jnp.where(key_valid, idx, -1), axis=1) + 1).astype(jnp.int32)
+    return kvl[:, None]
 
 
 def _pick_block(t: int, preferred: int) -> int | None:
@@ -122,7 +140,7 @@ def _pick_d_block(d: int, dh: int) -> int:
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, lse_ref,
     *, scale: float, heads: int, sm_dtype=jnp.float32,
 ):
     # FLAT layout (no transposes): q_ref [1, Tq, Dblk]; k/v [1, T, Dblk];
@@ -140,27 +158,42 @@ def _flash_fwd_kernel(
     # 27.22 ms/batch, tools/bench_r3_campaign.py) — the VPU's ALU rate is
     # dtype-independent, so the win is only halved buffer traffic, not the
     # hoped-for 2x. Kept as the production default (accuracy-gated ~1e-3).
+    # Prefix skipping: kvl_ref[0] is (last valid key index + 1) for this batch
+    # row. Query blocks entirely past it are padding — write zeros and a huge
+    # LSE (so the backward's exp(s - lse) underflows to exactly 0 instead of
+    # overflowing on garbage scores) and skip all compute. Real corpora fill
+    # ~60% of a bucket, so this removes a large share of the T^2 work.
     d = q_ref.shape[-1]
     dh = d // heads
-    bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T] broadcasts over rows
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
-        s = jax.lax.dot_general(
-            q, k_ref[0, :, sl], dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        s = (s + bias).astype(sm_dtype)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
-        o = jax.lax.dot_general(
-            e.astype(v_ref.dtype), v_ref[0, :, sl],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
-        lse_ref[0, h] = m.astype(jnp.float32) + jnp.log(denom)  # [Tq, 1]
+    kvl = kvl_ref[pl.program_id(0), 0]
+    q_start = pl.program_id(2) * q_ref.shape[1]
+
+    @pl.when(q_start >= kvl)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+        lse_ref[...] = jnp.full_like(lse_ref, SKIP_LSE)
+
+    @pl.when(q_start < kvl)
+    def _():
+        bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T]
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+            s = jax.lax.dot_general(
+                q, k_ref[0, :, sl], dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = (s + bias).astype(sm_dtype)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            o = jax.lax.dot_general(
+                e.astype(v_ref.dtype), v_ref[0, :, sl],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, :, sl] = (o / denom).astype(o_ref.dtype)
+            lse_ref[0, h] = m.astype(jnp.float32) + jnp.log(denom)  # [Tq, 1]
 
 
 def _flash_forward(
@@ -184,6 +217,7 @@ def _flash_forward(
     kf = k.reshape(b, t, d)
     vf = v.reshape(b, t, d)
     mask = key_valid[:, None, :].astype(jnp.int32)  # [B, 1, T]
+    kvl = _kv_len(key_valid)
 
     blk_q = pl.BlockSpec(
         (1, q_block, d_block), lambda bi, di, i: (bi, i, di), memory_space=pltpu.VMEM
@@ -193,6 +227,9 @@ def _flash_forward(
     )
     blk_mask = pl.BlockSpec(
         (1, 1, t), lambda bi, di, i: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    blk_kvl = pl.BlockSpec(
+        (b, 1), lambda bi, di, i: (0, 0), memory_space=pltpu.SMEM
     )
     blk_lse = pl.BlockSpec(
         (1, heads_per_block, q_block, 1), lambda bi, di, i: (bi, di, i, 0),
@@ -211,7 +248,7 @@ def _flash_forward(
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, d // d_block, t // q_block),
-        in_specs=[blk_q, blk_kv, blk_kv, blk_mask],
+        in_specs=[blk_q, blk_kv, blk_kv, blk_mask, blk_kvl],
         out_specs=(blk_q, blk_lse),
         out_shape=(
             jax.ShapeDtypeStruct((b, t, d), q.dtype),
@@ -219,12 +256,12 @@ def _flash_forward(
         ),
         interpret=interpret,
         **_cp_kwargs(),
-    )(qf, kf, vf, mask)
+    )(qf, kf, vf, mask, kvl)
     return out.reshape(b, t, h, dh), lse
 
 
 def _flash_fwd_stream_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, lse_ref,
     *, scale: float, heads: int, k_block: int, sm_dtype=jnp.float32,
 ):
     # Streaming (long-T) forward: same FLAT layout and refs as
@@ -232,54 +269,67 @@ def _flash_fwd_stream_kernel(
     # [Tq, k_block] chunks with the online-softmax recurrence, so VMEM no
     # longer scales with T (only the K/V slabs do). fori_loop keeps code size
     # flat as T grows (T=16k would unroll 16 blocks per head otherwise).
+    # Prefix skipping (see _flash_fwd_kernel): padded query blocks skip
+    # entirely, and the k sweep runs only ceil(kvl / k_block) blocks — keys
+    # past the last valid one are exact zeros in the softmax (their bias
+    # drives exp to f32 underflow), so dropping them changes nothing.
     d = q_ref.shape[-1]
     dh = d // heads
     tq = q_ref.shape[1]
-    t = k_ref.shape[1]
-    n_kb = t // k_block
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+    kvl = kvl_ref[pl.program_id(0), 0]
+    q_start = pl.program_id(2) * tq
+    n_kb = pl.cdiv(kvl, k_block)
 
-        def body(kb, carry):
-            m, l, acc = carry
-            ks = k_ref[0, pl.ds(kb * k_block, k_block), sl]
-            vs = v_ref[0, pl.ds(kb * k_block, k_block), sl]
-            bias = jnp.where(
-                mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
-            )  # [1, k_block]
-            s = (jax.lax.dot_general(
-                q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bias).astype(sm_dtype)
-            m_new = jnp.maximum(
-                m, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
-            )
-            alpha = jnp.exp(m - m_new)
-            p = jnp.exp(s - m_new.astype(sm_dtype))
-            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-            pv = jax.lax.dot_general(
-                p.astype(vs.dtype), vs,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            return m_new, l, acc * alpha + pv
+    @pl.when(q_start >= kvl)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+        lse_ref[...] = jnp.full_like(lse_ref, SKIP_LSE)
 
-        # -1e30 (not -inf): fully-masked rows must stay finite (NEG_INF bias
-        # keeps s ~ -1e9, so the first real block always overwrites this max)
-        m0 = jnp.full((tq, 1), -1e30, jnp.float32)
-        l0 = jnp.zeros((tq, 1), jnp.float32)
-        acc0 = jnp.zeros((tq, dh), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
-        o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
-        lse_ref[0, h] = m + jnp.log(l)
+    @pl.when(q_start < kvl)
+    def _():
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+
+            def body(kb, carry):
+                m, l, acc = carry
+                ks = k_ref[0, pl.ds(kb * k_block, k_block), sl]
+                vs = v_ref[0, pl.ds(kb * k_block, k_block), sl]
+                bias = jnp.where(
+                    mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
+                )  # [1, k_block]
+                s = (jax.lax.dot_general(
+                    q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bias).astype(sm_dtype)
+                m_new = jnp.maximum(
+                    m, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+                )
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new.astype(sm_dtype))
+                l = l * alpha + jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+                pv = jax.lax.dot_general(
+                    p.astype(vs.dtype), vs,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                return m_new, l, acc * alpha + pv
+
+            # -1e30 (not -inf): fully-masked rows must stay finite (NEG_INF
+            # bias keeps s ~ -1e9, so a real block always overwrites this max)
+            m0 = jnp.full((tq, 1), -1e30, jnp.float32)
+            l0 = jnp.zeros((tq, 1), jnp.float32)
+            acc0 = jnp.zeros((tq, dh), jnp.float32)
+            m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
+            o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
+            lse_ref[0, h] = m + jnp.log(l)
 
 
 # -- backward: dq kernel (grid over q blocks) -------------------------------------
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dq_ref,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, g_ref, lse_ref, dq_ref,
     *, scale: float, heads: int, sm_dtype=jnp.float32,
 ):
     # FLAT layout (see _flash_fwd_kernel): q/o/g/dq blocks [1, Tq, Dblk],
@@ -288,97 +338,144 @@ def _bwd_dq_kernel(
     # saved LSE replaces softmax recomputation — p = exp(s + bias - lse) is
     # ONE [Tq, T] pass where max-subtract + exp + denominator-sum were three
     # (measured 6% off the whole fwd+bwd grad at [8,2048,8,64] on v5e).
+    # Prefix skipping: padded query rows have zero upstream gradient, so
+    # their dq is exactly zero — whole blocks past kvl skip compute.
     d = q_ref.shape[-1]
     dh = d // heads
-    bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T]
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        g = g_ref[0, :, sl].astype(jnp.float32)
-        o = o_ref[0, :, sl].astype(jnp.float32)
-        lse = lse_ref[0, h]  # [Tq, 1]
+    kvl = kvl_ref[pl.program_id(0), 0]
+    q_start = pl.program_id(2) * q_ref.shape[1]
 
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # exact softmax rows via saved logsumexp; the [Tq, T] exp and ds
-        # passes run in sm_dtype (2x VPU rate at bf16)
-        p = jnp.exp((s + bias - lse).astype(sm_dtype))
+    @pl.when(q_start >= kvl)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
 
-        dp = jax.lax.dot_general(
-            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dterm = jnp.sum(g * o, axis=-1, keepdims=True)
-        ds = p * (dp - dterm).astype(sm_dtype)  # true ds up to the scale folded into q
-        dq = jax.lax.dot_general(
-            ds.astype(k.dtype), k,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
+    @pl.when(q_start < kvl)
+    def _():
+        bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T]
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+            k = k_ref[0, :, sl]
+            v = v_ref[0, :, sl]
+            g = g_ref[0, :, sl].astype(jnp.float32)
+            o = o_ref[0, :, sl].astype(jnp.float32)
+            lse = lse_ref[0, h]  # [Tq, 1]
+
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # exact softmax rows via saved logsumexp; the [Tq, T] exp and ds
+            # passes run in sm_dtype
+            p = jnp.exp((s + bias - lse).astype(sm_dtype))
+
+            dp = jax.lax.dot_general(
+                g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dterm = jnp.sum(g * o, axis=-1, keepdims=True)
+            ds = p * (dp - dterm).astype(sm_dtype)  # true ds up to the folded scale
+            dq = jax.lax.dot_general(
+                ds.astype(k.dtype), k,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dq_stream_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dq_ref,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, g_ref, lse_ref, dq_ref,
     *, scale: float, heads: int, k_block: int, sm_dtype=jnp.float32,
 ):
     # Streaming dq: k-blocked accumulation. No online softmax needed — the
     # saved LSE normalizes every block exactly (p = exp(s + bias - lse)).
+    # Prefix skipping: padded query blocks write zero dq; the k sweep stops
+    # at ceil(kvl / k_block) (keys past kvl carry exactly-zero softmax mass).
     d = q_ref.shape[-1]
     dh = d // heads
     tq = q_ref.shape[1]
-    t = k_ref.shape[1]
-    n_kb = t // k_block
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
-        g = g_ref[0, :, sl].astype(jnp.float32)
-        o = o_ref[0, :, sl].astype(jnp.float32)
-        lse = lse_ref[0, h]  # [Tq, 1]
-        dterm = jnp.sum(g * o, axis=-1, keepdims=True)
+    kvl = kvl_ref[pl.program_id(0), 0]
+    q_start = pl.program_id(2) * tq
+    n_kb = pl.cdiv(kvl, k_block)
 
-        def body(kb, dq_acc):
-            ks = k_ref[0, pl.ds(kb * k_block, k_block), sl]
-            vs = v_ref[0, pl.ds(kb * k_block, k_block), sl]
-            bias = jnp.where(
-                mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
-            )
-            s = jax.lax.dot_general(
-                q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            p = jnp.exp((s + bias - lse).astype(sm_dtype))
-            dp = jax.lax.dot_general(
-                g, vs, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ds = p * (dp - dterm).astype(sm_dtype)
-            return dq_acc + jax.lax.dot_general(
-                ds.astype(ks.dtype), ks,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+    @pl.when(q_start >= kvl)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
 
-        dq = jax.lax.fori_loop(0, n_kb, body, jnp.zeros((tq, dh), jnp.float32))
-        dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
+    @pl.when(q_start < kvl)
+    def _():
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+            g = g_ref[0, :, sl].astype(jnp.float32)
+            o = o_ref[0, :, sl].astype(jnp.float32)
+            lse = lse_ref[0, h]  # [Tq, 1]
+            dterm = jnp.sum(g * o, axis=-1, keepdims=True)
+
+            def body(kb, dq_acc):
+                ks = k_ref[0, pl.ds(kb * k_block, k_block), sl]
+                vs = v_ref[0, pl.ds(kb * k_block, k_block), sl]
+                bias = jnp.where(
+                    mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
+                )
+                s = jax.lax.dot_general(
+                    q, ks, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                p = jnp.exp((s + bias - lse).astype(sm_dtype))
+                dp = jax.lax.dot_general(
+                    g, vs, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = p * (dp - dterm).astype(sm_dtype)
+                return dq_acc + jax.lax.dot_general(
+                    ds.astype(ks.dtype), ks,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            dq = jax.lax.fori_loop(0, n_kb, body, jnp.zeros((tq, dh), jnp.float32))
+            dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
 
 
 # -- backward: dk/dv kernel (grid over k blocks, LSE-normalized columns) ----------
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref,
-    *, scale: float, heads: int, sm_dtype=jnp.float32,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, g_ref, lse_ref, dk_ref,
+    dv_ref, *, scale: float, heads: int, sm_dtype=jnp.float32,
 ):
     # FLAT layout: q/o/g full slabs [1, T, Dblk]; k/v/dk/dv blocks
     # [1, Tk, Dblk]; mask block [1, 1, Tk]; lse [1, heads, T, 1]; static loop
     # over head slices. Scale folds into q: s matches the saved (scaled) lse,
     # and because dk = scale * ds_unscaled^T @ q, contracting ds against the
     # PRE-SCALED q delivers the scale for free — no [T, Tk] scale pass.
+    # Prefix skipping: k blocks past kvl hold only masked keys, whose true
+    # gradient is exactly zero (softmax mass underflows under the -1e9 bias).
+    # Padded q rows inside the slab are harmless: their g is zero and their
+    # saved LSE is SKIP_LSE, so p underflows instead of overflowing.
+    d = q_ref.shape[-1]
+    dh = d // heads
+    kvl = kvl_ref[pl.program_id(0), 0]
+    k_start = pl.program_id(2) * k_ref.shape[1]
+
+    @pl.when(k_start >= kvl)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when(k_start < kvl)
+    def _body():
+        _dkv_compute(
+            q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref,
+            dk_ref, dv_ref, scale=scale, heads=heads, sm_dtype=sm_dtype,
+        )
+
+
+def _dkv_compute(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref,
+    *, scale, heads, sm_dtype,
+):
     d = q_ref.shape[-1]
     dh = d // heads
     bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, Tk]
@@ -416,8 +513,8 @@ def _bwd_dkv_kernel(
 
 
 def _bwd_dkv_stream_kernel(
-    q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref,
-    dk_acc, dv_acc, *, scale: float, heads: int, sm_dtype=jnp.float32,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, g_ref, lse_ref, dk_ref,
+    dv_ref, dk_acc, dv_acc, *, scale: float, heads: int, sm_dtype=jnp.float32,
 ):
     # Streaming dk/dv: 4-axis grid (b, d-block, k-block, q-chunk) with the
     # q-chunk axis innermost. Each step fetches only [1, Qc, Dblk] q/o/g
@@ -425,46 +522,55 @@ def _bwd_dkv_stream_kernel(
     # the 16M scoped-vmem limit, measured); dk/dv accumulate in f32 SCRATCH
     # across the q sweep (TPU scratch persists over grid steps) and write out
     # once on the last chunk. VMEM is now O(Qc * Tk), independent of T.
+    # Prefix skipping: accumulation is skipped when either the q chunk or the
+    # k block sits past kvl (zero upstream gradient / exactly-zero softmax
+    # mass); scratch still zeroes at qi==0 and writes out at the last chunk,
+    # so skipped k blocks emit exact zeros.
     qi = pl.program_id(3)
     n_q = pl.num_programs(3)
     d = q_ref.shape[-1]
     dh = d // heads
-    bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, Tk]
+    kvl = kvl_ref[pl.program_id(0), 0]
+    q_start = qi * q_ref.shape[1]
+    k_start = pl.program_id(2) * k_ref.shape[1]
 
     @pl.when(qi == 0)
     def _():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    for h in range(heads):
-        sl = slice(h * dh, (h + 1) * dh)
-        k = k_ref[0, :, sl]  # [Tk, Dh]
-        v = v_ref[0, :, sl]
-        q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
-        g = g_ref[0, :, sl].astype(jnp.float32)
-        o = o_ref[0, :, sl].astype(jnp.float32)
-        lse = lse_ref[0, h]  # [Qc, 1]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bias
-        p = jnp.exp((s - lse).astype(sm_dtype))  # [Qc, Tk]
-        dv_acc[:, sl] += jax.lax.dot_general(
-            p.astype(g_ref.dtype), g,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            g, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dterm = jnp.sum(g * o, axis=-1, keepdims=True)
-        ds = p * (dp - dterm).astype(sm_dtype)
-        dk_acc[:, sl] += jax.lax.dot_general(
-            ds.astype(q.dtype), q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    @pl.when((q_start < kvl) & (k_start < kvl))
+    def _():
+        bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, Tk]
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            k = k_ref[0, :, sl]  # [Tk, Dh]
+            v = v_ref[0, :, sl]
+            q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+            g = g_ref[0, :, sl].astype(jnp.float32)
+            o = o_ref[0, :, sl].astype(jnp.float32)
+            lse = lse_ref[0, h]  # [Qc, 1]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + bias
+            p = jnp.exp((s - lse).astype(sm_dtype))  # [Qc, Tk]
+            dv_acc[:, sl] += jax.lax.dot_general(
+                p.astype(g_ref.dtype), g,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dterm = jnp.sum(g * o, axis=-1, keepdims=True)
+            ds = p * (dp - dterm).astype(sm_dtype)
+            dk_acc[:, sl] += jax.lax.dot_general(
+                ds.astype(q.dtype), q,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     @pl.when(qi == n_q - 1)
     def _():
@@ -494,6 +600,10 @@ def _flash_backward(
     of = o.reshape(b, t, d)
     gf = g.reshape(b, t, d)
     mask = key_valid[:, None, :].astype(jnp.int32)
+    kvl = _kv_len(key_valid)
+    blk_kvl = pl.BlockSpec(
+        (b, 1), lambda bi, di, i: (0, 0), memory_space=pltpu.SMEM
+    )
 
     blk_q = pl.BlockSpec(
         (1, q_block, d_block), lambda bi, di, i: (bi, i, di), memory_space=pltpu.VMEM
@@ -521,12 +631,13 @@ def _flash_backward(
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, d // d_block, t // q_block),
-        in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_q, blk_q, blk_lse_q],
+        in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_kvl, blk_q, blk_q,
+                  blk_lse_q],
         out_specs=blk_q,
         out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
         interpret=interpret,
         **_cp_kwargs(),
-    )(qf, kf, vf, mask, of, gf, lse)
+    )(qf, kf, vf, mask, kvl, of, gf, lse)
 
     blk_k = pl.BlockSpec(
         (1, k_block, d_block), lambda bi, di, i: (bi, i, di), memory_space=pltpu.VMEM
@@ -565,7 +676,14 @@ def _flash_backward(
                 sm_dtype=sm_dtype,
             ),
             grid=(b, d // d_block, t // k_block, t // q_chunk),
-            in_specs=[blk_qc, blk_k4, blk_k4, blk_kmask4, blk_qc, blk_qc, blk_lse4],
+            in_specs=[
+                blk_qc, blk_k4, blk_k4, blk_kmask4,
+                pl.BlockSpec(
+                    (b, 1), lambda bi, di, ki, qi: (0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                blk_qc, blk_qc, blk_lse4,
+            ],
             out_specs=(blk_k4, blk_k4),
             out_shape=(
                 jax.ShapeDtypeStruct((b, t, d), k.dtype),
@@ -576,7 +694,7 @@ def _flash_backward(
                 pltpu.VMEM((k_block, d_block), jnp.float32),
             ],
             interpret=interpret,
-        )(qf, kf, vf, mask, of, gf, lse)
+        )(qf, kf, vf, mask, kvl, of, gf, lse)
     else:
         dkv_kernel = functools.partial(
             _bwd_dkv_kernel, scale=scale, heads=heads_per_block,
@@ -585,7 +703,12 @@ def _flash_backward(
         dk, dv = pl.pallas_call(
             dkv_kernel,
             grid=(b, d // d_block, t // k_block),
-            in_specs=[blk_full, blk_k, blk_k, blk_kmask, blk_full, blk_full, blk_lse],
+            in_specs=[blk_full, blk_k, blk_k, blk_kmask,
+                      pl.BlockSpec(
+                          (b, 1), lambda bi, di, i: (0, 0),
+                          memory_space=pltpu.SMEM,
+                      ),
+                      blk_full, blk_full, blk_lse],
             out_specs=(blk_k, blk_k),
             out_shape=(
                 jax.ShapeDtypeStruct((b, t, d), k.dtype),
@@ -593,7 +716,7 @@ def _flash_backward(
             ),
             interpret=interpret,
             **_cp_kwargs(),
-        )(qf, kf, vf, mask, of, gf, lse)
+        )(qf, kf, vf, mask, kvl, of, gf, lse)
 
     return (
         dq.reshape(b, t, h, dh),
