@@ -58,12 +58,29 @@ DURATIONS = [1800, 1313, 900, 1800, 600, 1500, 1100, 1750]  # ~p50/p90 mix
 PEAK_FLOPS = {"TPU v5 lite": 394e12, "cpu": 1e12}
 
 
-def _flops_forward(cfg, b: int, t: int) -> float:
-    """Dense-matmul FLOPs of one MMCT forward (2*MACs), per batch."""
+def _flops_forward(cfg, b: int, t: int, durations=None) -> float:
+    """EXECUTED dense-matmul FLOPs of one MMCT forward (2*MACs), per batch —
+    the numerator of hardware MFU. Projection/FFN/head matmuls run on the
+    full padded T (XLA computes padded rows; that waste counts as executed).
+    The attention T^2 term counts only the blocks the flash kernels actually
+    run: prefix skipping drops query blocks past each row's last valid key
+    (kvl), and the streaming interior (t > STREAM_MAX_T) also bounds its key
+    sweep at ceil(kvl / k_block). Without ``durations``, assumes full fill."""
+    from repurpose_tpu.ops.flash_attention import (
+        DEFAULT_Q_BLOCK, STREAM_K_BLOCK, STREAM_MAX_T, _pick_block,
+    )
+
     d, dff, L = cfg.d_model, cfg.d_ff, cfg.self_num_layers
-    per_tok_layer = 8 * d * d + 4 * d * dff + 4 * t * d  # qkv/out + ffn + attn
     head = 2 * cfg.concat_dim * d + 2 * d * d + 4 * d * cfg.hidden_dim
-    return float(b * t * (L * per_tok_layer + head))
+    flops = b * t * (L * (8 * d * d + 4 * d * dff) + head)
+    qb = _pick_block(t, min(DEFAULT_Q_BLOCK, t)) or t
+    kb = (_pick_block(t, STREAM_K_BLOCK) or t) if t > STREAM_MAX_T else t
+    for dur in durations if durations is not None else [t] * b:
+        kvl = min(dur, t)
+        q_rows = -(-kvl // qb) * qb
+        k_cols = -(-kvl // kb) * kb if t > STREAM_MAX_T else t
+        flops += L * 4 * q_rows * k_cols * d
+    return float(flops)
 
 
 def _sync(out) -> None:
@@ -110,9 +127,12 @@ def main() -> None:
         (v for k, v in PEAK_FLOPS.items() if k.lower() in dev_kind.lower()), 394e12
     )
 
+    def bench_durations(b: int, t: int) -> list[int]:
+        return [min(d, t) for d in (DURATIONS * ((b - 1) // len(DURATIONS) + 1))[:b]]
+
     def make_args(b: int, t: int):
         mask = np.zeros((b, t), bool)
-        durations = [min(d, t) for d in (DURATIONS * ((b - 1) // len(DURATIONS) + 1))[:b]]
+        durations = bench_durations(b, t)
         for i, d in enumerate(durations):
             mask[i, :d] = True
         return (
@@ -151,7 +171,7 @@ def main() -> None:
         args = make_args(BATCH, t)
         full_s = _time(chained("full", n), *args) / n
         vids = BATCH / full_s
-        mfu = _flops_forward(cfg, BATCH, t) / full_s / peak
+        mfu = _flops_forward(cfg, BATCH, t, bench_durations(BATCH, t)) / full_s / peak
         results["buckets"][str(t)] = {
             "full_ms_per_batch": round(full_s * 1e3, 2),
             "videos_per_s": round(vids, 1),
@@ -211,7 +231,7 @@ def main() -> None:
             return losses[-1]
 
         step_s = _time(train_chain, state, batch) / n_chain
-        mfu = 3 * _flops_forward(mcfg, b, t) / step_s / peak
+        mfu = 3 * _flops_forward(mcfg, b, t, bench_durations(b, t)) / step_s / peak
         return {
             "step_ms": round(step_s * 1e3, 2),
             "videos_per_s": round(b / step_s, 1),
