@@ -97,6 +97,15 @@ STREAM_K_BLOCK = 1024  # score tile [q_block, STREAM_K_BLOCK] along the key axis
 # video: 8 h at 1 feature/s = 28.8k steps; the reference caps at 5000).
 HBM_STREAM_T = 8192
 
+# Per-kernel overrides of STREAM_MAX_T for the two backward kernels (None =
+# use STREAM_MAX_T). The dense and streaming interiors skip padding on
+# opposite axes (dense dq skips padded q blocks but sweeps full-T keys;
+# streaming dq also bounds its k sweep at kvl — and mirrored for dk/dv), so
+# the best choice per kernel depends on fill and was swept independently
+# (tools/bench_prefix_skip.py).
+DQ_STREAM_T: int | None = None
+DKV_STREAM_T: int | None = None
+
 # Mosaic grid-axis semantics for the three 3-axis kernels' (batch, d-block,
 # t-block) grids. Every program is independent (no cross-step accumulation),
 # so all axes are legal as "parallel". Swept on v5e (tools/bench_dimsem.py,
@@ -888,7 +897,7 @@ def _flash_backward(
             **_cp_kwargs(),
         )(qf, kf, vf, mask, kvl, of, gf, lse)
     else:
-        if t > STREAM_MAX_T:
+        if t > (STREAM_MAX_T if DQ_STREAM_T is None else DQ_STREAM_T):
             dq_kernel = functools.partial(
                 _bwd_dq_stream_kernel, scale=scale, heads=heads_per_block,
                 k_block=_pick_block(t, STREAM_K_BLOCK), sm_dtype=sm_dtype,
@@ -919,7 +928,7 @@ def _flash_backward(
         (1, heads_per_block, t, 1), lambda bi, di, i: (bi, di, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    if t > STREAM_MAX_T:
+    if t > (STREAM_MAX_T if DKV_STREAM_T is None else DKV_STREAM_T):
         # 4-axis grid, q-chunk innermost; dk/dv blocks revisit across the q
         # sweep (index_map ignores qi) and accumulate in f32 scratch.
         q_chunk = _pick_block(t, DEFAULT_Q_BLOCK)

@@ -105,6 +105,18 @@ def main():
             log(f"{name:16s} fwd {f:6.3f} ms  grad {g:6.3f} ms")
     fa.STREAM_MAX_T, fa.STREAM_K_BLOCK = 2048, 1024
 
+    # Mixed backward combos (dense fwd throughout; the fwd winner is clear).
+    # The dense and streaming dq/dkv kernels skip padding on opposite axes —
+    # the combined toggle above can hide a mixed winner.
+    log("--- mixed backward (dense fwd), realistic fill ---")
+    args = make_inputs(False)
+    for dq_name, dq_t in (("dq=dense", 2048), ("dq=stream", 1024)):
+        for dkv_name, dkv_t in (("dkv=dense", 2048), ("dkv=stream", 1024)):
+            fa.DQ_STREAM_T, fa.DKV_STREAM_T = dq_t, dkv_t
+            g = time_best(grad_chain(), *args) / N_CHAIN * 1e3
+            log(f"{dq_name:10s} {dkv_name:11s} grad {g:6.3f} ms")
+    fa.DQ_STREAM_T = fa.DKV_STREAM_T = None
+
 
 if __name__ == "__main__":
     main()
