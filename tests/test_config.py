@@ -92,3 +92,16 @@ def test_enable_compilation_cache(tmp_path, monkeypatch):
         jax.config.update("jax_compilation_cache_dir", None)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def test_longvideo_config_loads():
+    """configs/longvideo.yaml: the multi-hour preset parses into valid
+    configs (buckets to 32768 engage the streaming/HBM attention kernels,
+    ops/flash_attention.py; remat on for long-T training)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs", "longvideo.yaml")
+    cfg = load_config(path)
+    assert cfg.train.buckets[-1] == 32768
+    assert cfg.model.remat is True
+    assert cfg.train.batch_size == 1
