@@ -137,6 +137,14 @@ class TrainConfig:
     """Weight on the DIoU boundary-regression loss. The reference defines
     ctr_diou_loss_1d (models/losses.py:56) but trains with cls loss only
     (main.py:664 'Regression loss removed'); 0.0 reproduces that."""
+    pack_sequences: bool = False
+    """Sequence packing: first-fit-decreasing several videos into each row of
+    the LARGEST bucket with block-diagonal attention + per-video positional
+    encoding (data/batching.py:pack_batch — exact vs unpacked,
+    tests/test_packing.py). batch_size then counts rows; use
+    loss_norm="batch_size" so the loss normalizes by the true video count
+    (config_batch_size would divide by rows). The reference has no packing —
+    it pads every video to the batch max (dataset/RepurposeClip.py:449-533)."""
     rng_impl: str = "rbg"
     """PRNG for the per-step dropout keys. "rbg" (XLA RngBitGenerator) makes
     the flagship train step 30% faster on v5e than JAX's default threefry
@@ -267,7 +275,8 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
         model_raw["modalities"] = tuple(model_raw["modalities"])
     train_raw = dict(raw.get("train") or {})
     train_raw.update(
-        {k: tpu[k] for k in ("buckets", "loss_norm", "reg_loss_weight") if k in tpu}
+        {k: tpu[k] for k in
+         ("buckets", "loss_norm", "reg_loss_weight", "pack_sequences") if k in tpu}
     )
     mesh_raw = {k: tpu[k] for k in ("data", "model", "seq") if k in tpu}
     if "mesh" in tpu:

@@ -28,6 +28,11 @@ class Batch(NamedTuple):
     labels: np.ndarray  # [B, T] float32
     segments: np.ndarray  # [B, T, 2] float32 — per-second GT (left, right)
     durations: np.ndarray  # [B] int32 — true lengths
+    # sequence packing (pack_batch; None on ordinary batches): videos sharing
+    # a row get block-diagonal attention (seg_ids) and per-video positional
+    # encoding (positions) — see models/mmct.py
+    seg_ids: np.ndarray | None = None  # [B, T] int32, -1 on padding
+    positions: np.ndarray | None = None  # [B, T] int32, 0-based within video
 
 
 def pick_bucket(length: int, buckets: Sequence[int]) -> int:
@@ -96,3 +101,87 @@ def collate(
         mask[i, :ln] = True
         durations[i] = ln
     return Batch(visual, audio, text, mask, labels, segments, durations)
+
+
+def plan_packing(
+    durations: Sequence[int], bucket: int, batch_size: int
+) -> list[list[list[int]]]:
+    """First-fit-decreasing packing plan: sample indices -> batches of rows.
+
+    Returns ``[batch][row] -> [sample indices]``; every row's total duration
+    fits ``bucket`` (videos longer than the bucket truncate to it, as
+    pick_bucket would). FFD is within 11/9 of optimal bin count — corpus
+    batches at bucket 2048 (mean video ~1218 s) pack ~1.5 videos/row, which
+    is the whole win: the reference pads every video to the batch max
+    (dataset/RepurposeClip.py:449-533), burning FFN/projection/attention
+    compute on ~35% padding."""
+    order = sorted(range(len(durations)), key=lambda i: -min(durations[i], bucket))
+    rows: list[tuple[int, list[int]]] = []  # (remaining, indices)
+    for i in order:
+        d = min(int(durations[i]), bucket)
+        for slot, (rem, idxs) in enumerate(rows):
+            if d <= rem:
+                rows[slot] = (rem - d, idxs + [i])
+                break
+        else:
+            rows.append((bucket - d, [i]))
+    row_lists = [idxs for _, idxs in rows]
+    return [
+        row_lists[i : i + batch_size] for i in range(0, len(row_lists), batch_size)
+    ]
+
+
+def pack_batch(
+    samples: Sequence[dict], rows: Sequence[Sequence[int]], bucket: int,
+    batch_size: int | None = None,
+) -> Batch:
+    """Pack per-video sample dicts into one fixed-shape Batch of ``rows``
+    (index lists from plan_packing). Videos in a row are laid head-to-tail;
+    ``seg_ids`` marks each video's span (padding -1) and ``positions``
+    restarts at 0 per video, so the model's block-diagonal attention + PE
+    gather reproduce EXACTLY the unpacked computation for every video
+    (tests/test_packing.py proves loss/grad equality)."""
+    n = len(rows)
+    b = n if batch_size is None else batch_size
+    if b < n:
+        raise ValueError(f"batch_size={batch_size} smaller than {n} packed rows")
+    t = bucket
+
+    def dim(key):
+        return samples[0][key].shape[-1]
+
+    visual = np.zeros((b, t, dim("visual")), np.float32)
+    audio = np.zeros((b, t, dim("audio")), np.float32)
+    text = np.zeros((b, t, dim("text")), np.float32)
+    mask = np.zeros((b, t), bool)
+    labels = np.zeros((b, t), np.float32)
+    segments = np.zeros((b, t, 2), np.float32)
+    durations = np.zeros((b,), np.int32)
+    seg_ids = np.full((b, t), -1, np.int32)
+    positions = np.zeros((b, t), np.int32)
+
+    for i, idxs in enumerate(rows):
+        off = 0
+        for seg, j in enumerate(idxs):
+            s = samples[j]
+            ln = min(int(s["duration"]), t)
+            if off + ln > t:
+                raise ValueError(
+                    f"row {i} overflows bucket {t} (offset {off} + video {ln})"
+                )
+            for dst, src in (
+                (visual[i], s["visual"]), (audio[i], s["audio"]),
+                (text[i], s["text"]), (labels[i], s["labels"]),
+                (segments[i], s["segments"]),
+            ):
+                n_rows = min(ln, len(src))
+                dst[off : off + n_rows] = src[:n_rows]
+            mask[i, off : off + ln] = True
+            seg_ids[i, off : off + ln] = seg
+            positions[i, off : off + ln] = np.arange(ln)
+            off += ln
+        durations[i] = off
+    return Batch(
+        visual, audio, text, mask, labels, segments, durations,
+        seg_ids=seg_ids, positions=positions,
+    )

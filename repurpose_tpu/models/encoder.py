@@ -45,7 +45,10 @@ class SelfAttention(nn.Module):
     mesh: Any = None
 
     @nn.compact
-    def __call__(self, x: Array, key_valid: Array, deterministic: bool) -> Array:
+    def __call__(
+        self, x: Array, key_valid: Array, deterministic: bool,
+        seg_ids: Array | None = None,
+    ) -> Array:
         cfg = self.cfg
         d, h = cfg.d_model, cfg.num_heads
         dh = d // h
@@ -60,6 +63,8 @@ class SelfAttention(nn.Module):
             # mesh; attention holds no params, so init uses the XLA path.)
             if self.mesh is None:
                 raise ValueError('attention_impl="ring" needs build_model(cfg, mesh=...)')
+            if seg_ids is not None:
+                raise ValueError("sequence packing is not supported with ring attention")
             from repurpose_tpu.ops.ring_attention import ring_attention
 
             out = ring_attention(
@@ -70,7 +75,7 @@ class SelfAttention(nn.Module):
                 cfg.attention_impl, t, cfg.matmul_precision,
                 cfg.attn_softmax_dtype,
             )
-            out = attn(q, k, v, key_valid)
+            out = attn(q, k, v, key_valid, seg_ids=seg_ids)
         # Attention-weight dropout (torch MHA's `dropout` arg) is not applied
         # inside the fused kernel; it is approximated by dropout on the
         # attention output, which the reference also applies (dropout1).
@@ -86,10 +91,15 @@ class EncoderLayer(nn.Module):
     mesh: Any = None
 
     @nn.compact
-    def __call__(self, x: Array, key_valid: Array, deterministic: bool) -> Array:
+    def __call__(
+        self, x: Array, key_valid: Array, deterministic: bool,
+        seg_ids: Array | None = None,
+    ) -> Array:
         cfg = self.cfg
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x).astype(x.dtype)
-        y = SelfAttention(cfg, mesh=self.mesh, name="attn")(y, key_valid, deterministic)
+        y = SelfAttention(cfg, mesh=self.mesh, name="attn")(
+            y, key_valid, deterministic, seg_ids
+        )
         y = nn.Dropout(cfg.dropout, deterministic=deterministic)(y)
         x = x + y
 
@@ -109,12 +119,20 @@ class Encoder(nn.Module):
     mesh: Any = None
 
     @nn.compact
-    def __call__(self, x: Array, key_valid: Array, deterministic: bool) -> Array:
+    def __call__(
+        self, x: Array, key_valid: Array, deterministic: bool,
+        seg_ids: Array | None = None,
+    ) -> Array:
         layer_cls = EncoderLayer
         if self.cfg.remat:
             layer_cls = nn.remat(EncoderLayer, static_argnums=(3,))
         for i in range(self.cfg.self_num_layers):
-            x = layer_cls(self.cfg, mesh=self.mesh, name=f"layer_{i}")(
-                x, key_valid, deterministic
-            )
+            if seg_ids is None:
+                x = layer_cls(self.cfg, mesh=self.mesh, name=f"layer_{i}")(
+                    x, key_valid, deterministic
+                )
+            else:
+                x = layer_cls(self.cfg, mesh=self.mesh, name=f"layer_{i}")(
+                    x, key_valid, deterministic, seg_ids
+                )
         return x

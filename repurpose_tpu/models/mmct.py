@@ -82,7 +82,14 @@ class MMCT(nn.Module):
         text: Array,  # [B, T, text_dim]
         mask: Array,  # [B, T] bool — True on real timesteps
         deterministic: bool = True,
+        seg_ids: Array | None = None,  # [B, T] int32 — sequence packing
+        positions: Array | None = None,  # [B, T] int32 — position WITHIN video
     ) -> MMCTOutput:
+        """``seg_ids``/``positions`` enable sequence-packed batches
+        (data/batching.py:pack_batch): several videos share a row, attention
+        goes block-diagonal per segment, and the positional encoding restarts
+        at each video's own t=0 (``positions``) so a packed video sees exactly
+        the PE an unpacked one would. The reference has no packing."""
         cfg = self.cfg
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
@@ -93,9 +100,11 @@ class MMCT(nn.Module):
         x = nn.Dense(cfg.d_model, dtype=dtype, name="input_projection", **dense_kw(cfg))(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="input_norm")(x)
         pe = sinusoidal_positional_encoding(x.shape[1], cfg.d_model)
-        x = (x + pe[None]).astype(dtype)
+        x = (x + (pe[None] if positions is None else pe[positions])).astype(dtype)
 
-        x = Encoder(cfg, mesh=self.mesh, name="encoder")(x, mask, deterministic)
+        x = Encoder(cfg, mesh=self.mesh, name="encoder")(
+            x, mask, deterministic, seg_ids
+        )
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_norm")(x).astype(dtype)
 
         # feature_map: Dense -> LN -> relu -> drop (MMCTransformer.py:63-68)

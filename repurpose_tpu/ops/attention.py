@@ -38,8 +38,15 @@ def mha_xla(
     v: Array,  # [B, T, H, Dh]
     key_valid: Array,  # [B, T] bool — True where the key position is real
     precision: str = "default",
+    seg_ids: Array | None = None,  # [B, T] int32 — sequence-packing segments
 ) -> Array:
-    """Reference XLA attention. Softmax in float32, output in q.dtype."""
+    """Reference XLA attention. Softmax in float32, output in q.dtype.
+
+    ``seg_ids`` enables SEQUENCE PACKING (several videos sharing one row,
+    data/batching.py:pack_batch): attention becomes block-diagonal — query i
+    attends key j only when ``seg_ids[i] == seg_ids[j]`` and j is valid, so
+    packed videos never see each other. The reference has no packing
+    (dataset/RepurposeClip.py pads every video to the batch max)."""
     dh = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32))
     scores = jnp.einsum(
@@ -47,7 +54,10 @@ def mha_xla(
         preferred_element_type=jnp.float32, precision=precision,
     )
     scores = scores * scale
-    bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF)
+    allowed = key_valid[:, None, :]
+    if seg_ids is not None:
+        allowed = allowed & (seg_ids[:, :, None] == seg_ids[:, None, :])
+    bias = jnp.where(allowed[:, None], 0.0, NEG_INF)  # [B, 1|Tq, 1, Tk]->bhqk
     weights = jax.nn.softmax(scores + bias, axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd", weights.astype(v.dtype), v,

@@ -169,9 +169,19 @@ def _pick_d_block(d: int, dh: int) -> int:
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, lse_ref,
-    *, scale: float, heads: int, sm_dtype=jnp.float32,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, *rest,
+    scale: float, heads: int, sm_dtype=jnp.float32, packed: bool = False,
 ):
+    # packed=True (sequence packing): two extra int32 seg refs — seg_col
+    # [1, Tq, 1] for this q block's rows, seg_row [1, 1, T] for the keys —
+    # and the [1, T] key bias becomes a block-diagonal [Tq, T] bias
+    # (query attends key only within its own segment). Built ONCE per
+    # program and reused across the head loop, so the extra VPU cost
+    # amortizes to ~1/heads of one [Tq, T] pass.
+    if packed:
+        seg_col_ref, seg_row_ref, o_ref, lse_ref = rest
+    else:
+        o_ref, lse_ref = rest
     # FLAT layout (no transposes): q_ref [1, Tq, Dblk]; k/v [1, T, Dblk];
     # mask [1, 1, T]; lse [1, heads, Tq, 1]. Dblk packs `heads` head slices;
     # the loop is static (Dblk/dh <= a few heads — _pick_d_block), so Mosaic
@@ -204,7 +214,10 @@ def _flash_fwd_kernel(
 
     @pl.when(q_start < kvl)
     def _():
-        bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T]
+        ok = mask_ref[0] != 0  # [1, T]
+        if packed:
+            ok = ok & (seg_col_ref[0] == seg_row_ref[0])  # [Tq, T]
+        bias = jnp.where(ok, 0.0, NEG_INF)
         for h in range(heads):
             sl = slice(h * dh, (h + 1) * dh)
             q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
@@ -227,7 +240,7 @@ def _flash_fwd_kernel(
 
 def _flash_forward(
     q: Array, k: Array, v: Array, key_valid: Array, q_block: int, interpret: bool,
-    sm_dtype=jnp.float32,
+    sm_dtype=jnp.float32, seg_ids: Array | None = None,
 ) -> tuple[Array, Array]:
     """q/k/v: [B, T, H, Dh] -> (out [B, T, H, Dh], lse [B, H, T, 1]).
 
@@ -268,6 +281,9 @@ def _flash_forward(
         jax.ShapeDtypeStruct((b, t, d), q.dtype),
         jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
     )
+    # sequence packing is dense-kernel-only (mha_pallas routes packed long-T
+    # to the XLA path before reaching here)
+    assert seg_ids is None or t <= STREAM_MAX_T
     if t > HBM_STREAM_T:
         kb = _pick_block(t, STREAM_K_BLOCK)
         out, lse = pl.pallas_call(
@@ -292,6 +308,28 @@ def _flash_forward(
             interpret=interpret,
             **_cp_kwargs(),
         )(qf, kf, vf, mask, kvl)
+        return out.reshape(b, t, h, dh), lse
+    if seg_ids is not None:
+        # sequence packing: dense kernel only (mha_pallas guarantees
+        # t <= STREAM_MAX_T on this path; long rows hold one video anyway)
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _flash_fwd_kernel, scale=scale, heads=heads_per_block,
+                sm_dtype=sm_dtype, packed=True,
+            ),
+            grid=(b, d // d_block, t // q_block),
+            in_specs=[blk_q, blk_kv, blk_kv, blk_mask, blk_kvl,
+                      pl.BlockSpec((1, q_block, 1), lambda bi, di, i: (bi, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, t), lambda bi, di, i: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=(blk_q, blk_lse),
+            out_shape=out_shape,
+            interpret=interpret,
+            **_cp_kwargs(),
+        )(qf, kf, vf, mask, kvl,
+          seg_ids[:, :, None].astype(jnp.int32),
+          seg_ids[:, None, :].astype(jnp.int32))
         return out.reshape(b, t, h, dh), lse
     if t > STREAM_MAX_T:
         kernel = functools.partial(
@@ -485,9 +523,15 @@ def _flash_fwd_hbm_kernel(
 
 
 def _bwd_dq_kernel(
-    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, g_ref, lse_ref, dq_ref,
-    *, scale: float, heads: int, sm_dtype=jnp.float32,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, *rest,
+    scale: float, heads: int, sm_dtype=jnp.float32, packed: bool = False,
 ):
+    # packed: extra seg_col [1, Tq, 1] / seg_row [1, 1, T] refs; the bias
+    # becomes block-diagonal [Tq, T] (see _flash_fwd_kernel).
+    if packed:
+        seg_col_ref, seg_row_ref, o_ref, g_ref, lse_ref, dq_ref = rest
+    else:
+        o_ref, g_ref, lse_ref, dq_ref = rest
     # FLAT layout (see _flash_fwd_kernel): q/o/g/dq blocks [1, Tq, Dblk],
     # k/v slabs [1, T, Dblk], mask [1, 1, T], lse [1, heads, Tq, 1]; static
     # loop over head slices. VPU-pass economy: scale folds into q, and the
@@ -507,7 +551,10 @@ def _bwd_dq_kernel(
 
     @pl.when(q_start < kvl)
     def _():
-        bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, T]
+        ok = mask_ref[0] != 0  # [1, T]
+        if packed:
+            ok = ok & (seg_col_ref[0] == seg_row_ref[0])  # [Tq, T]
+        bias = jnp.where(ok, 0.0, NEG_INF)
         for h in range(heads):
             sl = slice(h * dh, (h + 1) * dh)
             q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
@@ -695,9 +742,17 @@ def _bwd_dq_hbm_kernel(
 
 
 def _bwd_dkv_kernel(
-    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, g_ref, lse_ref, dk_ref,
-    dv_ref, *, scale: float, heads: int, sm_dtype=jnp.float32,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, *rest,
+    scale: float, heads: int, sm_dtype=jnp.float32, packed: bool = False,
 ):
+    # packed: extra seg_col [1, T, 1] (FULL q axis) / seg_row [1, 1, Tk]
+    # refs; the [1, Tk] key bias becomes block-diagonal [T, Tk].
+    if packed:
+        seg_col_ref, seg_row_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref = rest
+        seg = (seg_col_ref, seg_row_ref)
+    else:
+        o_ref, g_ref, lse_ref, dk_ref, dv_ref = rest
+        seg = None
     # FLAT layout: q/o/g full slabs [1, T, Dblk]; k/v/dk/dv blocks
     # [1, Tk, Dblk]; mask block [1, 1, Tk]; lse [1, heads, T, 1]; static loop
     # over head slices. Scale folds into q: s matches the saved (scaled) lse,
@@ -722,16 +777,20 @@ def _bwd_dkv_kernel(
         _dkv_compute(
             q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref,
             dk_ref, dv_ref, scale=scale, heads=heads, sm_dtype=sm_dtype,
+            seg=seg,
         )
 
 
 def _dkv_compute(
     q_ref, k_ref, v_ref, mask_ref, o_ref, g_ref, lse_ref, dk_ref, dv_ref,
-    *, scale, heads, sm_dtype,
+    *, scale, heads, sm_dtype, seg=None,
 ):
     d = q_ref.shape[-1]
     dh = d // heads
-    bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, Tk]
+    ok = mask_ref[0] != 0  # [1, Tk]
+    if seg is not None:
+        ok = ok & (seg[0][0] == seg[1][0])  # [T, Tk]
+    bias = jnp.where(ok, 0.0, NEG_INF)
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
@@ -833,7 +892,7 @@ def _bwd_dkv_stream_kernel(
 
 def _flash_backward(
     q, k, v, key_valid, o, lse, g, q_block: int, k_block: int, interpret: bool,
-    sm_dtype=jnp.float32,
+    sm_dtype=jnp.float32, seg_ids=None,
 ):
     """All-flat backward: both kernels index the native [B, T, D] layout (the
     [B,T,H,Dh] -> [B,T,D] reshapes are free), so no transposes at all — the
@@ -854,6 +913,9 @@ def _flash_backward(
     gf = g.reshape(b, t, d)
     mask = key_valid[:, None, :].astype(jnp.int32)
     kvl = _kv_len(key_valid)
+    if seg_ids is not None:
+        seg_col = seg_ids[:, :, None].astype(jnp.int32)
+        seg_row = seg_ids[:, None, :].astype(jnp.int32)
     blk_kvl = pl.BlockSpec(
         (b, 1), lambda bi, di, i: (0, 0), memory_space=pltpu.SMEM
     )
@@ -896,6 +958,27 @@ def _flash_backward(
             interpret=interpret,
             **_cp_kwargs(),
         )(qf, kf, vf, mask, kvl, of, gf, lse)
+    elif seg_ids is not None:
+        # sequence packing: dense dq kernel with block-diagonal bias (the
+        # mha_pallas entry guarantees t <= STREAM_MAX_T on this path)
+        assert t <= STREAM_MAX_T
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_kernel, scale=scale, heads=heads_per_block,
+                sm_dtype=sm_dtype, packed=True,
+            ),
+            grid=(b, d // d_block, t // q_block),
+            in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_kvl,
+                      pl.BlockSpec((1, q_block, 1), lambda bi, di, i: (bi, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, t), lambda bi, di, i: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      blk_q, blk_q, blk_lse_q],
+            out_specs=blk_q,
+            out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+            interpret=interpret,
+            **_cp_kwargs(),
+        )(qf, kf, vf, mask, kvl, seg_col, seg_row, of, gf, lse)
     else:
         if t > (STREAM_MAX_T if DQ_STREAM_T is None else DQ_STREAM_T):
             dq_kernel = functools.partial(
@@ -928,7 +1011,29 @@ def _flash_backward(
         (1, heads_per_block, t, 1), lambda bi, di, i: (bi, di, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    if t > (STREAM_MAX_T if DKV_STREAM_T is None else DKV_STREAM_T):
+    if seg_ids is not None:
+        # sequence packing: dense dkv kernel, block-diagonal [T, Tk] bias
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_dkv_kernel, scale=scale, heads=heads_per_block,
+                sm_dtype=sm_dtype, packed=True,
+            ),
+            grid=(b, d // d_block, t // k_block),
+            in_specs=[blk_full, blk_k, blk_k, blk_kmask, blk_kvl,
+                      pl.BlockSpec((1, t, 1), lambda bi, di, i: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, k_block), lambda bi, di, i: (bi, 0, i),
+                                   memory_space=pltpu.VMEM),
+                      blk_full, blk_full, blk_lse],
+            out_specs=(blk_k, blk_k),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, d), k.dtype),
+                jax.ShapeDtypeStruct((b, t, d), v.dtype),
+            ),
+            interpret=interpret,
+            **_cp_kwargs(),
+        )(qf, kf, vf, mask, kvl, seg_col, seg_row, of, gf, lse)
+    elif t > (STREAM_MAX_T if DKV_STREAM_T is None else DKV_STREAM_T):
         # 4-axis grid, q-chunk innermost; dk/dv blocks revisit across the q
         # sweep (index_map ignores qi) and accumulate in f32 scratch.
         q_chunk = _pick_block(t, DEFAULT_Q_BLOCK)
@@ -1007,38 +1112,51 @@ def _flash_backward(
 # -- custom VJP --------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _mha_pallas(q, k, v, key_valid, q_block, interpret, backward, precision, sm_name):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _mha_pallas(
+    q, k, v, key_valid, seg, q_block, interpret, backward, precision, sm_name,
+    packed,
+):
+    # ``seg`` is a placeholder (key_valid) when packed=False — the static
+    # flag, not the operand, decides the kernel variant.
     out, _ = _flash_forward(
-        q, k, v, key_valid, q_block, interpret, sm_dtype=_SM_DTYPES[sm_name]
+        q, k, v, key_valid, q_block, interpret, sm_dtype=_SM_DTYPES[sm_name],
+        seg_ids=seg if packed else None,
     )
     return out
 
 
-def _mha_fwd(q, k, v, key_valid, q_block, interpret, backward, precision, sm_name):
+def _mha_fwd(
+    q, k, v, key_valid, seg, q_block, interpret, backward, precision, sm_name,
+    packed,
+):
     o, lse = _flash_forward(
-        q, k, v, key_valid, q_block, interpret, sm_dtype=_SM_DTYPES[sm_name]
+        q, k, v, key_valid, q_block, interpret, sm_dtype=_SM_DTYPES[sm_name],
+        seg_ids=seg if packed else None,
     )
-    return o, (q, k, v, key_valid, o, lse)
+    return o, (q, k, v, key_valid, seg, o, lse)
 
 
-def _mha_bwd(q_block, interpret, backward, precision, sm_name, res, g):
-    q, k, v, key_valid, o, lse = res
+def _mha_bwd(q_block, interpret, backward, precision, sm_name, packed, res, g):
+    q, k, v, key_valid, seg, o, lse = res
     if backward == "pallas":
         dq, dk, dv = _flash_backward(
             q, k, v, key_valid, o, lse, g, q_block, DEFAULT_K_BLOCK, interpret,
-            sm_dtype=_SM_DTYPES[sm_name],
+            sm_dtype=_SM_DTYPES[sm_name], seg_ids=seg if packed else None,
         )
     else:
         # XLA-recompute backward escape hatch (attention_impl="pallas"):
         # materializes [B,H,T,T] in HBM — measured 1.57x SLOWER than the
         # fused kernels at T=2048 on v5e.
         _, vjp = jax.vjp(
-            lambda a, b, c: mha_xla(a, b, c, key_valid, precision=precision),
+            lambda a, b, c: mha_xla(
+                a, b, c, key_valid, precision=precision,
+                seg_ids=seg if packed else None,
+            ),
             q, k, v,
         )
         dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _mha_pallas.defvjp(_mha_fwd, _mha_bwd)
@@ -1054,6 +1172,7 @@ def mha_pallas(
     backward: str = "pallas",
     precision: str = "default",
     softmax_dtype: str = "float32",
+    seg_ids: Array | None = None,
 ) -> Array:
     """Drop-in replacement for ``mha_xla`` (same signature/semantics on valid
     rows). Runs interpreted off-TPU so CPU tests exercise the same code.
@@ -1063,12 +1182,20 @@ def mha_pallas(
 
     Sequence lengths with no usable power-of-two block divisor (e.g. odd
     buckets) fall back to the XLA path instead of mistiling — a legal bucket
-    config never crashes or truncates in the kernel."""
+    config never crashes or truncates in the kernel.
+
+    ``seg_ids`` ([B, T] int32, -1 on padding) enables SEQUENCE PACKING:
+    attention goes block-diagonal so videos sharing a row never attend each
+    other (see mha_xla). Packed fast paths exist for the dense kernels
+    (t <= STREAM_MAX_T — the corpus buckets, where packing pays); packed
+    longer sequences fall back to the XLA path."""
+    packed = seg_ids is not None
     picked = _pick_block(q.shape[1], min(q_block, q.shape[1]))
-    if picked is None:
-        return mha_xla(q, k, v, key_valid, precision=precision)
+    if picked is None or (packed and q.shape[1] > STREAM_MAX_T):
+        return mha_xla(q, k, v, key_valid, precision=precision, seg_ids=seg_ids)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _mha_pallas(
-        q, k, v, key_valid, picked, interpret, backward, precision, softmax_dtype
+        q, k, v, key_valid, seg_ids if packed else key_valid,
+        picked, interpret, backward, precision, softmax_dtype, packed,
     )

@@ -90,7 +90,9 @@ def make_global_batch(batch, mesh: Mesh, seq_sharded: bool = False):
     vec = NamedSharding(mesh, P("data"))  # 1-D per-sample fields (durations)
     fields = {}
     for name, x in zip(batch._fields, batch):
-        if getattr(x, "ndim", 0) >= 2:
+        if x is None:  # optional fields (seg_ids/positions on unpacked batches)
+            fields[name] = None
+        elif getattr(x, "ndim", 0) >= 2:
             fields[name] = put(x, sh)
         elif n_proc > 1:
             fields[name] = put(x, vec)

@@ -68,6 +68,14 @@ class Trainer:
             mesh_self_check(self.mesh)
 
         tc = cfg.train
+        if tc.pack_sequences and tc.loss_norm == "config_batch_size":
+            logger.warning(
+                "pack_sequences with loss_norm='config_batch_size' divides the "
+                "loss by ROWS, not videos (packed rows hold several videos); "
+                "use loss_norm='batch_size' for per-video normalization"
+            )
+        if tc.pack_sequences and cfg.model.attention_impl == "ring":
+            raise ValueError("pack_sequences is not supported with ring attention")
         self.train_loader = BatchLoader(
             train_ds,
             batch_size=tc.batch_size,
@@ -76,6 +84,7 @@ class Trainer:
             seed=tc.seed,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
+            pack=tc.pack_sequences,
         )
         self.val_ds = val_ds
         self.test_ds = test_ds
@@ -530,7 +539,11 @@ class Trainer:
 
             if (epoch + 1) % tc.save_epochs == 0:
                 self._save(epoch)
-            if self.test_ds is not None and (epoch + 1) % tc.eval_freq == 0:
+            if (
+                self.test_ds is not None
+                and tc.eval_freq
+                and (epoch + 1) % tc.eval_freq == 0
+            ):
                 final_eval = self.evaluate(
                     debug_viz=getattr(self, "debug_viz", False)
                 )

@@ -28,16 +28,29 @@ from repurpose_tpu.train.state import TrainState
 
 
 def _loss_fn(model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bool):
+    # sequence-packed batches (data/batching.py:pack_batch) carry seg_ids /
+    # positions; passed as kwargs so the non-packing model variants
+    # (cross/bottleneck fusion) keep their narrower signatures
+    packed_kw = (
+        {"seg_ids": batch.seg_ids, "positions": batch.positions}
+        if batch.seg_ids is not None
+        else {}
+    )
     out = model.apply(
         {"params": params},
         batch.visual, batch.audio, batch.text, batch.mask,
         not train,
         rngs={"dropout": rng} if train else None,
+        **packed_kw,
     )
     cls_loss = masked_cls_loss(out.cls_logits, batch.labels, batch.mask)
     # global count of real (non-padding) samples — the correct actual-batch
-    # and val-loss denominator under padded/multi-host global batches
-    n_real = jnp.sum(batch.durations > 0)
+    # and val-loss denominator under padded/multi-host global batches.
+    # Packed rows hold several videos: count segments, not rows.
+    if batch.seg_ids is not None:
+        n_real = jnp.sum(jnp.maximum(jnp.max(batch.seg_ids, axis=1) + 1, 0))
+    else:
+        n_real = jnp.sum(batch.durations > 0)
     # Multi-host: batch_size is per-process (DistributedSampler semantics);
     # dividing the GLOBAL summed loss by batch_size * process_count matches
     # the reference's per-rank loss/batch_size with DDP gradient averaging.

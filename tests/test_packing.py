@@ -1,0 +1,207 @@
+"""Sequence packing: several videos share one row (block-diagonal attention
++ per-video positional encoding), recovering the ~35% bucket padding the
+reference burns on every batch (dataset/RepurposeClip.py:449-533 pads all
+videos to the batch max; it has no packing).
+
+The load-bearing claim is EXACTNESS: a packed batch must produce the same
+loss and the same parameter gradients as the equivalent unpacked batch —
+packing is a layout change, not a model change. Proven here at fp32/highest
+for both attention implementations (XLA einsum and the Pallas kernels in
+interpret mode — the same code the TPU compiles)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from repurpose_tpu.config import ModelConfig, TrainConfig
+from repurpose_tpu.data.batching import Batch, collate, pack_batch, plan_packing
+from repurpose_tpu.models import build_model, init_model_params
+from repurpose_tpu.train.step import _loss_fn
+
+
+def _samples(rng, lengths, vis=8, aud=12, text=6):
+    out = []
+    for ln in lengths:
+        out.append({
+            "visual": rng.normal(0, 1, (ln, vis)).astype(np.float32),
+            "audio": rng.normal(0, 1, (ln, aud)).astype(np.float32),
+            "text": rng.normal(0, 1, (ln, text)).astype(np.float32),
+            "labels": (rng.uniform(size=ln) < 0.3).astype(np.float32),
+            "segments": np.abs(rng.normal(0, 5, (ln, 2))).astype(np.float32),
+            "duration": ln,
+        })
+    return out
+
+
+def test_plan_packing_partitions_and_fits():
+    durations = [700, 400, 900, 300, 1200, 100, 600, 2048, 2500]
+    plan = plan_packing(durations, bucket=2048, batch_size=2)
+    seen = sorted(i for batch in plan for row in batch for i in row)
+    assert seen == list(range(len(durations)))  # every video exactly once
+    for batch in plan:
+        assert len(batch) <= 2
+        for row in batch:
+            assert sum(min(durations[i], 2048) for i in row) <= 2048
+
+
+def test_pack_batch_layout():
+    rng = np.random.default_rng(0)
+    samples = _samples(rng, [60, 40, 50])
+    batch = pack_batch(samples, rows=[[0, 1], [2]], bucket=128, batch_size=2)
+    # row 0: video 0 at [0, 60), video 1 at [60, 100)
+    assert batch.seg_ids[0, 0] == 0 and batch.seg_ids[0, 59] == 0
+    assert batch.seg_ids[0, 60] == 1 and batch.seg_ids[0, 99] == 1
+    assert batch.seg_ids[0, 100] == -1
+    assert batch.positions[0, 60] == 0 and batch.positions[0, 99] == 39
+    np.testing.assert_array_equal(batch.visual[0, 60:100], samples[1]["visual"])
+    np.testing.assert_array_equal(batch.labels[0, :60], samples[0]["labels"])
+    assert batch.mask[0, :100].all() and not batch.mask[0, 100:].any()
+    assert batch.durations[0] == 100 and batch.durations[1] == 50
+    # row overflow is an error, not silent truncation
+    with pytest.raises(ValueError):
+        pack_batch(samples, rows=[[0, 1, 2]], bucket=128)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas_full"])
+def test_packed_equals_unpacked_loss_and_grads(impl):
+    """The exactness proof: same videos, packed [2 rows] vs unpacked
+    [3 rows], identical loss and parameter grads (fp32, dropout 0, same
+    config batch size so the loss normalization matches)."""
+    cfg = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=6, d_model=32,
+        self_num_layers=2, num_heads=2, d_ff=64, hidden_dim=16, dropout=0.0,
+        compute_dtype="float32", attention_impl=impl,
+        matmul_precision="highest", attn_softmax_dtype="float32",
+    )
+    tc = TrainConfig(batch_size=3, buckets=(128,))
+    rng = np.random.default_rng(1)
+    samples = _samples(rng, [60, 40, 50])
+
+    unpacked = collate(samples, buckets=(128,), batch_size=3)
+    packed = pack_batch(
+        samples, plan_packing([60, 40, 50], 128, 3)[0], bucket=128, batch_size=3
+    )
+    assert packed.seg_ids is not None and (packed.seg_ids >= 1).any()
+
+    model = build_model(cfg)
+    params = init_model_params(model, cfg, jax.random.key(0), bucket=128)
+    key = jax.random.key(1)
+
+    @jax.jit
+    def loss_and_grads(p, batch):
+        return jax.value_and_grad(
+            lambda pp: _loss_fn(model, tc, pp, batch, key, True)[0]
+        )(p)
+
+    lu, gu = loss_and_grads(params, unpacked)
+    lp, gp = loss_and_grads(params, packed)
+    np.testing.assert_allclose(float(lp), float(lu), rtol=1e-6)
+    flat_u = jax.tree_util.tree_leaves(gu)
+    flat_p = jax.tree_util.tree_leaves(gp)
+    for a, b in zip(flat_p, flat_u):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4
+        )
+
+
+class _ListDataset:
+    def __init__(self, samples):
+        self.samples = samples
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        return self.samples[i]
+
+    def lengths(self):
+        return [s["duration"] for s in self.samples]
+
+
+def test_loader_pack_covers_every_video_once():
+    from repurpose_tpu.data.loader import BatchLoader
+
+    rng = np.random.default_rng(3)
+    lengths = [60, 40, 50, 100, 128, 30, 90, 70, 20, 110]
+    ds = _ListDataset(_samples(rng, lengths))
+    loader = BatchLoader(ds, batch_size=2, buckets=(64, 128), seed=7, pack=True)
+    seen = 0
+    for batch in loader.epoch(0):
+        assert batch.seg_ids is not None
+        assert batch.visual.shape[:2] == (2, 128)  # rows pad to batch_size
+        # every valid position belongs to a segment and vice versa
+        np.testing.assert_array_equal(batch.seg_ids >= 0, batch.mask)
+        seen += int((np.diff(batch.seg_ids, axis=1) > 0).sum()) + int(
+            (batch.seg_ids[:, 0] >= 0).sum()
+        )
+    assert seen == len(lengths)
+
+
+def test_loader_pack_multiprocess_shards_agree():
+    """Two simulated processes see the same global plan, disjoint rows."""
+    from repurpose_tpu.data.loader import BatchLoader
+
+    rng = np.random.default_rng(4)
+    lengths = [60, 40, 50, 100, 128, 30, 90, 70]
+    ds = _ListDataset(_samples(rng, lengths))
+    loaders = [
+        BatchLoader(ds, batch_size=1, buckets=(128,), seed=5, pack=True,
+                    process_index=p, process_count=2)
+        for p in range(2)
+    ]
+    counts = [len(list(l.epoch(0))) for l in loaders]
+    assert counts[0] == counts[1]  # same global batch count on both hosts
+
+
+def test_trainer_fits_packed(tmp_path):
+    """End-to-end: Trainer with pack_sequences=True trains an epoch, loss
+    finite, n steps match the packed plan (fewer steps than unpacked)."""
+    from repurpose_tpu.config import Config, MeshConfig, TestConfig
+    from repurpose_tpu.data.synthetic import SyntheticDataset
+    from repurpose_tpu.train.loop import Trainer
+
+    model = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=4, d_model=16, self_num_layers=1,
+        num_heads=2, d_ff=32, hidden_dim=8, compute_dtype="float32",
+        attention_impl="xla",
+    )
+    cfg = Config(
+        model=model,
+        train=TrainConfig(
+            batch_size=2, buckets=(128,), epochs=1, save_epochs=5,
+            eval_freq=0, intra_epoch_eval_freq=0, lr=1e-3,
+            pack_sequences=True, loss_norm="batch_size",
+        ),
+        mesh=MeshConfig(data=1),
+        test_cfg=TestConfig(),
+    )
+    ds = SyntheticDataset([100, 90, 60, 40, 30, 20], model, seed=1)
+    trainer = Trainer(cfg, str(tmp_path), ds)
+    # 6 videos / FFD into 128-length rows -> fewer rows than videos
+    assert trainer.steps_per_epoch < (len(ds) + 1) // 2
+    trainer.fit()
+    assert int(trainer.state.step) == trainer.steps_per_epoch
+    assert int(trainer.state.nonfinite_count) == 0
+
+
+def test_packed_metrics_count_videos():
+    """n_real counts packed SEGMENTS (videos), not rows."""
+    cfg = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=6, d_model=32,
+        self_num_layers=1, num_heads=2, d_ff=64, hidden_dim=16, dropout=0.0,
+        compute_dtype="float32", attention_impl="xla",
+    )
+    tc = TrainConfig(batch_size=3, buckets=(128,))
+    rng = np.random.default_rng(2)
+    samples = _samples(rng, [60, 40, 50])
+    packed = pack_batch(
+        samples, plan_packing([60, 40, 50], 128, 3)[0], bucket=128, batch_size=3
+    )
+    model = build_model(cfg)
+    params = init_model_params(model, cfg, jax.random.key(0), bucket=128)
+    _, aux = _loss_fn(model, tc, params, packed, None, False)
+    assert int(aux["n_real"]) == 3

@@ -71,7 +71,7 @@ def test_train_step_matches_single_device(mesh_cfg):
     sharded = dataclasses.replace(state0, params=shard_params(state0.params, mesh))
     sh = batch_sharding(mesh, seq_sharded=mesh_cfg.seq > 1)
     dev_batch = type(batch)(*[
-        jax.device_put(x, sh) if x.ndim >= 2 else jax.device_put(x)
+        jax.device_put(x, sh) if getattr(x, "ndim", 0) >= 2 else jax.device_put(x)
         for x in batch
     ])
 
