@@ -160,6 +160,7 @@ def pack_batch(
     seg_ids = np.full((b, t), -1, np.int32)
     positions = np.zeros((b, t), np.int32)
 
+    has_targets = "labels" in samples[0]  # inference samples carry features only
     for i, idxs in enumerate(rows):
         off = 0
         for seg, j in enumerate(idxs):
@@ -169,11 +170,13 @@ def pack_batch(
                 raise ValueError(
                     f"row {i} overflows bucket {t} (offset {off} + video {ln})"
                 )
-            for dst, src in (
+            streams = [
                 (visual[i], s["visual"]), (audio[i], s["audio"]),
-                (text[i], s["text"]), (labels[i], s["labels"]),
-                (segments[i], s["segments"]),
-            ):
+                (text[i], s["text"]),
+            ]
+            if has_targets:
+                streams += [(labels[i], s["labels"]), (segments[i], s["segments"])]
+            for dst, src in streams:
                 n_rows = min(ln, len(src))
                 dst[off : off + n_rows] = src[:n_rows]
             mask[i, off : off + ln] = True
@@ -184,4 +187,30 @@ def pack_batch(
     return Batch(
         visual, audio, text, mask, labels, segments, durations,
         seg_ids=seg_ids, positions=positions,
+    )
+
+
+def packing_layout(
+    rows: Sequence[Sequence[int]], durations: Sequence[int], bucket: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-VIDEO (sample_idx, row, start, length) of a pack_batch layout, in
+    row-major packed order. Feeds ops/decode.py:unpack_rows, which inverts
+    packing on device so the per-video decode sees exactly the rows an
+    unpacked batch would; ``sample_idx`` maps each packed position back to
+    its index in ``samples``/``durations``."""
+    sample_idx, row_of, start, length = [], [], [], []
+    for r, idxs in enumerate(rows):
+        off = 0
+        for i in idxs:
+            ln = min(int(durations[i]), bucket)
+            sample_idx.append(i)
+            row_of.append(r)
+            start.append(off)
+            length.append(ln)
+            off += ln
+    return (
+        np.asarray(sample_idx, np.int32),
+        np.asarray(row_of, np.int32),
+        np.asarray(start, np.int32),
+        np.asarray(length, np.int32),
     )

@@ -18,7 +18,7 @@ import numpy as np
 from repurpose_tpu.config import ModelConfig, TestConfig
 from repurpose_tpu.data.batching import pick_bucket
 from repurpose_tpu.models import build_model
-from repurpose_tpu.ops.decode import DecodeResult, decode_batch
+from repurpose_tpu.ops.decode import DecodeResult, decode_batch, unpack_rows
 
 
 def _unpack(res: DecodeResult, durations, video_ids, raw=None) -> list[dict]:
@@ -104,6 +104,28 @@ class InferencePipeline:
 
         self._fn = _forward_and_decode
 
+        @jax.jit
+        def _forward_and_decode_packed(
+            params, visual, audio, text, mask, seg_ids, positions,
+            row_of, start, length,
+        ):
+            # sequence-packed batch (data/batching.py:pack_batch): several
+            # videos per row, block-diagonal attention; unpack the outputs to
+            # per-video rows on device before the ordinary decode. Capacity
+            # padding (length-0 layout entries) decodes to keep=all-False.
+            out = model.apply(
+                {"params": params}, visual, audio, text, mask, True,
+                seg_ids=seg_ids, positions=positions,
+            )
+            logits_v, mask_v = unpack_rows(out.cls_logits[..., 0], row_of, start, length)
+            offsets_v, _ = unpack_rows(out.offsets, row_of, start, length)
+            res = decode_batch(logits_v, offsets_v, mask_v, length, test_cfg)
+            if raw_outputs:
+                return res, (logits_v[..., None], offsets_v)
+            return res
+
+        self._fn_packed = _forward_and_decode_packed
+
     def _stage(self, visual, audio, text, mask, durations):
         """Host arrays -> device. Seq-sharded placement when ring is live."""
         mask = jnp.asarray(mask, bool)
@@ -152,6 +174,7 @@ class InferencePipeline:
         batch_size: int = 8,
         depth: int = 2,
         params: Any = None,
+        pack: bool = False,
     ) -> list[dict]:
         """Serve ragged per-video features with multi-bucket auto-routing.
 
@@ -168,7 +191,27 @@ class InferencePipeline:
         The reference scores one video per program at its exact length
         (inference.py:31 batch_size=1) — every new length is a new CUDA graph
         here replaced by a handful of static shapes.
+
+        ``pack=True`` additionally SEQUENCE-PACKS each bucket's videos: FFD
+        bin-packing lays several videos head-to-tail per row
+        (data/batching.py:plan_packing), the model runs block-diagonal
+        attention + per-video PE, and the outputs unpack to per-video rows on
+        device before decode (ops/decode.py:unpack_rows) — results are
+        value-identical to pack=False while the projection/FFN/head compute
+        that pads ~35% of a realistic corpus batch scores real videos instead.
+        Not yet supported with a live ring-attention mesh (falls back).
         """
+        if pack:
+            if self._mesh is None:
+                return self._score_videos_packed(
+                    videos, buckets, batch_size, depth, params
+                )
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "score_videos(pack=True) is not supported with a live "
+                "ring-attention mesh; scoring unpacked"
+            )
         buckets = sorted(buckets)
         groups: dict[int, list[int]] = {}
         for i, v in enumerate(videos):
@@ -206,6 +249,86 @@ class InferencePipeline:
         for (_, chunk), batch_results in zip(items, flat_iter):
             for i, r in zip(chunk, batch_results):
                 results[i] = r
+        return results  # type: ignore[return-value]
+
+    def _score_videos_packed(
+        self, videos, buckets, batch_size: int, depth: int, params,
+    ) -> list[dict]:
+        """score_videos(pack=True) body: one compiled program per bucket
+        (rows padded to ``batch_size``, per-video layout padded to a
+        bucket-constant capacity with length-0 dummies)."""
+        import collections
+
+        from repurpose_tpu.data.batching import (
+            pack_batch, packing_layout, plan_packing,
+        )
+
+        buckets = sorted(buckets)
+        groups: dict[int, list[int]] = {}
+        lengths = []
+        for i, v in enumerate(videos):
+            t = min(len(v["visual"]), len(v["audio"]), len(v["text"]))
+            lengths.append(t)
+            groups.setdefault(pick_bucket(t, buckets), []).append(i)
+
+        p = params if params is not None else self.params
+
+        def items():
+            for bucket in sorted(groups):
+                g = groups[bucket]
+                durs = [min(lengths[i], bucket) for i in g]
+                samples = [
+                    {
+                        "visual": videos[i]["visual"],
+                        "audio": videos[i]["audio"],
+                        "text": videos[i]["text"],
+                        "duration": d,
+                    }
+                    for i, d in zip(g, durs)
+                ]
+                row_batches = plan_packing(durs, bucket, batch_size)
+                # static per-bucket video capacity (multiple of 8) so every
+                # batch of this bucket reuses one compiled program
+                cap = max(
+                    sum(len(r) for r in rows) for rows in row_batches
+                )
+                cap = -(-cap // 8) * 8
+                for rows in row_batches:
+                    batch = pack_batch(samples, rows, bucket, batch_size=batch_size)
+                    sidx, row_of, start, length = packing_layout(rows, durs, bucket)
+                    n = len(sidx)
+                    pad = cap - n
+                    row_of = np.pad(row_of, (0, pad))
+                    start = np.pad(start, (0, pad))
+                    length = np.pad(length, (0, pad))
+                    gidx = [g[j] for j in sidx]
+                    ids = [str(videos[i].get("video_id", i)) for i in gidx]
+                    yield batch, (row_of, start, length), gidx, ids
+
+        def dispatch(batch, layout, ids):
+            out = self._fn_packed(
+                p, jnp.asarray(batch.visual), jnp.asarray(batch.audio),
+                jnp.asarray(batch.text), jnp.asarray(batch.mask, bool),
+                jnp.asarray(batch.seg_ids), jnp.asarray(batch.positions),
+                *(jnp.asarray(a) for a in layout),
+            )
+            res, raw = out if self.raw_outputs else (out, None)
+            return res, list(layout[2]), ids, raw
+
+        results: list[dict | None] = [None] * len(videos)
+        pending: collections.deque = collections.deque()
+
+        def drain():
+            out, gidx = pending.popleft()
+            for i, r in zip(gidx, _unpack(*out)):
+                results[i] = r
+
+        for batch, layout, gidx, ids in items():
+            pending.append((dispatch(batch, layout, ids), gidx))
+            if len(pending) > depth:
+                drain()
+        while pending:
+            drain()
         return results  # type: ignore[return-value]
 
     def score_stream(self, batches, depth: int = 2, params: Any = None):

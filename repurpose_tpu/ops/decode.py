@@ -134,3 +134,49 @@ decode_batch = jax.jit(
     jax.vmap(decode_video, in_axes=(0, 0, 0, 0, None)),
     static_argnames=("test_cfg",),
 )
+
+
+def unpack_rows(
+    packed: Array,  # [B, T, ...] — model output on a sequence-packed batch
+    row_of: Array,  # [N] int32 — packed row holding video i
+    start: Array,  # [N] int32 — video i's offset within its row
+    length: Array,  # [N] int32 — video i's (truncated) duration
+) -> tuple[Array, Array]:
+    """Invert sequence packing on device: per-VIDEO rows from packed rows.
+
+    Returns (out [N, T, ...], mask [N, T]) where out[i, p] =
+    packed[row_of[i], start[i] + p] for p < length[i] (garbage beyond, masked
+    False — downstream decode gates everything on the mask). Packing is
+    output-exact per video (block-diagonal attention + per-video PE,
+    models/mmct.py), so decode on the unpacked rows matches an unpacked
+    batch bit-for-bit. Layout arrays come from data/batching.py:packing_layout;
+    callers pad N to a static capacity with length-0 dummies to keep one
+    compiled program per (B, T, N)."""
+    t = packed.shape[1]
+    pos = jnp.arange(t, dtype=jnp.int32)
+    idx = jnp.minimum(start[:, None] + pos[None, :], t - 1)  # [N, T]
+    rows = packed[row_of]  # [N, T, ...]
+    idx = idx.reshape(idx.shape + (1,) * (packed.ndim - 2))
+    out = jnp.take_along_axis(rows, idx, axis=1)
+    mask = pos[None, :] < length[:, None]
+    return out, mask
+
+
+@functools.partial(jax.jit, static_argnames=("test_cfg",))
+def decode_packed(
+    cls_logits: Array,  # [B, T] — packed-batch logits (squeeze the head dim)
+    offsets: Array,  # [B, T, 2]
+    row_of: Array,  # [N] int32 — packing_layout
+    start: Array,  # [N]
+    length: Array,  # [N]
+    test_cfg: TestConfig,
+) -> DecodeResult:
+    """Per-video decode + Soft-NMS for a sequence-packed batch: unpack the
+    packed model outputs to [N, T] per-video rows on device, then run the
+    ordinary decode_batch. Length-0 dummy entries (capacity padding) decode to
+    keep=all-False. Reference equivalence: each video's result matches
+    inference_single_video on that video alone (MMCTransformer.py:181-229);
+    packing itself has no reference counterpart."""
+    logits_v, mask_v = unpack_rows(cls_logits, row_of, start, length)
+    offsets_v, _ = unpack_rows(offsets, row_of, start, length)
+    return decode_batch(logits_v, offsets_v, mask_v, length, test_cfg)

@@ -188,6 +188,114 @@ def test_trainer_fits_packed(tmp_path):
     assert int(trainer.state.nonfinite_count) == 0
 
 
+def test_unpack_rows_inverts_packing():
+    from repurpose_tpu.data.batching import packing_layout
+    from repurpose_tpu.ops.decode import unpack_rows
+
+    rng = np.random.default_rng(5)
+    durs = [60, 40, 50]
+    rows = plan_packing(durs, bucket=128, batch_size=2)[0]
+    sidx, row_of, start, length = packing_layout(rows, durs, 128)
+    # fabricate a packed [B, T, 2] output and check per-video recovery
+    packed = rng.normal(0, 1, (len(rows), 128, 2)).astype(np.float32)
+    out, mask = jax.jit(unpack_rows)(
+        jnp.asarray(packed), jnp.asarray(row_of), jnp.asarray(start),
+        jnp.asarray(length),
+    )
+    out, mask = np.asarray(out), np.asarray(mask)
+    for n in range(len(sidx)):
+        ln = length[n]
+        np.testing.assert_array_equal(
+            out[n, :ln], packed[row_of[n], start[n] : start[n] + ln]
+        )
+        assert mask[n, :ln].all() and not mask[n, ln:].any()
+
+
+def test_decode_packed_matches_per_video_decode():
+    """decode_packed on a packed layout == decode_batch on the equivalent
+    unpacked per-video rows, bit-for-bit — incl. length-0 capacity dummies
+    (keep all-False)."""
+    from repurpose_tpu.config import TestConfig
+    from repurpose_tpu.data.batching import packing_layout
+    from repurpose_tpu.ops.decode import decode_batch, decode_packed
+
+    rng = np.random.default_rng(6)
+    durs = [60, 40, 50, 110]
+    bucket = 128
+    rows = plan_packing(durs, bucket, batch_size=3)[0]
+    sidx, row_of, start, length = packing_layout(rows, durs, bucket)
+    tcfg = TestConfig(pre_nms_thresh=0.3, pre_nms_topk=16, min_score=0.01)
+
+    b = len(rows)
+    logits = rng.normal(0, 2, (b, bucket)).astype(np.float32)
+    offsets = np.abs(rng.normal(0, 5, (b, bucket, 2))).astype(np.float32)
+
+    # capacity padding: two length-0 dummies beyond the real videos
+    pad = 2
+    res = decode_packed(
+        jnp.asarray(logits), jnp.asarray(offsets),
+        jnp.asarray(np.pad(row_of, (0, pad))),
+        jnp.asarray(np.pad(start, (0, pad))),
+        jnp.asarray(np.pad(length, (0, pad))),
+        tcfg,
+    )
+    assert not np.asarray(res.keep)[len(sidx):].any()
+
+    # equivalent unpacked rows, decoded per video
+    n = len(sidx)
+    logits_v = np.zeros((n, bucket), np.float32)
+    offsets_v = np.zeros((n, bucket, 2), np.float32)
+    mask_v = np.zeros((n, bucket), bool)
+    for i in range(n):
+        r, s, ln = row_of[i], start[i], length[i]
+        logits_v[i, :ln] = logits[r, s : s + ln]
+        offsets_v[i, :ln] = offsets[r, s : s + ln]
+        mask_v[i, :ln] = True
+    ref = decode_batch(
+        jnp.asarray(logits_v), jnp.asarray(offsets_v), jnp.asarray(mask_v),
+        jnp.asarray(length), tcfg,
+    )
+    for a, b_ in zip(res[:4], ref[:4]):
+        np.testing.assert_array_equal(np.asarray(a)[:n], np.asarray(b_))
+
+
+def test_score_videos_packed_matches_unpacked():
+    """End-to-end pipeline parity: score_videos(pack=True) returns the same
+    per-video segments/scores/labels as pack=False (fp32, xla attention)."""
+    from repurpose_tpu.config import TestConfig
+    from repurpose_tpu.infer import InferencePipeline
+    from repurpose_tpu.models import init_model_params
+
+    cfg = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=6, d_model=32,
+        self_num_layers=2, num_heads=2, d_ff=64, hidden_dim=16, dropout=0.0,
+        compute_dtype="float32", attention_impl="xla",
+        matmul_precision="highest",
+    )
+    tcfg = TestConfig(pre_nms_thresh=0.3, pre_nms_topk=16, min_score=0.01)
+    model = build_model(cfg)
+    params = init_model_params(model, cfg, jax.random.key(0), bucket=64)
+    rng = np.random.default_rng(7)
+    videos = []
+    for i, ln in enumerate([60, 40, 50, 110, 25, 90, 30]):
+        videos.append({
+            "visual": rng.normal(0, 1, (ln, 8)).astype(np.float32) * 2,
+            "audio": rng.normal(0, 1, (ln, 12)).astype(np.float32),
+            "text": rng.normal(0, 1, (ln, 6)).astype(np.float32),
+            "video_id": f"v{i}",
+        })
+    pipe = InferencePipeline(cfg, params, tcfg)
+    ref = pipe.score_videos(videos, buckets=(64, 128), batch_size=2)
+    got = pipe.score_videos(videos, buckets=(64, 128), batch_size=2, pack=True)
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        assert g["video_id"] == r["video_id"]
+        assert g["duration"] == r["duration"]
+        np.testing.assert_allclose(g["segments"], r["segments"], atol=1e-5)
+        np.testing.assert_allclose(g["scores"], r["scores"], atol=1e-5)
+        np.testing.assert_array_equal(g["labels"], r["labels"])
+
+
 def test_packed_metrics_count_videos():
     """n_real counts packed SEGMENTS (videos), not rows."""
     cfg = ModelConfig(
