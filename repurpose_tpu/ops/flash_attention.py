@@ -106,6 +106,34 @@ HBM_STREAM_T = 8192
 DQ_STREAM_T: int | None = None
 DKV_STREAM_T: int | None = None
 
+# Sequence-packed forward interior: above this T the packed kernel switches
+# from the dense [Tq, T] slab to the k-blocked BOUNDED sweep — each query
+# block's key loop runs only the blocks overlapping its own videos' spans
+# (block-diagonal attention makes everything outside exactly zero mass), so
+# per-video key cost drops from the full row T to ~the video's own length.
+# MEASURED DEAD END at T=2048 on v5e (tools/bench_packed_infer.py,
+# corpus-fill packed batch, back-to-back): 34.8 ms vs the dense slab's 26.5
+# — the per-block online-softmax rescale (f32 [Tq, dh] accumulator x heads
+# per k block) costs the VPU more than the skipped blocks save, consistent
+# with the dense/stream sweeps elsewhere in this file. None = dense always
+# (the default); the kernel stays for packed long-T work where slabs stop
+# fitting.
+PACKED_STREAM_T: int | None = None
+PACKED_K_BLOCK = 512
+
+# Packed DENSE kernel blocks. The seg-equality bias is a full [Tq, T] VPU
+# build PER d-BLOCK PROGRAM, so the packed kernel wants larger d blocks
+# (more heads sharing one build) than the unpacked default
+# (_pick_d_block = 128 at flagship dims): measured on v5e at corpus-fill
+# packing (tools/bench_packed_infer.py, back-to-back): d_block 256 +
+# q_block 512 gives 26.45 ms/batch (529 videos/s) vs 28.16 (497) at the
+# unpacked defaults; q_block 256/128 at d_block 256 lose (27.0/28.8).
+# Applied only when it legally tiles (divides d, whole heads);
+# PACKED_Q_BLOCK is the packed default query block (callers can still pass
+# q_block explicitly).
+PACKED_D_BLOCK = 256
+PACKED_Q_BLOCK = 512
+
 # Mosaic grid-axis semantics for the three 3-axis kernels' (batch, d-block,
 # t-block) grids. Every program is independent (no cross-step accumulation),
 # so all axes are legal as "parallel". Swept on v5e (tools/bench_dimsem.py,
@@ -253,6 +281,13 @@ def _flash_forward(
     q_block = min(q_block, t)
     scale = 1.0 / (dh ** 0.5)
     d_block = _pick_d_block(d, dh)
+    if seg_ids is not None:
+        # packed kernels rebuild the [Tq, T] seg bias once per d-block
+        # program — larger d blocks amortize it over more heads (measured,
+        # see PACKED_D_BLOCK) when they tile legally
+        pdb = min(PACKED_D_BLOCK, d)
+        if d % pdb == 0 and pdb % dh == 0:
+            d_block = max(d_block, pdb)
     heads_per_block = d_block // dh
 
     qf = q.reshape(b, t, d)
@@ -309,6 +344,45 @@ def _flash_forward(
             **_cp_kwargs(),
         )(qf, kf, vf, mask, kvl)
         return out.reshape(b, t, h, dh), lse
+    packed_kb = (
+        _pick_block(t, min(PACKED_K_BLOCK, t))
+        if seg_ids is not None and PACKED_STREAM_T is not None
+        and t > PACKED_STREAM_T
+        else None
+    )
+    if packed_kb is not None:
+        # packed streaming: bounded k sweep per query block (see
+        # _flash_fwd_packed_stream_kernel). Packed rows are ~full, so the
+        # dense kernel's prefix skipping has nothing to skip; bounding the
+        # key loop to each block's own videos recovers the block-diagonal
+        # sparsity instead.
+        kb = packed_kb
+        lo, hi = _packed_block_bounds(seg_ids, q_block, kb)
+        nqb = t // q_block
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _flash_fwd_packed_stream_kernel, scale=scale,
+                heads=heads_per_block, k_block=kb, sm_dtype=sm_dtype,
+            ),
+            grid=(b, d // d_block, nqb),
+            in_specs=[blk_q, blk_kv, blk_kv, blk_mask, blk_kvl,
+                      pl.BlockSpec((1, q_block, 1), lambda bi, di, i: (bi, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, t), lambda bi, di, i: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((b, nqb), lambda bi, di, i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((b, nqb), lambda bi, di, i: (0, 0),
+                                   memory_space=pltpu.SMEM)],
+            out_specs=(blk_q, blk_lse),
+            out_shape=out_shape,
+            interpret=interpret,
+            **_cp_kwargs(),
+        )(qf, kf, vf, mask, kvl,
+          seg_ids[:, :, None].astype(jnp.int32),
+          seg_ids[:, None, :].astype(jnp.int32),
+          lo, hi)
+        return out.reshape(b, t, h, dh), lse
     if seg_ids is not None:
         # sequence packing: dense kernel only (mha_pallas guarantees
         # t <= STREAM_MAX_T on this path; long rows hold one video anyway)
@@ -351,6 +425,112 @@ def _flash_forward(
         **_cp_kwargs(),
     )(qf, kf, vf, mask, kvl)
     return out.reshape(b, t, h, dh), lse
+
+
+def _packed_block_bounds(
+    seg_ids: Array, q_block: int, k_block: int
+) -> tuple[Array, Array]:
+    """Per-(batch row, query block) key-block bounds [lo, hi) for the packed
+    streaming kernel: the smallest contiguous k-block range covering every
+    video that owns a row of the query block. Videos lie head-to-tail
+    (data/batching.py:pack_batch), so each position's video span is
+    [start_of, end_of) with start_of = cummax over video starts and end_of =
+    reverse-cummin over video ends; blocks outside the range hold only keys
+    of OTHER videos (or padding), whose block-diagonal softmax mass is
+    exactly zero — skipping them is a numeric no-op."""
+    b, t = seg_ids.shape
+    t_idx = jnp.arange(t, dtype=jnp.int32)[None]
+    valid = seg_ids >= 0
+    prev = jnp.pad(seg_ids[:, :-1], ((0, 0), (1, 0)), constant_values=-2)
+    is_start = valid & (seg_ids != prev)
+    start_of = jax.lax.cummax(jnp.where(is_start, t_idx, 0), axis=1)
+    nxt = jnp.pad(seg_ids[:, 1:], ((0, 0), (0, 1)), constant_values=-2)
+    is_end = valid & (seg_ids != nxt)
+    end_of = jax.lax.cummin(jnp.where(is_end, t_idx + 1, t), axis=1, reverse=True)
+    nqb = t // q_block
+    lo = jnp.where(valid, start_of, t).reshape(b, nqb, q_block).min(-1) // k_block
+    hi = -(-jnp.where(valid, end_of, 0).reshape(b, nqb, q_block).max(-1) // k_block)
+    return lo.astype(jnp.int32), jnp.maximum(hi, lo).astype(jnp.int32)
+
+
+def _flash_fwd_packed_stream_kernel(
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, seg_col_ref, seg_row_ref,
+    lo_ref, hi_ref, o_ref, lse_ref,
+    *, scale: float, heads: int, k_block: int, sm_dtype=jnp.float32,
+):
+    # Sequence-packed streaming forward: block-diagonal attention with a
+    # BOUNDED k sweep. Same flat layout and online-softmax recurrence as
+    # _flash_fwd_stream_kernel, plus the two seg refs of the dense packed
+    # kernel; lo/hi ([B, nqb] SMEM, from _packed_block_bounds) restrict each
+    # query block's key loop to the k blocks its own videos occupy. The block
+    # loop is OUTER and per-head state is carried as a tuple, so the seg bias
+    # for a key block is built once and shared across the head loop.
+    d = q_ref.shape[-1]
+    dh = d // heads
+    tq = q_ref.shape[1]
+    bi = pl.program_id(0)
+    qi = pl.program_id(2)
+    kvl = kvl_ref[bi, 0]
+    q_start = qi * tq
+
+    @pl.when(q_start >= kvl)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+        lse_ref[...] = jnp.full_like(lse_ref, SKIP_LSE)
+
+    @pl.when(q_start < kvl)
+    def _():
+        seg_col = seg_col_ref[0]  # [Tq, 1]
+        qh = [
+            (q_ref[0, :, h * dh : (h + 1) * dh].astype(jnp.float32) * scale)
+            .astype(q_ref.dtype)
+            for h in range(heads)
+        ]
+
+        def body(kb, carry):
+            ks = pl.ds(kb * k_block, k_block)
+            ok = (mask_ref[0, :, ks] != 0) & (seg_col == seg_row_ref[0, :, ks])
+            bias = jnp.where(ok, 0.0, NEG_INF)  # [Tq, k_block]
+            kslab = k_ref[0, ks, :]
+            vslab = v_ref[0, ks, :]
+            out = []
+            for h in range(heads):
+                m, l, acc = carry[h]
+                sl = slice(h * dh, (h + 1) * dh)
+                s = (jax.lax.dot_general(
+                    qh[h], kslab[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) + bias).astype(sm_dtype)
+                m_new = jnp.maximum(
+                    m, jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+                )
+                alpha = jnp.exp(m - m_new)
+                p = jnp.exp(s - m_new.astype(sm_dtype))
+                l_new = l * alpha + jnp.sum(
+                    p, axis=-1, keepdims=True, dtype=jnp.float32
+                )
+                pv = jax.lax.dot_general(
+                    p.astype(vslab.dtype), vslab[:, sl],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                out.append((m_new, l_new, acc * alpha + pv))
+            return tuple(out)
+
+        init = tuple(
+            (
+                jnp.full((tq, 1), -1e30, jnp.float32),
+                jnp.zeros((tq, 1), jnp.float32),
+                jnp.zeros((tq, dh), jnp.float32),
+            )
+            for _ in range(heads)
+        )
+        carry = jax.lax.fori_loop(lo_ref[bi, qi], hi_ref[bi, qi], body, init)
+        for h in range(heads):
+            m, l, acc = carry[h]
+            o_ref[0, :, h * dh : (h + 1) * dh] = (acc / l).astype(o_ref.dtype)
+            lse_ref[0, h] = m + jnp.log(l)
 
 
 def _flash_fwd_stream_kernel(
@@ -1167,7 +1347,7 @@ _SM_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}
 
 def mha_pallas(
     q: Array, k: Array, v: Array, key_valid: Array,
-    q_block: int = DEFAULT_Q_BLOCK,
+    q_block: int | None = None,
     interpret: bool | None = None,
     backward: str = "pallas",
     precision: str = "default",
@@ -1190,6 +1370,9 @@ def mha_pallas(
     (t <= STREAM_MAX_T — the corpus buckets, where packing pays); packed
     longer sequences fall back to the XLA path."""
     packed = seg_ids is not None
+    if q_block is None:
+        # resolved at CALL time so sweeps can retune the module defaults
+        q_block = PACKED_Q_BLOCK if packed else DEFAULT_Q_BLOCK
     picked = _pick_block(q.shape[1], min(q_block, q.shape[1]))
     if picked is None or (packed and q.shape[1] > STREAM_MAX_T):
         return mha_xla(q, k, v, key_valid, precision=precision, seg_ids=seg_ids)

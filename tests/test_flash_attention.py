@@ -376,3 +376,108 @@ def test_hbm_streaming_gradients_match_xla(rng, monkeypatch):
         )
     for gp in g_p:
         np.testing.assert_array_equal(np.asarray(gp)[1], 0.0)
+
+
+# -- sequence-packed bounded-sweep kernel ------------------------------------------
+
+
+def _packed_inputs(rng, b=2, t=256, h=4, dh=32):
+    """Two packed rows: row 0 = videos of 100+80 steps then padding; row 1 =
+    videos of 120+136 steps (full row)."""
+    q = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+    seg = np.full((b, t), -1, np.int32)
+    seg[0, :100] = 0
+    seg[0, 100:180] = 1
+    seg[1, :120] = 0
+    seg[1, 120:] = 1
+    mask = seg >= 0
+    return q, k, v, jnp.asarray(mask), jnp.asarray(seg)
+
+
+def test_packed_block_bounds_brute_force(rng):
+    from repurpose_tpu.ops.flash_attention import _packed_block_bounds
+
+    *_, mask, seg = _packed_inputs(rng)
+    qb, kb = 64, 64
+    lo, hi = jax.jit(lambda s: _packed_block_bounds(s, qb, kb))(seg)
+    lo, hi = np.asarray(lo), np.asarray(hi)
+    seg = np.asarray(seg)
+    b, t = seg.shape
+    for bi in range(b):
+        # per-position video span
+        for i in range(t // qb):
+            rows = range(i * qb, (i + 1) * qb)
+            allowed = set()
+            for r in rows:
+                if seg[bi, r] < 0:
+                    continue
+                same = np.nonzero(seg[bi] == seg[bi, r])[0]
+                allowed.update(range(same.min(), same.max() + 1))
+            if not allowed:
+                continue  # fully-padded block: kernel skips it anyway
+            want_lo, want_hi = min(allowed) // kb, -(-(max(allowed) + 1) // kb)
+            assert lo[bi, i] <= want_lo and hi[bi, i] >= want_hi
+            # and tight: bounds never include a block with no allowed key
+            assert lo[bi, i] == want_lo and hi[bi, i] == want_hi
+
+
+def test_packed_stream_forward_matches_xla(rng, monkeypatch):
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "PACKED_STREAM_T", 128)
+    monkeypatch.setattr(fa, "PACKED_K_BLOCK", 64)
+    q, k, v, mask, seg = _packed_inputs(rng)
+    want = jax.jit(lambda *a: mha_xla(*a, seg_ids=seg))(q, k, v, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64, seg_ids=seg))(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+
+
+def test_packed_stream_gradients_match_xla(rng, monkeypatch):
+    """Bounded-sweep forward's (o, lse) feed the dense packed backward via the
+    custom VJP — grads must match the XLA packed path."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "PACKED_STREAM_T", 128)
+    monkeypatch.setattr(fa, "PACKED_K_BLOCK", 64)
+    q, k, v, mask, seg = _packed_inputs(rng)
+
+    def loss(f):
+        def inner(q, k, v):
+            out = f(q, k, v)
+            return jnp.sum(jnp.where(mask[..., None, None], out, 0.0) ** 2)
+        return inner
+
+    g_p = jax.jit(jax.grad(
+        loss(lambda *a: mha_pallas(*a, mask, q_block=64, seg_ids=seg)),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    g_x = jax.jit(jax.grad(
+        loss(lambda *a: mha_xla(*a, mask, seg_ids=seg)), argnums=(0, 1, 2)
+    ))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), atol=1e-4, rtol=1e-3, err_msg=name
+        )
+
+
+def test_packed_stream_bf16(rng, monkeypatch):
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "PACKED_STREAM_T", 128)
+    monkeypatch.setattr(fa, "PACKED_K_BLOCK", 64)
+    q, k, v, mask, seg = _packed_inputs(rng)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    want = jax.jit(lambda *a: mha_xla(*a, seg_ids=seg))(qb, kb, vb, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64, seg_ids=seg))(qb, kb, vb, mask)
+    assert got.dtype == jnp.bfloat16
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[valid],
+        np.asarray(want, np.float32)[valid],
+        atol=3e-2,
+    )
