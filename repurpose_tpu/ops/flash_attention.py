@@ -133,6 +133,14 @@ PACKED_K_BLOCK = 512
 # q_block explicitly).
 PACKED_D_BLOCK = 256
 PACKED_Q_BLOCK = 512
+# Backward counterpart of PACKED_D_BLOCK (None = keep _pick_d_block).
+# Measured on v5e packed train step (tools/bench_packed_train.py):
+# bwd_db=256 fails to compile (the dq/dkv kernels carry k/v/o/g slabs plus
+# two [Tq, T] f32 interiors per program — the compile helper dies where the
+# forward at 256 still fit), so None (d_block 128) is the measured default:
+# 87.2 ms/step, 11 videos at 93% fill = 126 videos/s vs 74.9 ms/6 = 80
+# unpacked (1.57x).
+PACKED_BWD_D_BLOCK: int | None = None
 
 # Mosaic grid-axis semantics for the three 3-axis kernels' (batch, d-block,
 # t-block) grids. Every program is independent (no cross-step accumulation),
@@ -1084,6 +1092,14 @@ def _flash_backward(
     assert q_block and k_block  # guaranteed by the mha_pallas entry check
     scale = 1.0 / (dh ** 0.5)
     d_block = _pick_d_block(d, dh)
+    if seg_ids is not None and PACKED_BWD_D_BLOCK is not None:
+        # packed dq/dkv rebuild the [Tq, T] seg bias per d-block program like
+        # the forward; sweepable via tools/bench_packed_train.py (separate
+        # knob — the backward holds more live slabs per program, so the
+        # forward's winning d_block can OOM scoped VMEM here)
+        pdb = min(PACKED_BWD_D_BLOCK, d)
+        if d % pdb == 0 and pdb % dh == 0:
+            d_block = max(d_block, pdb)
     heads_per_block = d_block // dh
 
     qf = q.reshape(b, t, d)
