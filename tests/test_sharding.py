@@ -90,6 +90,52 @@ def test_train_step_matches_single_device(mesh_cfg):
         )
 
 
+@pytest.mark.parametrize(
+    "mesh_cfg",
+    [MeshConfig(data=4, model=2), MeshConfig(data=2, model=2, seq=2)],
+)
+def test_packed_train_step_matches_single_device(mesh_cfg):
+    """Sequence-PACKED training under dp/tp/sp sharding must reproduce the
+    single-device packed trajectory (seg_ids/positions shard along with the
+    batch; block-diagonal attention + per-video PE must survive
+    partitioning). Packed == unpacked is proven separately
+    (tests/test_packing.py); this pins packed x mesh."""
+    from repurpose_tpu.data.batching import pack_batch, plan_packing
+    from repurpose_tpu.parallel.sharding import make_global_batch
+
+    durs = [30, 20, 28, 25, 30, 22, 26, 24]
+    ds = SyntheticDataset(durs, TINY, seed=4)
+    samples = [ds[i] for i in range(len(durs))]
+    packed = pack_batch(
+        samples, plan_packing(durs, 64, 8)[0], bucket=64, batch_size=8
+    )
+    assert packed.seg_ids is not None and (packed.seg_ids >= 1).any()
+    tc = TrainConfig(
+        batch_size=8, buckets=(64,), epochs=1,
+        loss_norm="batch_size", pack_sequences=True,
+    )
+    rng = jax.random.key(7)
+
+    state0, tx, sched = create_train_state(TINY, tc, 2, jax.random.key(0))
+    step = make_train_step(TINY, tc, tx, sched, donate=False)
+
+    mesh = create_mesh(mesh_cfg)
+    sharded = dataclasses.replace(state0, params=shard_params(state0.params, mesh))
+    dev_batch = make_global_batch(packed, mesh, seq_sharded=mesh_cfg.seq > 1)
+
+    ref_state, got_state = state0, sharded
+    for _ in range(4):
+        ref_state, ref_m = step(ref_state, packed, rng)
+        got_state, got_m = step(got_state, dev_batch, rng)
+        assert int(got_m["n_real"]) == len(durs)
+        np.testing.assert_allclose(
+            float(got_m["loss"]), float(ref_m["loss"]), rtol=2e-3
+        )
+        np.testing.assert_allclose(
+            float(got_m["grad_norm"]), float(ref_m["grad_norm"]), rtol=1e-2
+        )
+
+
 def test_ring_attention_training_matches_single_device():
     """attention_impl='ring' on a (data=2, seq=4) mesh must reproduce the
     single-device xla-attention training trajectory."""
