@@ -305,6 +305,33 @@ class InferencePipeline:
                     ids = [str(videos[i].get("video_id", i)) for i in gidx]
                     yield batch, (row_of, start, length), gidx, ids
 
+        results: list[dict | None] = [None] * len(videos)
+        gidx_fifo: collections.deque = collections.deque()
+
+        def stream_items():
+            for batch, layout, gidx, ids in items():
+                gidx_fifo.append(gidx)  # appended at dispatch, FIFO order
+                yield batch, layout, ids
+
+        for rs in self.score_packed_stream(stream_items(), depth=depth, params=params):
+            for i, r in zip(gidx_fifo.popleft(), rs):
+                results[i] = r
+        return results  # type: ignore[return-value]
+
+    def score_packed_stream(self, items, depth: int = 2, params: Any = None):
+        """Pipelined SEQUENCE-PACKED scoring: ``items`` yields
+        ``(batch, (row_of, start, length), video_ids)`` — a packed Batch from
+        data/batching.py:pack_batch plus its packing_layout arrays, padded to
+        a static per-bucket video capacity so each bucket reuses one compiled
+        program. Yields one per-video result list per item, in dispatch
+        order, keeping up to ``depth`` batches in flight (same overlap
+        contract as score_stream). The packed counterpart has no reference
+        equivalent (inference.py:31 scores batch_size=1)."""
+        import collections
+
+        p = params if params is not None else self.params
+        pending: collections.deque = collections.deque()
+
         def dispatch(batch, layout, ids):
             out = self._fn_packed(
                 p, jnp.asarray(batch.visual), jnp.asarray(batch.audio),
@@ -315,21 +342,12 @@ class InferencePipeline:
             res, raw = out if self.raw_outputs else (out, None)
             return res, list(layout[2]), ids, raw
 
-        results: list[dict | None] = [None] * len(videos)
-        pending: collections.deque = collections.deque()
-
-        def drain():
-            out, gidx = pending.popleft()
-            for i, r in zip(gidx, _unpack(*out)):
-                results[i] = r
-
-        for batch, layout, gidx, ids in items():
-            pending.append((dispatch(batch, layout, ids), gidx))
+        for batch, layout, ids in items:
+            pending.append(dispatch(batch, layout, ids))
             if len(pending) > depth:
-                drain()
+                yield _unpack(*pending.popleft())
         while pending:
-            drain()
-        return results  # type: ignore[return-value]
+            yield _unpack(*pending.popleft())
 
     def score_stream(self, batches, depth: int = 2, params: Any = None):
         """Pipelined scoring: yields per-video result lists for an iterator of

@@ -295,8 +295,15 @@ class Trainer:
         max_videos: int | None = None,
         debug_viz: bool = False,
         max_debug_samples: int = 10,
+        pack: bool | None = None,
     ) -> dict:
         """Precision@tIoU over the given dataset (default: test split).
+
+        ``pack`` sequence-packs each bucket's videos before scoring
+        (value-identical results, ~1.5x device throughput at corpus
+        durations — docs/SERVING.md); defaults to the training config's
+        ``pack_sequences``. Falls back to unpacked when the dataset exposes
+        no ``lengths()`` or a ring-attention mesh is live.
 
         Multi-host: each process scores a strided shard of the dataset (the
         DistributedSampler analog of the reference's in-run DDP eval,
@@ -337,9 +344,35 @@ class Trainer:
                 )
         pipeline = self._debug_pipeline if want_debug else self.pipeline
         entries = getattr(ds, "entries", None)
+        use_pack = self.cfg.train.pack_sequences if pack is None else pack
+        if use_pack and pipeline._mesh is not None:
+            logger.info("packed eval is unsupported with a live ring mesh; "
+                        "scoring unpacked")
+            use_pack = False
+        if use_pack and not hasattr(ds, "lengths"):
+            logger.info("packed eval needs a dataset exposing lengths(); "
+                        "scoring unpacked")
+            use_pack = False
         # FIFO of host-side per-batch metadata consumed in dispatch order
         # (score_stream yields FIFO); features themselves are NOT retained.
         meta_fifo: list = []
+
+        def meta_for(i, sample=None):
+            # GT must not depend on WHICH staging path ran: prefer the
+            # dataset's entries (same source the fast path reads) so a
+            # keep_gt_segments=False dataset scores identically with and
+            # without the native loader.
+            if entries is not None:
+                return {
+                    "video_id": entries[i]["youtube_id"],
+                    "gt_segments": [
+                        list(s) for s in entries[i]["segmentsOffset"]
+                    ],
+                }
+            return {
+                "video_id": sample["video_id"],
+                "gt_segments": sample.get("gt_segments") or [],
+            }
 
         def staged():
             # Host staging for batch i+1 overlaps device compute for batch i
@@ -352,45 +385,81 @@ class Trainer:
                 if hasattr(ds, "load_batch"):
                     batch = ds.load_batch(idxs, buckets, bs)
                 if batch is not None and entries is not None:
-                    metas = [
-                        {
-                            "video_id": entries[i]["youtube_id"],
-                            "gt_segments": [
-                                list(s) for s in entries[i]["segmentsOffset"]
-                            ],
-                        }
-                        for i in idxs
-                    ]
+                    metas = [meta_for(i) for i in idxs]
                 else:
                     samples = [ds[i] for i in idxs]
                     if batch is None:
                         batch = collate(samples, buckets, bs)
-                    # GT must not depend on WHICH staging path ran: prefer the
-                    # dataset's entries (same source the fast path reads) so a
-                    # keep_gt_segments=False dataset scores identically with
-                    # and without the native loader.
-                    metas = [
-                        {
-                            "video_id": s["video_id"],
-                            "gt_segments": (
-                                [list(x) for x in entries[i]["segmentsOffset"]]
-                                if entries is not None
-                                else s.get("gt_segments") or []
-                            ),
-                        }
-                        for i, s in zip(idxs, samples)
-                    ]
-                meta_fifo.append(
-                    (metas, batch.labels, batch.segments, batch.durations)
-                )
+                    metas = [meta_for(i, s) for i, s in zip(idxs, samples)]
+                for j, m in enumerate(metas):  # per-video debug-viz rows
+                    m["labels_row"] = batch.labels[j]
+                    m["segments_row"] = batch.segments[j]
+                    m["duration"] = int(batch.durations[j])
+                meta_fifo.append(metas)
                 yield (
                     batch.visual, batch.audio, batch.text, batch.mask,
                     batch.durations, [m["video_id"] for m in metas],
                 )
 
-        for results in pipeline.score_stream(staged(), params=params):
-            metas, b_labels, b_segments, b_durs = meta_fifo.pop(0)
-            for j, (meta, r) in enumerate(zip(metas, results)):
+        def staged_packed():
+            # SEQUENCE-PACKED staging: group the shard by bucket via
+            # ds.lengths() (no feature load), FFD-plan each bucket, then load
+            # only each batch's videos and pack them. Same overlap contract —
+            # score_packed_stream keeps ``depth`` batches in flight.
+            from repurpose_tpu.data.batching import (
+                pack_batch, packing_layout, pick_bucket, plan_packing,
+            )
+
+            lens = ds.lengths()
+            groups: dict[int, list[int]] = {}
+            for i in my_idx:
+                groups.setdefault(pick_bucket(lens[i], buckets), []).append(i)
+            for bucket in sorted(groups):
+                g = groups[bucket]
+                durs = [min(lens[i], bucket) for i in g]
+                row_batches = plan_packing(durs, bucket, bs)
+                # static per-bucket video capacity -> one program per bucket
+                cap = max(sum(len(r) for r in rows) for rows in row_batches)
+                cap = -(-cap // 8) * 8
+                for rows in row_batches:
+                    needed = sorted({j for row in rows for j in row})
+                    lmap = {j: k for k, j in enumerate(needed)}
+                    samples = [ds[g[j]] for j in needed]
+                    rows_l = [[lmap[j] for j in row] for row in rows]
+                    durs_l = [durs[j] for j in needed]
+                    batch = pack_batch(samples, rows_l, bucket, batch_size=bs)
+                    sidx, row_of, start, length = packing_layout(
+                        rows_l, durs_l, bucket
+                    )
+                    pad = cap - len(sidx)
+                    row_of, start, length = (
+                        np.pad(a, (0, pad)) for a in (row_of, start, length)
+                    )
+                    metas = []
+                    for k in sidx:  # local sample index, packed order
+                        m = meta_for(g[needed[k]], samples[k])
+                        d_k = int(durs_l[k])
+                        m["labels_row"] = samples[k].get(
+                            "labels", np.zeros(d_k, np.float32)
+                        )
+                        m["segments_row"] = samples[k].get(
+                            "segments", np.zeros((d_k, 2), np.float32)
+                        )
+                        m["duration"] = d_k
+                        metas.append(m)
+                    meta_fifo.append(metas)
+                    yield batch, (row_of, start, length), [
+                        m["video_id"] for m in metas
+                    ]
+
+        stream = (
+            pipeline.score_packed_stream(staged_packed(), params=params)
+            if use_pack
+            else pipeline.score_stream(staged(), params=params)
+        )
+        for results in stream:
+            metas = meta_fifo.pop(0)
+            for meta, r in zip(metas, results):
                 tiou = calculate_tiou(
                     meta["gt_segments"], r["segments"].tolist(), TIOU_THRESHOLDS
                 )
@@ -398,7 +467,7 @@ class Trainer:
                     sums[t] += tiou[t]
                 count += 1
                 if debugger is not None and len(debugger.samples) < max_debug_samples:
-                    d = int(b_durs[j])
+                    d = meta["duration"]
                     x = np.asarray(r["raw_logits"], np.float64)
                     probs = np.where(  # overflow-safe sigmoid
                         x >= 0, 1.0 / (1.0 + np.exp(-np.abs(x))),
@@ -408,8 +477,8 @@ class Trainer:
                         meta["video_id"],
                         probs=probs,
                         offsets=r["raw_offsets"],
-                        gt_labels=b_labels[j, :d],
-                        gt_offsets=b_segments[j, :d],
+                        gt_labels=np.asarray(meta["labels_row"])[:d],
+                        gt_offsets=np.asarray(meta["segments_row"])[:d],
                         pred_segments=r["segments"],
                         gt_segments=meta["gt_segments"],
                     )

@@ -81,6 +81,19 @@ def test_checkpoints_written_and_resume(run):
         assert a == b
 
 
+def test_evaluate_packed_matches_unpacked(run):
+    """evaluate(pack=True) routes through score_packed_stream (FFD packing +
+    packed kernels + device unpack) and must reproduce the unpacked metrics —
+    durations chosen so rows genuinely share videos."""
+    _, trainer, _ = run
+    ds = SyntheticDataset([60, 40, 50, 30, 20, 25], CFG.model, seed=5)
+    unpacked = trainer.evaluate(dataset=ds)
+    packed = trainer.evaluate(dataset=ds, pack=True)
+    assert set(packed) == set(unpacked)
+    for k in unpacked:
+        np.testing.assert_allclose(packed[k], unpacked[k], rtol=1e-6, err_msg=k)
+
+
 def test_evaluate_with_debug_viz(run):
     workdir, trainer, _ = run
     out = trainer.evaluate(debug_viz=True, max_debug_samples=2)
