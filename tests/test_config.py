@@ -105,3 +105,16 @@ def test_longvideo_config_loads():
     assert cfg.train.buckets[-1] == 32768
     assert cfg.model.remat is True
     assert cfg.train.batch_size == 1
+
+
+def test_packed_config_loads():
+    """configs/packed.yaml: the sequence-packing preset parses into valid
+    configs (pack_sequences with the required n_real loss normalization —
+    the Trainer rejects packing with config_batch_size, train/loop.py)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs", "packed.yaml")
+    cfg = load_config(path)
+    assert cfg.train.pack_sequences is True
+    assert cfg.train.loss_norm == "batch_size"
+    assert cfg.model.attention_impl != "ring"
