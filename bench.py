@@ -238,26 +238,25 @@ def main() -> None:
     # projection/FFN/head matmuls stop burning padding and the block-diagonal
     # packed kernels score more videos per batch. Per-video results are
     # value-identical to unpacked (tests/test_packing.py, decode_packed).
-    from repurpose_tpu.data.batching import pack_batch, packing_layout, plan_packing
+    from repurpose_tpu.data.batching import iter_packed_batches, plan_packing
     from repurpose_tpu.ops.decode import decode_packed
 
-    def corpus_packing(bucket: int, batch: int):
-        """FFD-pack corpus-quantile durations into one batch at the
+    def corpus_durations(bucket: int, batch: int) -> list:
+        """Draw corpus-quantile durations until one FFD batch reaches the
         split-wide achievable fill (not the ideal 100%)."""
         pool = list(CORPUS_QUANTILES)
         np.random.default_rng(42).shuffle(pool)
         pdurs: list = []
         for dur in pool * 4:
             cand = pdurs + [int(dur)]
-            plan = plan_packing(cand, bucket, batch)
-            if len(plan) > 1 or len(plan[0]) > batch:
+            if len(plan_packing(cand, bucket, batch)) > 1:
                 continue  # doesn't fit this batch; try a different duration
             pdurs = cand
             if sum(pdurs) >= PACKED_FILL_TARGET * batch * bucket:
                 break
-        return pdurs, plan_packing(pdurs, bucket, batch)[0]
+        return pdurs
 
-    pdurs, rows = corpus_packing(HEADLINE_BUCKET, BATCH)
+    pdurs = corpus_durations(HEADLINE_BUCKET, BATCH)
     n_videos = len(pdurs)
     fill = sum(pdurs) / (BATCH * HEADLINE_BUCKET)
     samples = [
@@ -269,11 +268,8 @@ def main() -> None:
         }
         for dur in pdurs
     ]
-    pbatch = pack_batch(samples, rows, HEADLINE_BUCKET, batch_size=BATCH)
-    _, row_of, start, length = packing_layout(rows, pdurs, HEADLINE_BUCKET)
-    cap = -(-n_videos // 8) * 8  # static video capacity (pad to lane multiple)
-    row_of, start, length = (
-        np.pad(a, (0, cap - n_videos)) for a in (row_of, start, length)
+    (pbatch, (row_of, start, length), _, _), = iter_packed_batches(
+        samples.__getitem__, pdurs, (HEADLINE_BUCKET,), BATCH
     )
 
     @jax.jit
@@ -299,8 +295,7 @@ def main() -> None:
         )
     )
     pk_s = _time(run_packed, *pk_args) / N_CHAIN
-    row_fills = [sum(min(pdurs[i], HEADLINE_BUCKET) for i in r) for r in rows]
-    row_fills += [0] * (BATCH - len(rows))
+    row_fills = [int(d) for d in pbatch.durations]  # pack_batch: per-row fill
     pk_mfu = _flops_forward(cfg, BATCH, HEADLINE_BUCKET, row_fills) / pk_s / peak
     results["packed"] = {
         "full_ms_per_batch": round(pk_s * 1e3, 2),
@@ -378,7 +373,7 @@ def main() -> None:
     # normalizes by the true video count n_real, train/step.py): the
     # same corpus pool packed to ~92% fill — one step covers ~2x the videos
     # of the unpacked reference-batch row, so videos/s is the number to read.
-    pdurs_t, rows_t = corpus_packing(HEADLINE_BUCKET, TRAIN_BATCH)
+    pdurs_t = corpus_durations(HEADLINE_BUCKET, TRAIN_BATCH)
     tsamples = [
         {
             "visual": rng.normal(0, 1, (dur, cfg.vis_dim)).astype(np.float32),
@@ -390,7 +385,9 @@ def main() -> None:
         }
         for dur in pdurs_t
     ]
-    pt_batch = pack_batch(tsamples, rows_t, HEADLINE_BUCKET, batch_size=TRAIN_BATCH)
+    (pt_batch, _, _, _), = iter_packed_batches(
+        tsamples.__getitem__, pdurs_t, (HEADLINE_BUCKET,), TRAIN_BATCH
+    )
     tc_p = TrainConfig(
         batch_size=TRAIN_BATCH, buckets=(HEADLINE_BUCKET,),
         loss_norm="batch_size", pack_sequences=True,
@@ -408,8 +405,7 @@ def main() -> None:
         return losses[-1]
 
     pt_s = _time(train_chain_packed, state_p, jax.device_put(pt_batch)) / N_TRAIN_CHAIN
-    row_fills_t = [sum(min(pdurs_t[i], HEADLINE_BUCKET) for i in r) for r in rows_t]
-    row_fills_t += [0] * (TRAIN_BATCH - len(rows_t))
+    row_fills_t = [int(d) for d in pt_batch.durations]
     pt_mfu = (
         3 * _flops_forward(cfg, TRAIN_BATCH, HEADLINE_BUCKET, row_fills_t)
         / pt_s / peak

@@ -59,8 +59,7 @@ def main() -> None:
     p.add_argument("--pack", action="store_true",
                    help="sequence-pack each bucket's videos (several per row, "
                         "block-diagonal attention) — same results, less padding "
-                        "compute; loads the whole split's features up front for "
-                        "global packing")
+                        "compute; features load one packed batch at a time")
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args()
     logging.basicConfig(level=args.log_level.upper())
@@ -93,16 +92,42 @@ def main() -> None:
     sample_blocks = []
 
     if args.pack:
-        samples = [ds[i] for i in range(len(ds))]
-        for smp in samples:
-            time_offsets[smp["video_id"]] = smp.get("time_offset", 0.0)
+        class _LazyVideos:
+            """Dataset-backed lazy sequence for score_videos(pack=True):
+            features load one packed batch at a time
+            (data/batching.py:iter_packed_batches) instead of the whole
+            split at once; small per-video metadata is cached as items
+            stream through (every video is fetched exactly once)."""
+
+            def __init__(self, ds):
+                self._ds = ds
+                self.meta: dict[int, dict] = {}
+
+            def __len__(self):
+                return len(self._ds)
+
+            def lengths(self):
+                return self._ds.lengths()
+
+            def __getitem__(self, i):
+                s = self._ds[i]
+                self.meta[i] = {
+                    "gt_segments": s.get("gt_segments") or [],
+                    "time_offset": s.get("time_offset", 0.0),
+                    "video_id": s["video_id"],
+                }
+                return s
+
+        lazy = _LazyVideos(ds)
         results = pipe.score_videos(
-            samples, buckets=cfg.train.buckets, batch_size=bs, pack=True
+            lazy, buckets=cfg.train.buckets, batch_size=bs, pack=True
         )
         all_results = list(results)
-        for s, r in zip(samples, results):
+        for i, r in enumerate(results):
+            m = lazy.meta[i]
+            time_offsets[m["video_id"]] = m["time_offset"]
             tiou = calculate_tiou(
-                s.get("gt_segments") or [], r["segments"].tolist(), TIOU_THRESHOLDS
+                m["gt_segments"], r["segments"].tolist(), TIOU_THRESHOLDS
             )
             for t in TIOU_THRESHOLDS:
                 per_thr[t].append(tiou[t])

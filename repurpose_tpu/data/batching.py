@@ -214,3 +214,56 @@ def packing_layout(
         np.asarray(start, np.int32),
         np.asarray(length, np.int32),
     )
+
+
+def iter_packed_batches(
+    fetch, lengths: Sequence[int], buckets: Sequence[int], batch_size: int,
+    indices: Sequence[int] | None = None,
+):
+    """FFD sequence packing over a corpus, one packed batch at a time.
+
+    The single source of the packed-batch recipe shared by
+    InferencePipeline.score_packed_stream producers (infer.py,
+    train/loop.py:Trainer.evaluate, bench.py): group samples by
+    smallest-fit bucket, FFD-plan each bucket's rows (plan_packing), pad
+    the per-video layout arrays to a STATIC per-bucket capacity (multiple
+    of 8) so every batch of a bucket reuses one compiled program, and load
+    each batch's samples LAZILY via ``fetch(i)`` — peak host memory is one
+    batch, not the corpus.
+
+    ``lengths`` are per-sample durations (index-aligned with ``fetch``;
+    e.g. dataset.lengths()); ``indices`` restricts/orders the samples
+    (default: all). Yields ``(batch, (row_of, start, length), gidx,
+    samples)`` where ``gidx``/``samples`` list the batch's videos in packed
+    (row-major) order — gidx are ``fetch`` indices.
+    """
+    idx = list(range(len(lengths))) if indices is None else list(indices)
+    buckets = sorted(buckets)
+    groups: dict[int, list[int]] = {}
+    for i in idx:
+        groups.setdefault(pick_bucket(int(lengths[i]), buckets), []).append(i)
+    for bucket in sorted(groups):
+        g = groups[bucket]
+        durs = [min(int(lengths[i]), bucket) for i in g]
+        row_batches = plan_packing(durs, bucket, batch_size)
+        # static per-bucket video capacity -> one program per bucket
+        cap = max(sum(len(r) for r in rows) for rows in row_batches)
+        cap = -(-cap // 8) * 8
+        for rows in row_batches:
+            needed = sorted({j for row in rows for j in row})
+            lmap = {j: k for k, j in enumerate(needed)}
+            samples = [fetch(g[j]) for j in needed]
+            rows_l = [[lmap[j] for j in row] for row in rows]
+            durs_l = [durs[j] for j in needed]
+            batch = pack_batch(samples, rows_l, bucket, batch_size=batch_size)
+            sidx, row_of, start, length = packing_layout(rows_l, durs_l, bucket)
+            pad = cap - len(sidx)
+            row_of, start, length = (
+                np.pad(a, (0, pad)) for a in (row_of, start, length)
+            )
+            yield (
+                batch,
+                (row_of, start, length),
+                [g[needed[k]] for k in sidx],
+                [samples[k] for k in sidx],
+            )

@@ -254,67 +254,66 @@ class InferencePipeline:
     def _score_videos_packed(
         self, videos, buckets, batch_size: int, depth: int, params,
     ) -> list[dict]:
-        """score_videos(pack=True) body: one compiled program per bucket
-        (rows padded to ``batch_size``, per-video layout padded to a
-        bucket-constant capacity with length-0 dummies)."""
+        """score_videos(pack=True) body, staged through
+        data/batching.py:iter_packed_batches (rows padded to ``batch_size``,
+        per-video layout padded to a bucket-constant capacity with length-0
+        dummies; samples load lazily per batch). ``videos`` may expose
+        ``lengths()`` (e.g. a dataset-backed lazy sequence) to plan packing
+        without touching features. Videos routing to buckets past the packed
+        kernels' reach (> STREAM_MAX_T, where packed attention would fall
+        back to an XLA [B, T, T] score tensor) score UNPACKED instead —
+        such long videos rarely share rows anyway."""
         import collections
 
-        from repurpose_tpu.data.batching import (
-            pack_batch, packing_layout, plan_packing,
-        )
+        from repurpose_tpu.data.batching import iter_packed_batches
+        from repurpose_tpu.ops.flash_attention import STREAM_MAX_T
 
         buckets = sorted(buckets)
-        groups: dict[int, list[int]] = {}
-        lengths = []
-        for i, v in enumerate(videos):
-            t = min(len(v["visual"]), len(v["audio"]), len(v["text"]))
-            lengths.append(t)
-            groups.setdefault(pick_bucket(t, buckets), []).append(i)
+        if hasattr(videos, "lengths"):
+            lengths = [int(t) for t in videos.lengths()]
+        else:
+            lengths = [
+                min(len(v["visual"]), len(v["audio"]), len(v["text"]))
+                for v in videos
+            ]
+        packable = [
+            i for i in range(len(lengths))
+            if pick_bucket(lengths[i], buckets) <= STREAM_MAX_T
+        ]
 
-        p = params if params is not None else self.params
-
-        def items():
-            for bucket in sorted(groups):
-                g = groups[bucket]
-                durs = [min(lengths[i], bucket) for i in g]
-                samples = [
-                    {
-                        "visual": videos[i]["visual"],
-                        "audio": videos[i]["audio"],
-                        "text": videos[i]["text"],
-                        "duration": d,
-                    }
-                    for i, d in zip(g, durs)
-                ]
-                row_batches = plan_packing(durs, bucket, batch_size)
-                # static per-bucket video capacity (multiple of 8) so every
-                # batch of this bucket reuses one compiled program
-                cap = max(
-                    sum(len(r) for r in rows) for rows in row_batches
-                )
-                cap = -(-cap // 8) * 8
-                for rows in row_batches:
-                    batch = pack_batch(samples, rows, bucket, batch_size=batch_size)
-                    sidx, row_of, start, length = packing_layout(rows, durs, bucket)
-                    n = len(sidx)
-                    pad = cap - n
-                    row_of = np.pad(row_of, (0, pad))
-                    start = np.pad(start, (0, pad))
-                    length = np.pad(length, (0, pad))
-                    gidx = [g[j] for j in sidx]
-                    ids = [str(videos[i].get("video_id", i)) for i in gidx]
-                    yield batch, (row_of, start, length), gidx, ids
+        def fetch(i):
+            v = videos[i]
+            return {
+                "visual": v["visual"], "audio": v["audio"], "text": v["text"],
+                "duration": lengths[i], "video_id": v.get("video_id", i),
+            }
 
         results: list[dict | None] = [None] * len(videos)
         gidx_fifo: collections.deque = collections.deque()
 
         def stream_items():
-            for batch, layout, gidx, ids in items():
+            for batch, layout, gidx, samples in iter_packed_batches(
+                fetch, lengths, buckets, batch_size, indices=packable
+            ):
+                # ids from the already-fetched samples — indexing ``videos``
+                # again would re-load features on lazy dataset-backed inputs
+                ids = [
+                    str(s.get("video_id", i)) for i, s in zip(gidx, samples)
+                ]
                 gidx_fifo.append(gidx)  # appended at dispatch, FIFO order
                 yield batch, layout, ids
 
         for rs in self.score_packed_stream(stream_items(), depth=depth, params=params):
             for i, r in zip(gidx_fifo.popleft(), rs):
+                results[i] = r
+        pack_set = set(packable)
+        long_idx = [i for i in range(len(lengths)) if i not in pack_set]
+        if long_idx:
+            unpacked = self.score_videos(
+                [videos[i] for i in long_idx], buckets, batch_size, depth,
+                params, pack=False,
+            )
+            for i, r in zip(long_idx, unpacked):
                 results[i] = r
         return results  # type: ignore[return-value]
 

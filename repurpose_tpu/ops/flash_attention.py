@@ -1391,6 +1391,18 @@ def mha_pallas(
         q_block = PACKED_Q_BLOCK if packed else DEFAULT_Q_BLOCK
     picked = _pick_block(q.shape[1], min(q_block, q.shape[1]))
     if picked is None or (packed and q.shape[1] > STREAM_MAX_T):
+        if packed and q.shape[1] > STREAM_MAX_T:
+            import logging
+
+            # trace-time (once per compiled shape): the XLA packed fallback
+            # materializes [B, H, T, T] scores — prohibitive past ~2048.
+            # Producers route long buckets unpacked (infer.py, train/loop.py)
+            # and the Trainer rejects pack+long-bucket configs outright.
+            logging.getLogger(__name__).warning(
+                "packed attention at T=%d exceeds STREAM_MAX_T=%d: falling "
+                "back to XLA attention with a [B, H, T, T] score tensor",
+                q.shape[1], STREAM_MAX_T,
+            )
         return mha_xla(q, k, v, key_valid, precision=precision, seg_ids=seg_ids)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

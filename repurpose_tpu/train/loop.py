@@ -76,6 +76,20 @@ class Trainer:
             )
         if tc.pack_sequences and cfg.model.attention_impl == "ring":
             raise ValueError("pack_sequences is not supported with ring attention")
+        if tc.pack_sequences:
+            from repurpose_tpu.ops.flash_attention import STREAM_MAX_T
+
+            if max(tc.buckets) > STREAM_MAX_T:
+                # the loader packs every batch into the LARGEST bucket
+                # (data/loader.py); packed Pallas kernels exist only up to
+                # STREAM_MAX_T — beyond it attention would silently fall back
+                # to an XLA [B, T, T] score tensor (~3 GB/layer at T=4096)
+                raise ValueError(
+                    f"pack_sequences packs into the largest bucket "
+                    f"({max(tc.buckets)}), but packed attention kernels stop "
+                    f"at T={STREAM_MAX_T} — shrink TrainConfig.buckets or "
+                    f"disable packing for long-video configs"
+                )
         self.train_loader = BatchLoader(
             train_ds,
             batch_size=tc.batch_size,
@@ -374,19 +388,23 @@ class Trainer:
                 "gt_segments": sample.get("gt_segments") or [],
             }
 
-        def staged():
+        def staged(stage_idx):
             # Host staging for batch i+1 overlaps device compute for batch i
             # via score_stream's in-flight window; the native whole-batch
             # loader (RepurposeDataset.load_batch) skips per-sample numpy
             # round-trips where it applies.
-            for i0 in range(0, len(my_idx), bs):
-                idxs = my_idx[i0 : i0 + bs]
+            for i0 in range(0, len(stage_idx), bs):
+                idxs = stage_idx[i0 : i0 + bs]
                 batch = None
                 if hasattr(ds, "load_batch"):
                     batch = ds.load_batch(idxs, buckets, bs)
                 if batch is not None and entries is not None:
                     metas = [meta_for(i) for i in idxs]
                 else:
+                    # datasets with load_batch but no entries would re-read
+                    # features here just for metas; none exist today
+                    # (RepurposeDataset carries entries) — if one appears,
+                    # give it a light per-sample metadata accessor
                     samples = [ds[i] for i in idxs]
                     if batch is None:
                         batch = collate(samples, buckets, bs)
@@ -401,87 +419,85 @@ class Trainer:
                     batch.durations, [m["video_id"] for m in metas],
                 )
 
-        def staged_packed():
-            # SEQUENCE-PACKED staging: group the shard by bucket via
-            # ds.lengths() (no feature load), FFD-plan each bucket, then load
-            # only each batch's videos and pack them. Same overlap contract —
-            # score_packed_stream keeps ``depth`` batches in flight.
-            from repurpose_tpu.data.batching import (
-                pack_batch, packing_layout, pick_bucket, plan_packing,
-            )
+        def staged_packed(stage_idx, lens):
+            # SEQUENCE-PACKED staging: plan FFD from ds.lengths() (no
+            # feature load), then load only each batch's videos and pack
+            # them (data/batching.py:iter_packed_batches). Same overlap
+            # contract — score_packed_stream keeps ``depth`` batches in
+            # flight.
+            from repurpose_tpu.data.batching import iter_packed_batches
 
-            lens = ds.lengths()
-            groups: dict[int, list[int]] = {}
-            for i in my_idx:
-                groups.setdefault(pick_bucket(lens[i], buckets), []).append(i)
-            for bucket in sorted(groups):
-                g = groups[bucket]
-                durs = [min(lens[i], bucket) for i in g]
-                row_batches = plan_packing(durs, bucket, bs)
-                # static per-bucket video capacity -> one program per bucket
-                cap = max(sum(len(r) for r in rows) for rows in row_batches)
-                cap = -(-cap // 8) * 8
-                for rows in row_batches:
-                    needed = sorted({j for row in rows for j in row})
-                    lmap = {j: k for k, j in enumerate(needed)}
-                    samples = [ds[g[j]] for j in needed]
-                    rows_l = [[lmap[j] for j in row] for row in rows]
-                    durs_l = [durs[j] for j in needed]
-                    batch = pack_batch(samples, rows_l, bucket, batch_size=bs)
-                    sidx, row_of, start, length = packing_layout(
-                        rows_l, durs_l, bucket
+            for batch, layout, gidx, samples in iter_packed_batches(
+                lambda i: ds[i], lens, buckets, bs, indices=stage_idx
+            ):
+                metas = []
+                for i, s in zip(gidx, samples):  # packed (row-major) order
+                    m = meta_for(i, s)
+                    d_k = min(int(s["duration"]), batch.visual.shape[1])
+                    m["labels_row"] = s.get("labels", np.zeros(d_k, np.float32))
+                    m["segments_row"] = s.get(
+                        "segments", np.zeros((d_k, 2), np.float32)
                     )
-                    pad = cap - len(sidx)
-                    row_of, start, length = (
-                        np.pad(a, (0, pad)) for a in (row_of, start, length)
-                    )
-                    metas = []
-                    for k in sidx:  # local sample index, packed order
-                        m = meta_for(g[needed[k]], samples[k])
-                        d_k = int(durs_l[k])
-                        m["labels_row"] = samples[k].get(
-                            "labels", np.zeros(d_k, np.float32)
-                        )
-                        m["segments_row"] = samples[k].get(
-                            "segments", np.zeros((d_k, 2), np.float32)
-                        )
-                        m["duration"] = d_k
-                        metas.append(m)
-                    meta_fifo.append(metas)
-                    yield batch, (row_of, start, length), [
-                        m["video_id"] for m in metas
-                    ]
+                    m["duration"] = d_k
+                    metas.append(m)
+                meta_fifo.append(metas)
+                yield batch, layout, [m["video_id"] for m in metas]
 
-        stream = (
-            pipeline.score_packed_stream(staged_packed(), params=params)
-            if use_pack
-            else pipeline.score_stream(staged(), params=params)
-        )
-        for results in stream:
-            metas = meta_fifo.pop(0)
-            for meta, r in zip(metas, results):
-                tiou = calculate_tiou(
-                    meta["gt_segments"], r["segments"].tolist(), TIOU_THRESHOLDS
+        def consume(stream):
+            nonlocal count
+            for results in stream:
+                metas = meta_fifo.pop(0)
+                for meta, r in zip(metas, results):
+                    tiou = calculate_tiou(
+                        meta["gt_segments"], r["segments"].tolist(),
+                        TIOU_THRESHOLDS,
+                    )
+                    for t in TIOU_THRESHOLDS:
+                        sums[t] += tiou[t]
+                    count += 1
+                    if (
+                        debugger is not None
+                        and len(debugger.samples) < max_debug_samples
+                    ):
+                        d = meta["duration"]
+                        x = np.asarray(r["raw_logits"], np.float64)
+                        probs = np.where(  # overflow-safe sigmoid
+                            x >= 0, 1.0 / (1.0 + np.exp(-np.abs(x))),
+                            np.exp(-np.abs(x)) / (1.0 + np.exp(-np.abs(x))),
+                        )
+                        debugger.add_sample(
+                            meta["video_id"],
+                            probs=probs,
+                            offsets=r["raw_offsets"],
+                            gt_labels=np.asarray(meta["labels_row"])[:d],
+                            gt_offsets=np.asarray(meta["segments_row"])[:d],
+                            pred_segments=r["segments"],
+                            gt_segments=meta["gt_segments"],
+                        )
+
+        if use_pack:
+            # videos routing past the packed kernels' reach (> STREAM_MAX_T)
+            # score unpacked — packed attention there would fall back to an
+            # XLA [B, T, T] score tensor (see mha_pallas)
+            from repurpose_tpu.data.batching import pick_bucket
+            from repurpose_tpu.ops.flash_attention import STREAM_MAX_T
+
+            lens = [int(t) for t in ds.lengths()]
+            pack_idx = [
+                i for i in my_idx
+                if pick_bucket(lens[i], buckets) <= STREAM_MAX_T
+            ]
+            pack_set = set(pack_idx)
+            rest_idx = [i for i in my_idx if i not in pack_set]
+            consume(
+                pipeline.score_packed_stream(
+                    staged_packed(pack_idx, lens), params=params
                 )
-                for t in TIOU_THRESHOLDS:
-                    sums[t] += tiou[t]
-                count += 1
-                if debugger is not None and len(debugger.samples) < max_debug_samples:
-                    d = meta["duration"]
-                    x = np.asarray(r["raw_logits"], np.float64)
-                    probs = np.where(  # overflow-safe sigmoid
-                        x >= 0, 1.0 / (1.0 + np.exp(-np.abs(x))),
-                        np.exp(-np.abs(x)) / (1.0 + np.exp(-np.abs(x))),
-                    )
-                    debugger.add_sample(
-                        meta["video_id"],
-                        probs=probs,
-                        offsets=r["raw_offsets"],
-                        gt_labels=np.asarray(meta["labels_row"])[:d],
-                        gt_offsets=np.asarray(meta["segments_row"])[:d],
-                        pred_segments=r["segments"],
-                        gt_segments=meta["gt_segments"],
-                    )
+            )
+            if rest_idx:
+                consume(pipeline.score_stream(staged(rest_idx), params=params))
+        else:
+            consume(pipeline.score_stream(staged(my_idx), params=params))
         if debugger is not None:
             paths = debugger.render(max_debug_samples)
             debugger.write_log()

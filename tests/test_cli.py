@@ -1,0 +1,78 @@
+"""CLI smoke tests: drive the root inference.py as a subprocess on CPU with a
+tiny config — the same surface a user runs (the reference's standalone
+inference.py, /root/reference/inference.py:23-55). Packed and unpacked runs
+must produce the same ranked-clip manifest."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_YAML = """
+train_dataset: {label_path: data/train.json, video_path: v, audio_path: a, text_path: t}
+val_dataset: {label_path: data/val.json, video_path: v, audio_path: a, text_path: t}
+test_dataset: {label_path: data/test.json, video_path: v, audio_path: a, text_path: t}
+model:
+  vis_dim: 8
+  aud_dim: 12
+  text_dim: 6
+  d_model: 32
+  self_num_layers: 1
+  num_heads: 2
+train:
+  seed: 7
+  lr: 0.001
+  epochs: 1
+  weight_decay: 0.0
+  warmup_epochs: 0
+  save_epochs: 1
+  batch_size: 2
+  eval_freq: 0
+  intra_epoch_eval_freq: 0
+test_cfg:
+  pre_nms_topk: 16
+  pre_nms_thresh: 0.3
+  duration_thresh: 1
+  duration_thresh_max: 90
+  max_seg_per_min: 2.0
+  nms_sigma: 0.5
+  min_score: 0.01
+tpu:
+  buckets: [64, 128]
+  compute_dtype: float32
+  attention_impl: xla
+  matmul_precision: highest
+"""
+
+
+def _run(cfg_path, out_path, extra):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "inference.py"),
+         "--config_path", cfg_path, "--synthetic", "6",
+         "--export", out_path, *extra],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "mean precision@tIoU" in r.stdout
+    return json.load(open(out_path))
+
+
+@pytest.mark.slow
+def test_inference_cli_pack_matches_unpacked(tmp_path):
+    cfg_path = str(tmp_path / "tiny.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_YAML)
+    plain = _run(cfg_path, str(tmp_path / "plain.json"), [])
+    packed = _run(cfg_path, str(tmp_path / "packed.json"), ["--pack"])
+    assert len(plain) == len(packed) > 0
+    for a, b in zip(plain, packed):
+        assert a["video_id"] == b["video_id"]
+        np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
+        np.testing.assert_allclose(a["start"], b["start"], atol=1e-4)
+        np.testing.assert_allclose(a["end"], b["end"], atol=1e-4)

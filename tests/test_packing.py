@@ -296,6 +296,44 @@ def test_score_videos_packed_matches_unpacked():
         np.testing.assert_array_equal(g["labels"], r["labels"])
 
 
+def test_score_videos_packed_long_bucket_fallback(monkeypatch):
+    """Videos routing to buckets past the packed kernels' reach
+    (> STREAM_MAX_T) must score UNPACKED inside score_videos(pack=True) —
+    never through the XLA [B, T, T] packed fallback — and every video must
+    still get its (identical) result."""
+    import repurpose_tpu.ops.flash_attention as fa
+    from repurpose_tpu.config import TestConfig
+    from repurpose_tpu.infer import InferencePipeline
+    from repurpose_tpu.models import init_model_params
+
+    monkeypatch.setattr(fa, "STREAM_MAX_T", 64)  # bucket 128 is now "long"
+    cfg = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=6, d_model=32,
+        self_num_layers=1, num_heads=2, d_ff=64, hidden_dim=16, dropout=0.0,
+        compute_dtype="float32", attention_impl="xla",
+        matmul_precision="highest",
+    )
+    tcfg = TestConfig(pre_nms_thresh=0.3, pre_nms_topk=16, min_score=0.01)
+    model = build_model(cfg)
+    params = init_model_params(model, cfg, jax.random.key(0), bucket=64)
+    rng = np.random.default_rng(7)
+    videos = []
+    for i, ln in enumerate([30, 20, 110, 25, 90]):  # 110/90 -> bucket 128
+        videos.append({
+            "visual": rng.normal(0, 1, (ln, 8)).astype(np.float32) * 2,
+            "audio": rng.normal(0, 1, (ln, 12)).astype(np.float32),
+            "text": rng.normal(0, 1, (ln, 6)).astype(np.float32),
+            "video_id": f"v{i}",
+        })
+    pipe = InferencePipeline(cfg, params, tcfg)
+    ref = pipe.score_videos(videos, buckets=(64, 128), batch_size=2)
+    got = pipe.score_videos(videos, buckets=(64, 128), batch_size=2, pack=True)
+    assert [g["video_id"] for g in got] == [r["video_id"] for r in ref]
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g["segments"], r["segments"], atol=1e-5)
+        np.testing.assert_allclose(g["scores"], r["scores"], atol=1e-5)
+
+
 def test_packed_metrics_count_videos():
     """n_real counts packed SEGMENTS (videos), not rows."""
     cfg = ModelConfig(

@@ -102,8 +102,7 @@ def main() -> None:
     pdurs: list[int] = []
     for d in pool * 4:
         cand = pdurs + [int(d)]
-        plan = plan_packing(cand, BUCKET, BATCH)
-        if len(plan) > 1 or len(plan[0]) > BATCH:
+        if len(plan_packing(cand, BUCKET, BATCH)) > 1:
             continue  # doesn't fit this batch; try a different duration
         pdurs = cand
         # stop at the split-wide FFD fill (92.5% over all of val.json) —

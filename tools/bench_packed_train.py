@@ -122,8 +122,7 @@ def main() -> None:
     pdurs: list[int] = []
     for d in pool * 4:
         cand = pdurs + [int(d)]
-        plan = plan_packing(cand, BUCKET, BATCH)
-        if len(plan) > 1 or len(plan[0]) > BATCH:
+        if len(plan_packing(cand, BUCKET, BATCH)) > 1:
             continue
         pdurs = cand
         if sum(pdurs) >= 0.925 * BATCH * BUCKET:
