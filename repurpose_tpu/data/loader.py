@@ -114,6 +114,19 @@ class BatchLoader:
             elif self.process_count > 1:
                 # each process needs >= 1 row to derive dims from
                 packed = [b for b in packed if len(b[1]) >= self.process_count]
+            if epoch == 0 and packed:  # packing efficiency, once per run
+                import logging
+
+                rows = [r for _, batch_rows in packed for r in batch_rows]
+                fill = sum(
+                    min(self._lengths[i], bucket) for r in rows for i in r
+                ) / (len(rows) * bucket)
+                logging.getLogger(__name__).info(
+                    "sequence packing: %d videos in %d rows of %d "
+                    "(%.2f videos/row, fill %.1f%%)",
+                    sum(len(r) for r in rows), len(rows), bucket,
+                    sum(len(r) for r in rows) / len(rows), 100 * fill,
+                )
             return packed
         batches: list[tuple[int, list[int]]] = []
         if self._lengths is None:
