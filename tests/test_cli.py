@@ -65,6 +65,42 @@ def _run(cfg_path, out_path, extra):
 
 
 @pytest.mark.slow
+def test_preflight_cli(tmp_path):
+    """preflight.py passes all checks on the virtual CPU mesh and writes the
+    machine-readable report (the reference's detect_gpu_setup.py +
+    test_multi_gpu.py pre-flight zoo, collapsed)."""
+    out = str(tmp_path / "preflight.json")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "preflight.py"),
+         "--output-json", out],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    report = json.load(open(out))
+    assert all(c["passed"] for c in report), report
+
+
+@pytest.mark.slow
+def test_analyze_cli_synthetic(tmp_path):
+    """analyze.py produces projection + correlation artifacts from synthetic
+    features (the reference's visualize_features.py /
+    modality_correlation_analysis.py standalone scripts)."""
+    out = str(tmp_path / "analysis")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", MPLBACKEND="Agg")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "analyze.py"),
+         "--synthetic", "4", "--videos", "3", "--output-dir", out],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    produced = []
+    for root, _, files in os.walk(out):
+        produced += files
+    assert produced, "analyze.py wrote no artifacts"
+
+
+@pytest.mark.slow
 def test_train_cli_synthetic_packed(tmp_path):
     """train.py runs an epoch end-to-end as a subprocess (synthetic data,
     tiny dims) with sequence packing on — the reference's `python main.py`
