@@ -100,6 +100,30 @@ def test_analyze_cli_synthetic(tmp_path):
     assert produced, "analyze.py wrote no artifacts"
 
 
+def test_preprocess_cli_split(tmp_path):
+    """preprocess.py --split shards a dataset JSON into chunk files + manifest
+    (the reference's preprocessing/split_dataset.py SLURM fan-out)."""
+    entries = [
+        {"youtube_id": f"vid{i}", "timeRange": [0, 60], "segmentsOffset": []}
+        for i in range(7)
+    ]
+    split_json = str(tmp_path / "split.json")
+    with open(split_json, "w") as f:
+        json.dump(entries, f)
+    out = str(tmp_path / "chunks")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "preprocess.py"),
+         "--split", split_json, "--chunk-size", "3", "--out", out],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    chunks = [f for f in os.listdir(out) if "chunk" in f and f.endswith(".json")]
+    assert len(chunks) == 3  # ceil(7 / 3)
+    total = sum(len(json.load(open(os.path.join(out, c)))) for c in chunks)
+    assert total == 7
+
+
 @pytest.mark.slow
 def test_train_cli_synthetic_packed(tmp_path):
     """train.py runs an epoch end-to-end as a subprocess (synthetic data,
