@@ -172,9 +172,13 @@ class MeshConfig:
     data: int = -1
     model: int = 1
     seq: int = 1
+    pipe: int = 1
+    """Pipeline stages (parallel/pipeline.py) — the encoder's layer stack
+    sharded over this axis, microbatches streamed GPipe-style. Capability
+    the reference lacks (its parallelism is DP/DDP only)."""
 
-    def axis_sizes(self, n_devices: int) -> tuple[int, int, int]:
-        sizes = [self.data, self.model, self.seq]
+    def axis_sizes(self, n_devices: int) -> tuple[int, int, int, int]:
+        sizes = [self.data, self.model, self.seq, self.pipe]
         n_fixed = 1
         free = None
         for i, s in enumerate(sizes):
@@ -190,7 +194,7 @@ class MeshConfig:
                     f"{n_devices} devices not divisible by fixed axes {n_fixed}"
                 )
             sizes[free] = n_devices // n_fixed
-        if sizes[0] * sizes[1] * sizes[2] != n_devices:
+        if sizes[0] * sizes[1] * sizes[2] * sizes[3] != n_devices:
             raise ValueError(
                 f"mesh {tuple(sizes)} does not cover {n_devices} devices"
             )
@@ -278,7 +282,7 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
         {k: tpu[k] for k in
          ("buckets", "loss_norm", "reg_loss_weight", "pack_sequences") if k in tpu}
     )
-    mesh_raw = {k: tpu[k] for k in ("data", "model", "seq") if k in tpu}
+    mesh_raw = {k: tpu[k] for k in ("data", "model", "seq", "pipe") if k in tpu}
     if "mesh" in tpu:
         mesh_raw = dict(tpu["mesh"])
 

@@ -3,6 +3,10 @@ from repurpose_tpu.parallel.mesh import (  # noqa: F401
     describe_mesh,
     mesh_self_check,
 )
+from repurpose_tpu.parallel.pipeline import (  # noqa: F401
+    PipelinedMMCT,
+    pipeline_forward,
+)
 from repurpose_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
     param_sharding_rules,

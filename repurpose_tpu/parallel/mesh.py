@@ -10,7 +10,9 @@ axes are
 - ``model`` : tensor parallelism over attention heads / FFN hidden
   (capability the reference lacks),
 - ``seq``   : sequence sharding for very long videos (capability the
-  reference lacks).
+  reference lacks),
+- ``pipe``  : pipeline stages — encoder layers sharded, microbatches
+  streamed GPipe-style (parallel/pipeline.py; also absent upstream).
 
 jit + NamedSharding makes XLA insert the all-reduces the reference ran
 through NCCL; metric averaging (reference reduce_tensor,
@@ -39,7 +41,7 @@ from repurpose_tpu.config import MeshConfig
 
 logger = logging.getLogger(__name__)
 
-AXES = ("data", "model", "seq")
+AXES = ("data", "model", "seq", "pipe")
 
 
 def maybe_initialize_distributed() -> None:
@@ -67,14 +69,14 @@ def maybe_initialize_distributed() -> None:
 def create_mesh(
     mesh_cfg: MeshConfig | None = None, devices: Sequence[jax.Device] | None = None
 ) -> Mesh:
-    """Build a (data, model, seq) mesh over the given devices (default: all)."""
+    """Build a (data, model, seq, pipe) mesh over the given devices (default: all)."""
     mesh_cfg = mesh_cfg or MeshConfig()
     if devices is None:
         devices = jax.devices()
-    if -1 not in (mesh_cfg.data, mesh_cfg.model, mesh_cfg.seq):
+    if -1 not in (mesh_cfg.data, mesh_cfg.model, mesh_cfg.seq, mesh_cfg.pipe):
         # All axes fixed: use exactly that many devices (e.g. data=1 pins
         # single-device training on a multi-device host).
-        need = mesh_cfg.data * mesh_cfg.model * mesh_cfg.seq
+        need = mesh_cfg.data * mesh_cfg.model * mesh_cfg.seq * mesh_cfg.pipe
         if need > len(devices):
             raise ValueError(f"mesh needs {need} devices, have {len(devices)}")
         devices = devices[:need]
@@ -103,7 +105,7 @@ def mesh_self_check(mesh: Mesh) -> int:
 
     ones = jax.device_put(
         np.ones((n,), np.float32),
-        NamedSharding(mesh, P(("data", "model", "seq"))),
+        NamedSharding(mesh, P(AXES)),
     )
     total = int(_sum(ones))
     if total != n:

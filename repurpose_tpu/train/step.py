@@ -110,6 +110,7 @@ def make_train_step(
     per_layer_grad_norms: bool = False,
     grad_histograms: bool = False,
     mesh=None,
+    model=None,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
@@ -122,8 +123,12 @@ def make_train_step(
     equivalent (reference main.py:264). Label both with
     ``kernel_layer_names(params)``. Device-side cost of either is O(n_params),
     negligible next to the model pass; outputs stay on device until fetched.
+    ``model`` overrides the forward implementation (same ``.apply`` signature)
+    — parallel/pipeline.py:PipelinedMMCT uses it to run the pipelined encoder
+    with the rest of the step (loss, Adam, telemetry) unchanged.
     """
-    model = build_model(model_cfg, mesh=mesh)
+    if model is None:
+        model = build_model(model_cfg, mesh=mesh)
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -173,10 +178,13 @@ def param_histograms(params) -> dict:
     return {"counts": jnp.stack(counts), "edges": jnp.stack(edges)}
 
 
-def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig, mesh=None) -> Callable:
+def make_eval_step(
+    model_cfg: ModelConfig, train_cfg: TrainConfig, mesh=None, model=None
+) -> Callable:
     """Loss-only evaluation step (the reference's intra-epoch val probe,
     main.py:414-490): (params, batch) -> metrics."""
-    model = build_model(model_cfg, mesh=mesh)
+    if model is None:
+        model = build_model(model_cfg, mesh=mesh)
 
     def eval_step(params, batch: Batch):
         _, aux = _loss_fn(model, train_cfg, params, batch, None, False)

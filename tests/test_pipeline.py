@@ -1,0 +1,160 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the virtual 8-device mesh.
+
+The reference has no pipeline parallelism (its distributed story is DP/DDP
+replication, utils/distributed.py:242-625); these tests pin the capability
+addition: a GPipe schedule over the ``pipe`` mesh axis must reproduce the
+unpipelined model exactly — forward values AND training trajectories."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from repurpose_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from repurpose_tpu.data.batching import collate
+from repurpose_tpu.data.synthetic import SyntheticDataset
+from repurpose_tpu.models.mmct import MMCT
+from repurpose_tpu.parallel.mesh import create_mesh
+from repurpose_tpu.parallel.pipeline import (
+    PipelinedMMCT,
+    pipeline_forward,
+    stack_layer_params,
+    unstack_layer_params,
+    validate_pipeline,
+)
+from repurpose_tpu.train.state import create_train_state
+from repurpose_tpu.train.step import make_train_step
+
+CFG = ModelConfig(
+    vis_dim=16, aud_dim=24, text_dim=8, d_model=32, self_num_layers=4,
+    num_heads=4, d_ff=64, hidden_dim=16, compute_dtype="float32",
+    attention_impl="xla", dropout=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return create_mesh(MeshConfig(data=2, model=1, seq=1, pipe=4))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return MMCT(CFG).init_params(jax.random.key(0), bucket=32)
+
+
+def _inputs(rng, b=8, t=32):
+    lens = rng.integers(1, t + 1, size=b)
+    lens[0] = t
+    return (
+        jnp.asarray(rng.normal(size=(b, t, CFG.vis_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, t, CFG.aud_dim)), jnp.float32),
+        jnp.asarray(rng.normal(size=(b, t, CFG.text_dim)), jnp.float32),
+        jnp.asarray(np.arange(t)[None, :] < lens[:, None]),
+    )
+
+
+def test_forward_matches_unpipelined(mesh, params, rng):
+    v, a, t, mask = _inputs(rng)
+    ref = MMCT(CFG).apply({"params": params}, v, a, t, mask, True)
+    for m in (1, 2, 4):
+        out = jax.jit(
+            lambda p, *xs, m=m: pipeline_forward(CFG, mesh, m, p, *xs)
+        )(params, v, a, t, mask)
+        np.testing.assert_allclose(out.cls_logits, ref.cls_logits, atol=2e-5)
+        np.testing.assert_allclose(out.offsets, ref.offsets, atol=2e-5)
+
+
+def test_forward_matches_packed(mesh, params, rng):
+    """seg_ids / positions (sequence packing) ride through the pipeline."""
+    b, t = 8, 32
+    v, a, tx, _ = _inputs(rng, b, t)
+    # two videos per row: [0..19] is video 0, [20..32) is video 1
+    seg_ids = jnp.asarray(np.where(np.arange(t) < 20, 0, 1)[None].repeat(b, 0))
+    positions = jnp.asarray(
+        np.where(np.arange(t) < 20, np.arange(t), np.arange(t) - 20)[None].repeat(b, 0)
+    )
+    mask = jnp.ones((b, t), bool)
+    ref = MMCT(CFG).apply(
+        {"params": params}, v, a, tx, mask, True,
+        seg_ids=seg_ids, positions=positions,
+    )
+    out = jax.jit(
+        lambda p, *xs: pipeline_forward(
+            CFG, mesh, 2, p, *xs, seg_ids=seg_ids, positions=positions
+        )
+    )(params, v, a, tx, mask)
+    np.testing.assert_allclose(out.cls_logits, ref.cls_logits, atol=2e-5)
+
+
+def test_train_trajectory_matches_unpipelined(mesh):
+    """3 train steps through make_train_step(model=PipelinedMMCT) == the plain
+    single-device steps (dropout 0 — pipelined dropout draws differ by
+    design, parallel/pipeline.py module docstring)."""
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    ds = SyntheticDataset([32 - i for i in range(8)], CFG, seed=0)
+    batch = collate([ds[i] for i in range(8)], tc.buckets, 8)
+
+    state0, tx, sched = create_train_state(CFG, tc, steps_per_epoch=3, rng=jax.random.key(1))
+    plain = make_train_step(CFG, tc, tx, sched, donate=False)
+    piped = make_train_step(
+        CFG, tc, tx, sched, donate=False, model=PipelinedMMCT(CFG, mesh, 2)
+    )
+    rng = jax.random.key(7)
+    s_a = s_b = state0
+    for _ in range(3):
+        s_a, m_a = plain(s_a, batch, rng)
+        s_b, m_b = piped(s_b, batch, rng)
+        assert np.isfinite(float(m_b["loss"]))
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    # Adam normalizes gradients to +-lr, so fp32 reduction-order noise on
+    # near-zero grads shows up at O(1e-4) after 3 steps; the per-step loss
+    # rtol above is the tight check, the param check bounds divergence well
+    # under the ~6e-3 total parameter motion.
+    for la, lb in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(la, lb, atol=5e-4)
+
+
+def test_dropout_pipeline_trains(mesh):
+    """With dropout ON the pipelined step still trains (finite, param delta)."""
+    cfg = dataclasses.replace(CFG, dropout=0.1)
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    ds = SyntheticDataset([32] * 8, cfg, seed=0)
+    batch = collate([ds[i] for i in range(8)], tc.buckets, 8)
+    state, tx, sched = create_train_state(cfg, tc, steps_per_epoch=2, rng=jax.random.key(1))
+    step = make_train_step(
+        cfg, tc, tx, sched, donate=False, model=PipelinedMMCT(cfg, mesh, 4)
+    )
+    new_state, metrics = step(state, batch, jax.random.key(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_stack_roundtrip(params):
+    stacked = stack_layer_params(params, CFG.self_num_layers)
+    back = unstack_layer_params(stacked, CFG.self_num_layers)
+    for i in range(CFG.self_num_layers):
+        for la, lb in zip(
+            jax.tree.leaves(params["encoder"][f"layer_{i}"]),
+            jax.tree.leaves(back[f"layer_{i}"]),
+        ):
+            np.testing.assert_array_equal(la, lb)
+
+
+def test_validation_errors(mesh):
+    # batch not divisible by dp * microbatches
+    with pytest.raises(ValueError, match="not divisible"):
+        validate_pipeline(CFG, mesh, 3, 8)
+    # layers not divisible by stages
+    bad = dataclasses.replace(CFG, self_num_layers=6)
+    with pytest.raises(ValueError, match="layers not divisible"):
+        validate_pipeline(bad, mesh, 2, 8)
+    # ring attention can't ride the pipe axis
+    ring = dataclasses.replace(CFG, attention_impl="ring")
+    with pytest.raises(ValueError, match="ring"):
+        validate_pipeline(ring, mesh, 2, 8)
+    # tp/sp axes don't compose with pipe
+    tp_mesh = create_mesh(MeshConfig(data=2, model=2, seq=1, pipe=2))
+    with pytest.raises(ValueError, match="data axis only"):
+        validate_pipeline(CFG, tp_mesh, 2, 8)

@@ -30,8 +30,9 @@ TRAIN = TrainConfig(batch_size=8, buckets=(64,), epochs=1)
 
 
 def test_mesh_axis_sizes():
-    assert MeshConfig(data=-1, model=2).axis_sizes(8) == (4, 2, 1)
-    assert MeshConfig(data=2, model=2, seq=2).axis_sizes(8) == (2, 2, 2)
+    assert MeshConfig(data=-1, model=2).axis_sizes(8) == (4, 2, 1, 1)
+    assert MeshConfig(data=2, model=2, seq=2).axis_sizes(8) == (2, 2, 2, 1)
+    assert MeshConfig(data=-1, pipe=4).axis_sizes(8) == (2, 1, 1, 4)
     with pytest.raises(ValueError):
         MeshConfig(data=3).axis_sizes(8)
 
