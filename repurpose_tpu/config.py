@@ -145,6 +145,12 @@ class TrainConfig:
     loss_norm="batch_size" so the loss normalizes by the true video count
     (config_batch_size would divide by rows). The reference has no packing —
     it pads every video to the batch max (dataset/RepurposeClip.py:449-533)."""
+    pipeline_microbatches: int = 2
+    """GPipe microbatches per step when the mesh has a ``pipe`` axis > 1
+    (parallel/pipeline.py). More microbatches shrink the pipeline bubble
+    ((stages-1)/(microbatches+stages-1)) at the cost of smaller per-stage
+    matmuls; batch_size must divide data_axis x microbatches. Ignored on
+    pipe=1 meshes."""
     rng_impl: str = "rbg"
     """PRNG for the per-step dropout keys. "rbg" (XLA RngBitGenerator) makes
     the flagship train step 30% faster on v5e than JAX's default threefry
@@ -161,6 +167,10 @@ class TrainConfig:
             raise ValueError(f"bad loss_norm: {self.loss_norm}")
         if self.rng_impl not in ("rbg", "threefry"):
             raise ValueError(f"bad rng_impl: {self.rng_impl}")
+        if self.pipeline_microbatches < 1:
+            raise ValueError(
+                f"pipeline_microbatches must be >= 1, got {self.pipeline_microbatches}"
+            )
 
 
 @dataclass(frozen=True)
@@ -280,7 +290,8 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
     train_raw = dict(raw.get("train") or {})
     train_raw.update(
         {k: tpu[k] for k in
-         ("buckets", "loss_norm", "reg_loss_weight", "pack_sequences") if k in tpu}
+         ("buckets", "loss_norm", "reg_loss_weight", "pack_sequences",
+          "pipeline_microbatches") if k in tpu}
     )
     mesh_raw = {k: tpu[k] for k in ("data", "model", "seq", "pipe") if k in tpu}
     if "mesh" in tpu:

@@ -115,6 +115,21 @@ class Trainer:
             cfg.model, tc, steps_per_epoch, rng, mesh=model_mesh
         )
         self.state = self._place(state)
+        # Pipe axis > 1: swap the forward for the GPipe-pipelined one
+        # (parallel/pipeline.py); loss/Adam/telemetry below are unchanged.
+        pp_model = None
+        if dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get("pipe", 1) > 1:
+            from repurpose_tpu.parallel.pipeline import PipelinedMMCT, validate_pipeline
+
+            validate_pipeline(
+                cfg.model, self.mesh, tc.pipeline_microbatches, tc.batch_size
+            )
+            pp_model = PipelinedMMCT(cfg.model, self.mesh, tc.pipeline_microbatches)
+            logger.info(
+                "pipeline parallelism: %d stages x %d microbatches",
+                dict(zip(self.mesh.axis_names, self.mesh.devices.shape))["pipe"],
+                tc.pipeline_microbatches,
+            )
         # Three compiled steps, matching the observability cadences: per-layer
         # grad norms are logged 1/10 steps (reference main.py:345-367) and
         # histograms 1/1000 (wandb.watch cadence). Device-side the telemetry
@@ -123,18 +138,18 @@ class Trainer:
         # split's real effect is skipping the off-cadence host FETCHES of
         # unconsumed telemetry buffers, which ride this box's tunnel RPC.
         self.train_step = make_train_step(
-            cfg.model, tc, tx, schedule, mesh=model_mesh,
+            cfg.model, tc, tx, schedule, mesh=model_mesh, model=pp_model,
             per_layer_grad_norms=False, grad_histograms=False,
         )
         self.train_step_norms = make_train_step(
-            cfg.model, tc, tx, schedule, mesh=model_mesh,
+            cfg.model, tc, tx, schedule, mesh=model_mesh, model=pp_model,
             per_layer_grad_norms=True, grad_histograms=False,
         )
         self.train_step_hist = make_train_step(
-            cfg.model, tc, tx, schedule, mesh=model_mesh,
+            cfg.model, tc, tx, schedule, mesh=model_mesh, model=pp_model,
             per_layer_grad_norms=True, grad_histograms=True,
         )
-        self.eval_step = make_eval_step(cfg.model, tc, mesh=model_mesh)
+        self.eval_step = make_eval_step(cfg.model, tc, mesh=model_mesh, model=pp_model)
         # rbg keys cut the step 30% on v5e (TrainConfig.rng_impl docstring)
         impl = "rbg" if tc.rng_impl == "rbg" else None
         self.step_rng = jax.random.key(tc.seed + 1, impl=impl)

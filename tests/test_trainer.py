@@ -182,3 +182,31 @@ def test_auto_resume_does_not_retry_nan(tmp_path):
     with _pytest.raises(FloatingPointError):
         fit_with_auto_resume(make_trainer, max_restarts=3)
     assert calls["n"] == 1
+
+
+def test_trainer_pipeline_mesh(tmp_path):
+    """MeshConfig.pipe > 1 routes training through the GPipe forward
+    (parallel/pipeline.py) end-to-end: one synthetic epoch trains with
+    finite losses and the val probe runs through the pipelined eval step."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        model=dataclasses.replace(CFG.model, self_num_layers=2),
+        train=dataclasses.replace(
+            CFG.train, batch_size=4, epochs=1, eval_freq=100,
+            intra_epoch_eval_freq=1, pipeline_microbatches=2,
+        ),
+        mesh=MeshConfig(data=2, pipe=2),
+    )
+    train_ds = SyntheticDataset([100, 90, 110, 95], cfg.model, seed=1)
+    val_ds = SyntheticDataset([80, 85, 70, 75], cfg.model, seed=2)
+    trainer = Trainer(cfg, str(tmp_path / "pp"), train_ds, val_ds, self_check=True)
+    trainer.fit()
+    assert int(trainer.state.step) == trainer.steps_per_epoch
+    lines = [
+        json.loads(l) for l in open(os.path.join(str(tmp_path / "pp"), "metrics.jsonl"))
+    ]
+    losses = [l["batch/loss"] for l in lines if "batch/loss" in l]
+    assert losses and all(np.isfinite(v) for v in losses)
+    assert any("val/loss" in l for l in lines)
