@@ -149,8 +149,9 @@ class TrainConfig:
     """GPipe microbatches per step when the mesh has a ``pipe`` axis > 1
     (parallel/pipeline.py). More microbatches shrink the pipeline bubble
     ((stages-1)/(microbatches+stages-1)) at the cost of smaller per-stage
-    matmuls; batch_size must divide data_axis x microbatches. Ignored on
-    pipe=1 meshes."""
+    matmuls; the global batch must be a multiple of
+    data_axis x microbatches, and the stage count must divide
+    self_num_layers. Ignored on pipe=1 meshes."""
     rng_impl: str = "rbg"
     """PRNG for the per-step dropout keys. "rbg" (XLA RngBitGenerator) makes
     the flagship train step 30% faster on v5e than JAX's default threefry

@@ -194,16 +194,22 @@ def _pipeline_encoder(
 
     # The dropout key rides through shard_map as raw uint32 data (typed key
     # arrays and their sharding specs don't mix reliably); the impl tag is
-    # static, captured here.
-    if det or rng is None:
-        rng = jax.random.key(0)
-        det = True
+    # static, captured here. (pipeline_forward already rejects
+    # deterministic=False without an rng.)
+    if det:
+        rng = jax.random.key(0)  # placeholder bits, never used
     key_impl = jax.random.key_impl(rng)
     raw_key = jax.random.key_data(rng)
 
     def shard_body(layers_loc, x_loc, mask_loc, seg_loc, raw):
         stage = jax.lax.axis_index("pipe")
-        rng_loc = jax.random.wrap_key_data(raw, impl=key_impl)
+        # Fold the data-shard index in so dropout masks are iid across the
+        # data axis (without this, every data shard would draw the same
+        # masks — correlated noise the unpipelined dp path doesn't have).
+        rng_loc = jax.random.fold_in(
+            jax.random.wrap_key_data(raw, impl=key_impl),
+            jax.lax.axis_index("data"),
+        )
         bl, t, d = x_loc.shape
         mb = bl // m_micro
         x_mb = x_loc.reshape(m_micro, mb, t, d)
@@ -301,6 +307,8 @@ def pipeline_forward(
     Value-identical to ``MMCT.apply`` when deterministic (pinned by
     tests/test_pipeline.py); with dropout the draws differ (module docstring).
     """
+    if not deterministic and rng is None:
+        raise ValueError("deterministic=False needs a dropout rng")
     validate_pipeline(cfg, mesh, n_microbatches, visual.shape[0])
     x = _embed(cfg, params, visual, audio, text, positions)
     stacked = stack_layer_params(params, cfg.self_num_layers)

@@ -106,9 +106,9 @@ class Trainer:
         steps_per_epoch = max(self.train_loader.batches_per_epoch(0), 1)
         self.steps_per_epoch = steps_per_epoch
         rng = jax.random.key(tc.seed)
+        mesh_axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
         self._seq_sharded = (
-            cfg.model.attention_impl == "ring"
-            and dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get("seq", 1) > 1
+            cfg.model.attention_impl == "ring" and mesh_axes.get("seq", 1) > 1
         )
         model_mesh = self.mesh if cfg.model.attention_impl == "ring" else None
         state, tx, schedule = create_train_state(
@@ -118,17 +118,19 @@ class Trainer:
         # Pipe axis > 1: swap the forward for the GPipe-pipelined one
         # (parallel/pipeline.py); loss/Adam/telemetry below are unchanged.
         pp_model = None
-        if dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get("pipe", 1) > 1:
+        if mesh_axes.get("pipe", 1) > 1:
             from repurpose_tpu.parallel.pipeline import PipelinedMMCT, validate_pipeline
 
+            # The jitted step sees the GLOBAL batch (batch_size is
+            # per-process, DistributedSampler semantics) — validate that.
             validate_pipeline(
-                cfg.model, self.mesh, tc.pipeline_microbatches, tc.batch_size
+                cfg.model, self.mesh, tc.pipeline_microbatches,
+                tc.batch_size * jax.process_count(),
             )
             pp_model = PipelinedMMCT(cfg.model, self.mesh, tc.pipeline_microbatches)
             logger.info(
                 "pipeline parallelism: %d stages x %d microbatches",
-                dict(zip(self.mesh.axis_names, self.mesh.devices.shape))["pipe"],
-                tc.pipeline_microbatches,
+                mesh_axes["pipe"], tc.pipeline_microbatches,
             )
         # Three compiled steps, matching the observability cadences: per-layer
         # grad norms are logged 1/10 steps (reference main.py:345-367) and
@@ -169,7 +171,7 @@ class Trainer:
         # same mesh) when shapes divide the mesh axes and eval is not the
         # per-process multi-host path; otherwise it falls back to gather
         # attention on replicated batches — same math, different partitioning.
-        axis = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        axis = mesh_axes
         ring_eval = (
             self._seq_sharded
             and jax.process_count() == 1

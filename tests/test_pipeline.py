@@ -158,3 +158,34 @@ def test_validation_errors(mesh):
     tp_mesh = create_mesh(MeshConfig(data=2, model=2, seq=1, pipe=2))
     with pytest.raises(ValueError, match="data axis only"):
         validate_pipeline(CFG, tp_mesh, 2, 8)
+
+
+def test_dropout_iid_across_data_shards(mesh, params, rng):
+    """Identical rows placed on different data shards must draw DIFFERENT
+    dropout masks (the pipeline folds the data-axis index into the key;
+    without it every shard repeats the same masks — review finding r3)."""
+    cfg = dataclasses.replace(CFG, dropout=0.5)
+    b, t = 8, 32
+    v, a, tx, _ = _inputs(rng, b, t)
+    # make all rows identical: shard 0 (rows 0-3) and shard 1 (rows 4-7)
+    rep = lambda z: jnp.broadcast_to(z[:1], z.shape)
+    v, a, tx = rep(v), rep(a), rep(tx)
+    mask = jnp.ones((b, t), bool)
+    out = jax.jit(
+        lambda p, *xs: pipeline_forward(
+            cfg, mesh, 2, p, *xs, deterministic=False, rng=jax.random.key(5)
+        )
+    )(params, v, a, tx, mask)
+    row_on_shard0 = out.cls_logits[0]
+    row_on_shard1 = out.cls_logits[4]
+    assert bool(jnp.any(row_on_shard0 != row_on_shard1))
+
+
+def test_nondeterministic_without_rng_rejected(mesh, params):
+    with pytest.raises(ValueError, match="rng"):
+        pipeline_forward(
+            CFG, mesh, 2, params,
+            jnp.zeros((8, 32, CFG.vis_dim)), jnp.zeros((8, 32, CFG.aud_dim)),
+            jnp.zeros((8, 32, CFG.text_dim)), jnp.ones((8, 32), bool),
+            deterministic=False,
+        )
