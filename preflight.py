@@ -78,6 +78,35 @@ def main() -> int:
         assert loss > 0 and loss < 1e9
         return f"loss={loss:.2f}"
 
+    if len(jax.devices()) >= 2 and len(jax.devices()) % 2 == 0:
+
+        @check("pipeline-parallel step (dp x pp)")
+        def _pipeline():
+            from repurpose_tpu.config import MeshConfig, ModelConfig, TrainConfig
+            from repurpose_tpu.data.batching import collate
+            from repurpose_tpu.data.synthetic import SyntheticDataset
+            from repurpose_tpu.parallel.mesh import create_mesh
+            from repurpose_tpu.parallel.pipeline import PipelinedMMCT
+            from repurpose_tpu.train.state import create_train_state
+            from repurpose_tpu.train.step import make_train_step
+
+            mesh = create_mesh(MeshConfig(data=-1, pipe=2))
+            dp = mesh.devices.size // 2
+            bs = dp * 2  # divisible by data axis x 2 microbatches
+            mc = ModelConfig(self_num_layers=2, attention_impl="xla")
+            tc = TrainConfig(batch_size=bs, buckets=(256,))
+            ds = SyntheticDataset([100 + i for i in range(bs)], mc, seed=0)
+            batch = collate([ds[i] for i in range(bs)], tc.buckets, bs)
+            state, tx, sched = create_train_state(mc, tc, 1, jax.random.key(0))
+            step = make_train_step(
+                mc, tc, tx, sched, donate=False,
+                model=PipelinedMMCT(mc, mesh, n_microbatches=2),
+            )
+            _, m = step(state, batch, jax.random.key(1))
+            loss = float(m["loss"])
+            assert loss > 0 and loss < 1e9
+            return f"stages=2 dp={dp} loss={loss:.2f}"
+
     @check("HBM capacity model")
     def _capacity():
         """Memory-requirement model (reference detect_gpu_setup.py:192-205):
