@@ -254,9 +254,15 @@ def iter_packed_batches(
             lmap = {j: k for k, j in enumerate(needed)}
             samples = [fetch(g[j]) for j in needed]
             rows_l = [[lmap[j] for j in row] for row in rows]
-            durs_l = [durs[j] for j in needed]
+            # Placement and layout MUST share one duration source: pack_batch
+            # lays videos head-to-tail by each fetched sample's own
+            # ``duration``, which can be shorter than the planning ``lengths``
+            # (dataset.lengths() is an upper bound — dataset.py:180). Deriving
+            # the layout from the planned lengths would shift every later
+            # video's unpacked span; use the actual durations for both.
+            actual = [min(int(s["duration"]), bucket) for s in samples]
             batch = pack_batch(samples, rows_l, bucket, batch_size=batch_size)
-            sidx, row_of, start, length = packing_layout(rows_l, durs_l, bucket)
+            sidx, row_of, start, length = packing_layout(rows_l, actual, bucket)
             pad = cap - len(sidx)
             row_of, start, length = (
                 np.pad(a, (0, pad)) for a in (row_of, start, length)

@@ -18,7 +18,40 @@ import numpy as np
 from repurpose_tpu.config import ModelConfig, TestConfig
 from repurpose_tpu.data.batching import pick_bucket
 from repurpose_tpu.models import build_model
-from repurpose_tpu.ops.decode import DecodeResult, decode_batch, unpack_rows
+from repurpose_tpu.ops.decode import (
+    DecodeResult,
+    decode_batch,
+    decode_packed,
+    unpack_rows,
+)
+
+
+class _SubsetVideos:
+    """Lazy index-subset view over a video sequence: items load only when
+    accessed (score_videos stages one batch at a time), and the parent's
+    planning lengths ride along so no feature is touched for bucket routing."""
+
+    def __init__(self, base, indices, lengths=None):
+        self._base = base
+        self._idx = list(indices)
+        self._lens = None if lengths is None else [lengths[i] for i in self._idx]
+        if self._lens is None and hasattr(base, "lengths"):
+            base_lens = list(base.lengths())
+            self._lens = [base_lens[i] for i in self._idx]
+
+    def __len__(self):
+        return len(self._idx)
+
+    def __getitem__(self, k):
+        return self._base[self._idx[k]]
+
+    def lengths(self):
+        if self._lens is None:  # last resort: measure from the features
+            self._lens = [
+                min(len(v["visual"]), len(v["audio"]), len(v["text"]))
+                for v in self
+            ]
+        return self._lens
 
 
 def _unpack(res: DecodeResult, durations, video_ids, raw=None) -> list[dict]:
@@ -117,12 +150,18 @@ class InferencePipeline:
                 {"params": params}, visual, audio, text, mask, True,
                 seg_ids=seg_ids, positions=positions,
             )
-            logits_v, mask_v = unpack_rows(out.cls_logits[..., 0], row_of, start, length)
-            offsets_v, _ = unpack_rows(out.offsets, row_of, start, length)
-            res = decode_batch(logits_v, offsets_v, mask_v, length, test_cfg)
             if raw_outputs:
+                # needs the unpacked intermediates for the debug consumers,
+                # so spell out decode_packed's body (ops/decode.py:166)
+                logits_v, mask_v = unpack_rows(
+                    out.cls_logits[..., 0], row_of, start, length
+                )
+                offsets_v, _ = unpack_rows(out.offsets, row_of, start, length)
+                res = decode_batch(logits_v, offsets_v, mask_v, length, test_cfg)
                 return res, (logits_v[..., None], offsets_v)
-            return res
+            return decode_packed(
+                out.cls_logits[..., 0], out.offsets, row_of, start, length, test_cfg
+            )
 
         self._fn_packed = _forward_and_decode_packed
 
@@ -212,11 +251,27 @@ class InferencePipeline:
                 "score_videos(pack=True) is not supported with a live "
                 "ring-attention mesh; scoring unpacked"
             )
+        import collections
+
         buckets = sorted(buckets)
+        # Bucket routing from lengths() when the sequence exposes it (lazy
+        # dataset-backed inputs: no feature load just to measure length);
+        # the per-video mask/duration below always comes from the features.
+        if hasattr(videos, "lengths"):
+            lens = [int(t) for t in videos.lengths()]
+        else:
+            lens = [
+                min(len(v["visual"]), len(v["audio"]), len(v["text"]))
+                for v in videos
+            ]
         groups: dict[int, list[int]] = {}
-        for i, v in enumerate(videos):
-            t = min(len(v["visual"]), len(v["audio"]), len(v["text"]))
+        for i, t in enumerate(lens):
             groups.setdefault(pick_bucket(t, buckets), []).append(i)
+
+        # Batches are built lazily and consumed through a FIFO so peak host
+        # memory is ``depth`` staged batches, never the whole corpus — the
+        # same contract as the packed path and inference.py's _LazyVideos.
+        chunk_fifo: collections.deque = collections.deque()
 
         def batches():
             for bucket in sorted(groups):
@@ -229,6 +284,7 @@ class InferencePipeline:
                     txt = np.zeros((b, bucket, self.cfg.text_dim), np.float32)
                     mask = np.zeros((b, bucket), bool)
                     durs = np.zeros(b, np.int32)
+                    ids = []
                     for r, i in enumerate(chunk):
                         v = videos[i]
                         t = min(
@@ -239,15 +295,14 @@ class InferencePipeline:
                         txt[r, :t] = v["text"][:t]
                         mask[r, :t] = True
                         durs[r] = t
-                    ids = [str(videos[i].get("video_id", i)) for i in chunk]
-                    yield (vis, aud, txt, mask, durs, ids), chunk
+                        ids.append(str(v.get("video_id", i)))
+                    chunk_fifo.append(chunk)  # appended at dispatch, FIFO
+                    yield (vis, aud, txt, mask, durs, ids)
 
         results: list[dict | None] = [None] * len(videos)
-        items = list(batches())
         # score_stream yields one result list per batch, in dispatch order
-        flat_iter = self.score_stream((it for it, _ in items), depth=depth, params=params)
-        for (_, chunk), batch_results in zip(items, flat_iter):
-            for i, r in zip(chunk, batch_results):
+        for batch_results in self.score_stream(batches(), depth=depth, params=params):
+            for i, r in zip(chunk_fifo.popleft(), batch_results):
                 results[i] = r
         return results  # type: ignore[return-value]
 
@@ -283,9 +338,15 @@ class InferencePipeline:
 
         def fetch(i):
             v = videos[i]
+            # duration from the FEATURES (same rule as the unpacked path's
+            # min-over-streams), not the planning lengths — lengths() can be
+            # a labels-derived upper bound longer than the feature files,
+            # and packing by it would mask zero-filled tails as valid and
+            # inflate the decode budget (packed != unpacked results).
+            t = min(len(v["visual"]), len(v["audio"]), len(v["text"]))
             return {
                 "visual": v["visual"], "audio": v["audio"], "text": v["text"],
-                "duration": lengths[i], "video_id": v.get("video_id", i),
+                "duration": t, "video_id": v.get("video_id", i),
             }
 
         results: list[dict | None] = [None] * len(videos)
@@ -309,9 +370,12 @@ class InferencePipeline:
         pack_set = set(packable)
         long_idx = [i for i in range(len(lengths)) if i not in pack_set]
         if long_idx:
+            # lazy subset view — a list comprehension would materialize every
+            # long video's features at once, defeating the one-batch-at-a-time
+            # memory contract on multi-hour corpora
             unpacked = self.score_videos(
-                [videos[i] for i in long_idx], buckets, batch_size, depth,
-                params, pack=False,
+                _SubsetVideos(videos, long_idx, lengths), buckets, batch_size,
+                depth, params, pack=False,
             )
             for i, r in zip(long_idx, unpacked):
                 results[i] = r

@@ -116,8 +116,12 @@ DKV_STREAM_T: int | None = None
 # — the per-block online-softmax rescale (f32 [Tq, dh] accumulator x heads
 # per k block) costs the VPU more than the skipped blocks save, consistent
 # with the dense/stream sweeps elsewhere in this file. None = dense always
-# (the default); the kernel stays for packed long-T work where slabs stop
-# fitting.
+# (the default). NOTE: this knob only selects the interior WITHIN the
+# packed dense routing window (t <= STREAM_MAX_T) — packed t beyond that
+# falls back to XLA in mha_pallas before any packed kernel runs, so the
+# streaming kernel does NOT unlock packed long-T by itself (producers
+# route long buckets unpacked instead: infer.py, train/loop.py; wiring a
+# packed long-T path would also need a bounded-sweep packed backward).
 PACKED_STREAM_T: int | None = None
 PACKED_K_BLOCK = 512
 

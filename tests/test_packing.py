@@ -351,3 +351,61 @@ def test_packed_metrics_count_videos():
     params = init_model_params(model, cfg, jax.random.key(0), bucket=128)
     _, aux = _loss_fn(model, tc, params, packed, None, False)
     assert int(aux["n_real"]) == 3
+
+
+def test_packed_matches_unpacked_with_overreported_lengths():
+    """Packed scoring when the planning lengths() OVER-REPORT the true
+    feature length (RepurposeDataset.lengths() is a labels-derived upper
+    bound, dataset.py:180): placement and unpack layout must both follow the
+    features' actual durations, or every later video in a row decodes a
+    shifted span of the wrong video's logits (review finding r3)."""
+    from repurpose_tpu.config import TestConfig
+    from repurpose_tpu.infer import InferencePipeline
+    from repurpose_tpu.models import init_model_params
+
+    cfg = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=6, d_model=32,
+        self_num_layers=2, num_heads=2, d_ff=64, hidden_dim=16, dropout=0.0,
+        compute_dtype="float32", attention_impl="xla",
+        matmul_precision="highest",
+    )
+    tcfg = TestConfig(pre_nms_thresh=0.3, pre_nms_topk=16, min_score=0.01)
+    model = build_model(cfg)
+    params = init_model_params(model, cfg, jax.random.key(0), bucket=64)
+    rng = np.random.default_rng(11)
+
+    class OverreportingVideos:
+        """Feature files shorter than the label-derived lengths()."""
+
+        def __init__(self):
+            self.true_lens = [50, 30, 45, 20, 55, 35]
+            self.over = [ln + 10 for ln in self.true_lens]  # labels longer
+            self.items = []
+            for i, ln in enumerate(self.true_lens):
+                self.items.append({
+                    "visual": rng.normal(0, 1, (ln, 8)).astype(np.float32) * 2,
+                    "audio": rng.normal(0, 1, (ln, 12)).astype(np.float32),
+                    "text": rng.normal(0, 1, (ln, 6)).astype(np.float32),
+                    "video_id": f"v{i}",
+                })
+
+        def __len__(self):
+            return len(self.items)
+
+        def __getitem__(self, i):
+            return self.items[i]
+
+        def lengths(self):
+            return self.over
+
+    videos = OverreportingVideos()
+    pipe = InferencePipeline(cfg, params, tcfg)
+    ref = pipe.score_videos(list(videos.items), buckets=(64, 128), batch_size=2)
+    got = pipe.score_videos(videos, buckets=(64, 128), batch_size=2, pack=True)
+    assert len(got) == len(ref)
+    for r, g in zip(ref, got):
+        assert g["video_id"] == r["video_id"]
+        assert g["duration"] == r["duration"]
+        np.testing.assert_allclose(g["segments"], r["segments"], atol=1e-5)
+        np.testing.assert_allclose(g["scores"], r["scores"], atol=1e-5)
+        np.testing.assert_array_equal(g["labels"], r["labels"])
