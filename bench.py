@@ -447,5 +447,40 @@ def main() -> None:
     )
 
 
+def _wait_for_backend(attempts: int = 5, delay_s: float = 60.0) -> None:
+    """The TPU tunnel occasionally drops (backend init raises Unavailable) —
+    probe in a SUBPROCESS (a failed init can be memoized inside a process)
+    and retry with a bounded backoff, so a transient outage doesn't zero out
+    a whole bench run. A hard outage still fails after ``attempts``."""
+    import subprocess
+
+    probe = (
+        "import jax, numpy as np, jax.numpy as jnp;"
+        "np.asarray(jax.jit(lambda a: a.sum())(jnp.ones((8,), jnp.float32)))"
+    )
+    last = ""
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True, timeout=240
+            )
+            ok, last = r.returncode == 0, r.stderr.decode(errors="replace")
+        except subprocess.TimeoutExpired:  # tunnel hangs as well as erroring
+            ok, last = False, "probe timed out after 240s"
+        if ok:
+            return
+        if i == attempts - 1:
+            sys.stderr.write(last[-2000:] + "\n")
+            raise RuntimeError(f"backend probe failed {attempts} times")
+        print(
+            f"backend probe failed; retry {i + 1}/{attempts - 1} in "
+            f"{delay_s:.0f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(delay_s)
+
+
 if __name__ == "__main__":
+    _wait_for_backend()
     main()
