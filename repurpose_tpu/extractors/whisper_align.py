@@ -118,6 +118,15 @@ _DIMS_TO_NAME: dict[tuple[int, int, int, int], str] = {
     (1280, 4, 51866, 128): "large-v3-turbo",
 }
 
+# name -> canonical dims, for rejecting a NAME match that contradicts the
+# checkpoint's actual architecture (e.g. a large-v3 checkpoint in a dir
+# named "whisper-large" must not get v2's heads just because both have
+# 32 layers x 20 heads). large-v1 shares v2's dims (the one true ambiguity).
+_NAME_TO_DIMS: dict[str, tuple[int, int, int, int]] = {
+    v: k for k, v in _DIMS_TO_NAME.items()
+}
+_NAME_TO_DIMS["large-v1"] = (1280, 32, 51865, 80)
+
 
 def resolve_alignment_heads(
     path: str | None = None,
@@ -156,13 +165,18 @@ def resolve_alignment_heads(
         if os.path.exists(gc):
             try:
                 with open(gc) as f:
-                    heads = json.load(f).get("alignment_heads")
+                    data = json.load(f)
+                heads = data.get("alignment_heads") if isinstance(data, dict) else None
                 if heads:
                     resolved = _fits([(int(l), int(h)) for l, h in heads])
                     if resolved:
                         return resolved
             except (ValueError, OSError, TypeError):
                 pass
+    dims = (
+        None if cfg is None
+        else (cfg.d_model, cfg.dec_layers, cfg.vocab_size, cfg.n_mels)
+    )
     candidates = []
     if name:
         candidates.append(name)
@@ -174,15 +188,20 @@ def resolve_alignment_heads(
         if m:
             key = m.group(1) + (m.group(2) or "")
             if key == "large":
+                # bare "large" is an openai alias whose target moved over
+                # the releases (v1 -> v2 -> v3); when dims are known the
+                # consistency check below picks the real release, this
+                # default only decides the cfg-less case
                 key = "large-v2"
             if key in PUBLISHED_ALIGNMENT_HEADS:
+                expected = _NAME_TO_DIMS.get(key)
+                if dims is not None and expected is not None and expected != dims:
+                    continue  # name contradicts the architecture; trust dims
                 resolved = _fits(list(PUBLISHED_ALIGNMENT_HEADS[key]))
                 if resolved:
                     return resolved
-    if cfg is not None:
-        key = _DIMS_TO_NAME.get(
-            (cfg.d_model, cfg.dec_layers, cfg.vocab_size, cfg.n_mels)
-        )
+    if dims is not None:
+        key = _DIMS_TO_NAME.get(dims)
         if key is not None:
             return _fits(list(PUBLISHED_ALIGNMENT_HEADS[key]))
     return None
@@ -193,6 +212,7 @@ def resolve_alignment_heads(
 # CJK ideographs (+ext A, compat), kana, Thai, Lao, Myanmar.
 _NO_SPACE_RANGES = (
     (0x4E00, 0x9FFF), (0x3400, 0x4DBF), (0xF900, 0xFAFF),  # CJK ideographs
+    (0x20000, 0x2EBEF), (0x2F800, 0x2FA1F), (0x30000, 0x3134F),  # ext B..G
     (0x3040, 0x309F), (0x30A0, 0x30FF),  # hiragana, katakana
     (0x0E00, 0x0E7F), (0x0E80, 0x0EFF), (0x1000, 0x109F),  # Thai, Lao, Myanmar
 )
@@ -226,17 +246,19 @@ def split_words(
     # byte-level BPE tokens becomes ONE unit carrying ALL its tokens, instead
     # of a stale replacement char attributed to the previous word.
     units: list[tuple[str, int]] = []
-    boundary_text = ""  # decode at the last unit boundary
     start = 0
+    # unit-LOCAL decode (openai split_tokens_on_unicode decodes only the
+    # open unit's tokens): byte-level BPE pieces concatenate, so decoding
+    # toks[start:i+1] equals the corresponding slice of the full decode —
+    # and the full-prefix alternative is O(n^2) tokenizer work per chunk
+    # (measured 97k cumulative tokens for one 440-token chunk).
     for i in range(len(toks)):
-        full = decode(toks[: i + 1])
-        piece = full[len(boundary_text) :]
+        piece = decode(toks[start : i + 1])
         if piece == "" or not piece.endswith("�"):
             units.append((piece, i + 1 - start))
-            boundary_text = full
             start = i + 1
     if start < len(toks):  # trailing incomplete bytes lump into a final unit
-        units.append((decode(toks)[len(boundary_text) :], len(toks) - start))
+        units.append((decode(toks[start:]), len(toks) - start))
 
     # Stage 2 (split_tokens_on_spaces): units -> words. A new word starts at
     # leading whitespace, or at a spaceless-script seam (CJK/Thai/Lao/Myanmar
@@ -357,14 +379,19 @@ class WhisperAligner:
             head_w[layer, head] = 1.0
         head_w /= max(head_w.sum(), 1.0)
         self._head_w = jnp.asarray(head_w)
-        # device-resident params: a closed-over numpy tree would be re-baked
-        # into every (B, L) specialization AND break tracer indexing
-        dec_vars = jax.tree.map(jnp.asarray, dict(dec_vars))
-        self._run = jax.jit(
-            lambda toks, enc, tv, fv: decoder.apply(
-                dec_vars, toks, enc, tv, fv, self._head_w,
+        # device-resident params, threaded as a jit ARGUMENT: a closed-over
+        # tree would inflate every (B, L) specialization's compile request
+        # through the remote relay (CLAUDE.md: HTTP 413 risk) and a numpy
+        # tree would additionally break tracer indexing
+        self._dec_vars = jax.tree.map(jnp.asarray, dict(dec_vars))
+        self._run_with_params = jax.jit(
+            lambda dv, toks, enc, tv, fv: decoder.apply(
+                dv, toks, enc, tv, fv, self._head_w,
                 method=WhisperDecoder.alignment_matrix,
             )
+        )
+        self._run = lambda toks, enc, tv, fv: self._run_with_params(
+            self._dec_vars, toks, enc, tv, fv
         )
 
     @property

@@ -187,8 +187,13 @@ def test_alignment_matrix_frame_mask_zeroes_tail(tiny):  # noqa: F811
 
 
 class _Tok:
+    # byte-level-BPE-faithful fake: the word boundary lives INSIDE each
+    # token's piece (whisper's "Ġ" prefix), so decoding any token slice is
+    # the concatenation of per-token pieces — the property split_words'
+    # unit-local decode relies on (openai split_tokens_on_unicode decodes
+    # only the open unit's tokens the same way)
     def decode(self, ids):
-        return " ".join(f"w{i}" for i in ids)
+        return "".join(f" w{i}" for i in ids)
 
 
 def test_asr_word_timestamps_end_to_end(tiny, monkeypatch):  # noqa: F811
@@ -271,7 +276,10 @@ def test_aligner_truncates_overlong_rows(tiny):  # noqa: F811
     assert mats[0].shape[0] == budget + 1
     # words_from_matrix rejects a mismatched (tokens, rows) pair cleanly
     assert words_from_matrix(mats[0], long_row, lambda ids: "x") == []
-    words = words_from_matrix(mats[0], long_row[:budget], lambda ids: " ".join(map(str, ids)))
+    words = words_from_matrix(
+        # concatenation-faithful fake (boundary space inside each piece)
+        mats[0], long_row[:budget], lambda ids: "".join(f" {i}" for i in ids)
+    )
     assert len(words) == budget
 
 
@@ -309,8 +317,9 @@ def test_split_words_multibyte_token_pieces():
     """A CJK char split across two byte-level tokens must stay ONE word of 2
     tokens (the partial piece decodes to U+FFFD and may not break)."""
     # token 1 -> first byte(s) of 好 (decodes alone to replacement char),
-    # token 2 completes it; token 3 is another full char
-    full = {(1,): "�", (1, 2): "好", (1, 2, 3): "好了"}
+    # token 2 completes it; token 3 is another full char. split_words
+    # decodes unit-locally, so the mapping covers the slices it asks for.
+    full = {(1,): "�", (1, 2): "好", (3,): "了"}
     words = split_words([1, 2, 3], lambda ids: full[tuple(ids)])
     assert words == [("好", 2), ("了", 1)]
 
@@ -413,3 +422,52 @@ def test_resolve_heads_rejects_architecture_mismatch():
     real = WhisperJaxConfig(d_model=1280, enc_layers=32, dec_layers=32,
                             heads=20, vocab_size=51866, n_mels=128)
     assert resolve_alignment_heads(name="whisper-large-v3", cfg=real) is not None
+
+
+def test_resolve_heads_name_dims_consistency(tmp_path):
+    """A directory NAME that contradicts the checkpoint's actual dims must
+    lose to the dims lookup (e.g. large-v3 weights in a '...-large' dir:
+    v2's heads fit v3's 32x20 architecture, so _fits alone can't catch it);
+    and a non-object generation_config.json must fall through, not crash."""
+    import json
+
+    from repurpose_tpu.extractors.whisper_align import (
+        PUBLISHED_ALIGNMENT_HEADS,
+        resolve_alignment_heads,
+    )
+    from repurpose_tpu.extractors.whisper_jax import WhisperJaxConfig
+
+    v3 = WhisperJaxConfig(
+        d_model=1280, enc_layers=32, dec_layers=32, heads=20,
+        vocab_size=51866, n_mels=128,
+    )
+    got = resolve_alignment_heads(name="openai/whisper-large", cfg=v3)
+    assert got == list(PUBLISHED_ALIGNMENT_HEADS["large-v3"])
+    # name consistent with dims still resolves by name (large-v1 vs v2
+    # share dims — the name is the only signal)
+    v1 = WhisperJaxConfig(
+        d_model=1280, enc_layers=32, dec_layers=32, heads=20,
+        vocab_size=51865, n_mels=80,
+    )
+    got = resolve_alignment_heads(name="whisper-large-v1", cfg=v1)
+    assert got == list(PUBLISHED_ALIGNMENT_HEADS["large-v1"])
+    # corrupted generation_config (valid JSON, wrong type) falls through
+    d = tmp_path / "ckpt-small"
+    d.mkdir()
+    (d / "generation_config.json").write_text(json.dumps(["oops"]))
+    got = resolve_alignment_heads(path=str(d))
+    assert got == list(PUBLISHED_ALIGNMENT_HEADS["small"])
+
+
+def test_split_words_supplementary_plane_cjk():
+    """Ideographs beyond the BMP (CJK ext B+, e.g. U+20BB7) still split per
+    token-run seam instead of merging into one multi-character word."""
+    from repurpose_tpu.extractors.whisper_align import split_words
+
+    pieces = {1: "\U00020BB7", 2: "\U00020BB7", 3: "好"}
+
+    def decode(toks):
+        return "".join(pieces[t] for t in toks)
+
+    words = split_words([1, 2, 3], decode)
+    assert words == [("\U00020BB7", 1), ("\U00020BB7", 1), ("好", 1)]
