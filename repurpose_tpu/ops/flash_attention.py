@@ -341,8 +341,8 @@ def _flash_forward(
             grid=(b, d // d_block, t // q_block),
             in_specs=[
                 blk_q,
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 blk_mask, blk_kvl,
             ],
             out_specs=(blk_q, blk_lse),
@@ -1144,8 +1144,8 @@ def _flash_backward(
             grid=(b, d // d_block, t // q_block),
             in_specs=[
                 blk_q,
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
                 blk_mask, blk_kvl, blk_q, blk_q, blk_lse_q,
             ],
             out_specs=blk_q,

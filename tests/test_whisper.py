@@ -314,7 +314,7 @@ def test_detect_language_matches_hf_logits(tiny):
     mel = np.asarray(log_mel_whisper(padded[None], n_mels=cfg.n_mels))
     with torch.no_grad():
         logits = hf(
-            input_features=torch.from_numpy(mel.transpose(0, 2, 1)),
+            input_features=torch.from_numpy(mel.transpose(0, 2, 1).copy()),
             decoder_input_ids=torch.tensor([[cfg.sot]]),
         ).logits[0, -1].numpy()
     want = cfg.lang_begin + int(
