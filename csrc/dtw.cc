@@ -26,6 +26,9 @@ extern "C" {
 int repurpose_dtw(const float* cost, int n, int m, int32_t* out_ti,
                   int32_t* out_tj) {
   if (n <= 0 || m <= 0 || cost == nullptr) return -1;
+  // bad_alloc from the DP buffers must not escape the C ABI (ctypes would
+  // std::terminate); -1 sends the caller to the numpy fallback
+  try {
   // DP over an (n+1) x (m+1) grid with an inf border; trace records the
   // predecessor move: 0 = diagonal, 1 = up (advance token), 2 = left
   // (advance frame).
@@ -83,6 +86,9 @@ int repurpose_dtw(const float* cost, int n, int m, int32_t* out_ti,
     out_tj[k] = tj[len - 1 - k];
   }
   return len;
+  } catch (...) {
+    return -1;
+  }
 }
 
 }  // extern "C"

@@ -53,6 +53,9 @@ int parse_header(int fd, NpyInfo* info) {
            (static_cast<uint32_t>(pre[11]) << 24);
     header_start = 12;
   }
+  // real .npy headers are < 64 KiB; an absurd hlen means corrupt bytes (a
+  // ~4 GiB string alloc here could throw and escape the C ABI)
+  if (hlen == 0 || hlen > (1u << 20)) return -EINVAL;
   std::string header(hlen, '\0');
   if (pread(fd, header.data(), hlen, header_start) != (ssize_t)hlen)
     return -EIO;
@@ -70,6 +73,7 @@ int parse_header(int fd, NpyInfo* info) {
   long long r = 0, c = 0, extra = 0;
   int n = sscanf(shape.c_str(), "%lld , %lld , %lld", &r, &c, &extra);
   if (n != 2) return -ENOTSUP;  // 1-D or >=3-D: numpy fallback handles it
+  if (r < 0 || c < 0) return -EINVAL;  // corrupt header
   info->rows = r;
   info->cols = c;
   info->data_offset = header_start + hlen;
@@ -148,11 +152,23 @@ int npy_batch_load_f32(const char** paths, int64_t n, float* out, int64_t t,
   if (n_threads == 1 || n == 1) {
     worker(0, 1);
   } else {
+    // no exception may escape the C ABI (std::terminate through ctypes):
+    // thread construction can throw under resource pressure. Join whatever
+    // spawned, then run the unspawned strides inline — every stride runs
+    // exactly once either way.
     std::vector<std::thread> threads;
     int k = n_threads < n ? n_threads : (int)n;
-    threads.reserve(k);
-    for (int i = 0; i < k; ++i) threads.emplace_back(worker, i, k);
+    int started = 0;
+    try {
+      threads.reserve(k);
+      for (int i = 0; i < k; ++i) {
+        threads.emplace_back(worker, i, k);
+        ++started;
+      }
+    } catch (...) {
+    }
     for (auto& th : threads) th.join();
+    for (int i = started; i < k; ++i) worker(i, k);
   }
   for (int64_t i = 0; i < n; ++i)
     if (errs[i] != 0) return errs[i];

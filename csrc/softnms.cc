@@ -63,7 +63,11 @@ int64_t soft_nms_f32(const float* scores_in, const float* segments_in,
         // reference semantics: total < 0 decays with a FINITE weight
         // (negative ratio, positive square)
         float ratio = ov / total;
-        s[j] *= std::exp(-(ratio * ratio) / sigma);
+        float w = std::exp(-(ratio * ratio) / sigma);
+        // oracle: np.where(np.isnan(weight), 0, weight) — NaN segment
+        // coordinates (ov or total NaN) must zero the score, not poison it
+        if (std::isnan(w)) w = 0.0f;
+        s[j] *= w;
       } else {
         // ov > 0: reference ratio is inf -> weight exactly 0.
         // ov == 0 (0/0): reference NaN-poisons; drop NaN-free (PARITY.md)

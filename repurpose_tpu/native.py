@@ -35,14 +35,40 @@ _tried = False
 def _build() -> bool:
     if shutil.which("make") is None or shutil.which("g++") is None:
         return False
+    # fast path: make -q exits 0 when the .so is already up to date
+    q = subprocess.run(["make", "-C", _CSRC, "-q"], capture_output=True)
+    if q.returncode == 0 and os.path.exists(_SO):
+        return True
+    # build to a per-process name, then atomically rename: two processes
+    # importing concurrently must not dlopen a half-linked .so
+    tmp = f"librepurpose_native.build{os.getpid()}.so"
     try:
         subprocess.run(
-            ["make", "-C", _CSRC, "-s"], check=True, capture_output=True
+            ["make", "-C", _CSRC, "-s", f"TARGET={tmp}"],
+            check=True, capture_output=True,
         )
+        os.replace(os.path.join(_CSRC, tmp), _SO)
         return True
     except subprocess.CalledProcessError as e:
         logger.warning("native build failed: %s", e.stderr.decode()[-500:])
         return False
+    finally:
+        try:
+            os.remove(os.path.join(_CSRC, tmp))
+        except OSError:
+            pass
+
+
+def _sources_newer_than_so() -> bool:
+    try:
+        so_m = os.path.getmtime(_SO)
+    except OSError:
+        return True
+    return any(
+        os.path.getmtime(os.path.join(_CSRC, f)) > so_m
+        for f in os.listdir(_CSRC)
+        if f.endswith((".cc", ".h"))
+    )
 
 
 def get_lib() -> ctypes.CDLL | None:
@@ -55,8 +81,11 @@ def get_lib() -> ctypes.CDLL | None:
         # run make even when the .so exists: its source dependencies make a
         # fresh build a no-op, and skipping it would silently load a binary
         # stale against edited csrc/*.cc (tests would then validate old code)
-        if not _build() and not os.path.exists(_SO):
-            return None
+        if not _build():
+            if not os.path.exists(_SO) or _sources_newer_than_so():
+                # a stale .so after a FAILED build is exactly the
+                # tests-validate-old-code hazard — fall back to Python
+                return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError as e:
@@ -142,7 +171,13 @@ def soft_nms_native(
         return None
     s = np.ascontiguousarray(scores, np.float32)
     g = np.ascontiguousarray(segments, np.float32)
-    n = s.shape[0]
+    n = s.shape[0] if s.ndim == 1 else -1
+    # shape mismatches would make the C loop read past the segments buffer;
+    # NaN scores and negative budgets hit oracle semantics (NaN-as-argmax-
+    # max, negative-slice truncation) the C kernel deliberately doesn't
+    # reproduce — route all of those to the Python oracle instead
+    if n < 0 or g.shape != (n, 2) or max_seg_num < 0 or np.isnan(s).any():
+        return None
     keep = np.zeros(max(n, 1), np.int64)
     n_keep = lib.soft_nms_f32(
         s.ctypes.data_as(ctypes.c_void_p), g.ctypes.data_as(ctypes.c_void_p),
@@ -211,11 +246,12 @@ def _dtw_numpy(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         tj.append(j)
         if i == 0 and j == 0:
             break
-        t = trace[i, j] if (i > 0 and j > 0) else (1 if i > 0 else 2)
         if i == 0:
             t = 2
         elif j == 0:
             t = 1
+        else:
+            t = trace[i, j]
         if t == 0:
             i, j = i - 1, j - 1
         elif t == 1:

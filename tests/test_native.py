@@ -74,3 +74,38 @@ def test_soft_nms_matches_python_oracle(rng):
         want = soft_nms_cpu(scores, segs, 0.5, 0.01, 9)
         got = native.soft_nms_native(scores, segs, 0.5, 0.01, 9)
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_soft_nms_nan_coordinate_parity(rng):
+    """A NaN segment coordinate must decay like the oracle (weight -> 0),
+    not NaN-poison the C kernel's running scores (review finding r3)."""
+    scores = rng.uniform(0.1, 1.0, 12).astype(np.float32)
+    segs = np.sort(rng.uniform(0, 100, (12, 2)), axis=1).astype(np.float32)
+    segs[3, 0] = np.nan
+    want = soft_nms_cpu(scores.copy(), segs.copy(), 0.5, 0.01, 8)
+    got = native.soft_nms_native(scores, segs, 0.5, 0.01, 8)
+    np.testing.assert_array_equal(want, got)
+
+
+def test_soft_nms_native_rejects_bad_shapes(rng):
+    """Shape mismatches / NaN scores / negative budgets return None (oracle
+    fallback) instead of letting the C loop read out of bounds."""
+    scores = rng.uniform(0.1, 1.0, 8).astype(np.float32)
+    segs = np.sort(rng.uniform(0, 50, (8, 2)), axis=1).astype(np.float32)
+    assert native.soft_nms_native(scores, segs[:7], 0.5, 0.01, 4) is None
+    assert native.soft_nms_native(scores, segs.ravel(), 0.5, 0.01, 4) is None
+    assert native.soft_nms_native(scores, segs, 0.5, 0.01, -1) is None
+    bad = scores.copy()
+    bad[2] = np.nan
+    assert native.soft_nms_native(bad, segs, 0.5, 0.01, 4) is None
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+def test_probe_rejects_corrupt_header_length(tmp_path):
+    """A corrupt version byte + absurd 32-bit header length must error out
+    cleanly (numpy fallback), not attempt a ~4 GiB allocation."""
+    p = tmp_path / "corrupt.npy"
+    raw = b"\x93NUMPY" + bytes([9, 0]) + b"\xff\xff\xff\xff" + b"x" * 64
+    p.write_bytes(raw)
+    assert native.probe_npy(str(p)) is None
