@@ -85,10 +85,22 @@ class BatchLoader:
         self._lengths = dataset.lengths() if hasattr(dataset, "lengths") else None
         if pack and self._lengths is None:
             raise ValueError("pack=True needs a dataset exposing .lengths()")
+        self._plan_cache: tuple[int, list] | None = None
 
     def _epoch_batches(self, epoch: int) -> list[tuple[int, list[int]]]:
         """GLOBAL batch plan: [(bucket, sample_indices)] — identical on every
-        process. Each entry holds up to batch_size * process_count samples."""
+        process. Each entry holds up to batch_size * process_count samples.
+        Memoized per epoch: the plan is a pure function of (seed, epoch,
+        lengths), and repeat callers — the val probe's epoch(0) every 50
+        steps, batches_per_epoch + epoch at init — would otherwise redo the
+        O(n) grouping on this one-core host each time."""
+        if self._plan_cache is not None and self._plan_cache[0] == epoch:
+            return self._plan_cache[1]
+        plan = self._build_epoch_batches(epoch)
+        self._plan_cache = (epoch, plan)
+        return plan
+
+    def _build_epoch_batches(self, epoch: int) -> list[tuple[int, list[int]]]:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:

@@ -43,7 +43,14 @@ class _SubsetVideos:
         return len(self._idx)
 
     def __getitem__(self, k):
-        return self._base[self._idx[k]]
+        v = self._base[self._idx[k]]
+        if "video_id" not in v:
+            # default ids must come from the PARENT index space — a
+            # subset-local default would collide with the parent's own
+            # defaults for different videos
+            v = dict(v)
+            v["video_id"] = str(self._idx[k])
+        return v
 
     def lengths(self):
         if self._lens is None:  # last resort: measure from the features
@@ -278,7 +285,11 @@ class InferencePipeline:
                 idxs = groups[bucket]
                 for j in range(0, len(idxs), batch_size):
                     chunk = idxs[j : j + batch_size]
-                    b = len(chunk)
+                    # ragged tails zero-pad to the STATIC batch size: one
+                    # compiled program per bucket (not per tail size), and
+                    # the data-axis sharding under a live ring mesh stays
+                    # divisible; _unpack drops rows beyond len(ids)
+                    b = batch_size
                     vis = np.zeros((b, bucket, self.cfg.vis_dim), np.float32)
                     aud = np.zeros((b, bucket, self.cfg.aud_dim), np.float32)
                     txt = np.zeros((b, bucket, self.cfg.text_dim), np.float32)
@@ -406,9 +417,11 @@ class InferencePipeline:
             return res, list(layout[2]), ids, raw
 
         for batch, layout, ids in items:
-            pending.append(dispatch(batch, layout, ids))
-            if len(pending) > depth:
+            # drain to depth-1 before dispatching (same strict-depth contract
+            # as score_stream)
+            while len(pending) >= depth:
                 yield _unpack(*pending.popleft())
+            pending.append(dispatch(batch, layout, ids))
         while pending:
             yield _unpack(*pending.popleft())
 
@@ -430,8 +443,11 @@ class InferencePipeline:
             return res, list(durations), video_ids, raw
 
         for item in batches:
-            pending.append(dispatch(item))
-            if len(pending) > depth:
+            # drain to depth-1 BEFORE dispatching, so at most ``depth``
+            # batches are ever resident (dispatching first held depth+1 —
+            # a silent extra batch of host+device memory)
+            while len(pending) >= depth:
                 yield _unpack(*pending.popleft())
+            pending.append(dispatch(item))
         while pending:
             yield _unpack(*pending.popleft())

@@ -22,6 +22,7 @@ because jit + shardings subsume it.
 from __future__ import annotations
 
 import dataclasses
+import collections
 import itertools
 import logging
 import time
@@ -166,6 +167,7 @@ class Trainer:
         self._layer_names = kernel_layer_names(state.params)
 
         self.checkpointer = Checkpointer(workdir + "/ckpt", async_save=async_checkpoints)
+        self._best_ckpt: Checkpointer | None = None  # lazy (workdir/ckpt_best)
         self.metrics = MetricLogger(workdir, use_wandb=use_wandb, config=cfg.to_dict())
         # Ring attention stays live at eval (seq-sharded batches through the
         # same mesh) when shapes divide the mesh axes and eval is not the
@@ -275,6 +277,21 @@ class Trainer:
         }
         meta.update(extra or {})
         self.checkpointer.save(int(self.state.step), self.state, meta)
+
+    def _save_best(self, epoch: int) -> None:
+        """Best-tIoU weights go to a DEDICATED single-slot manager
+        (workdir/ckpt_best) — the reference saves best.pth separately from
+        epoch_N.pth (main.py:718-739). Inside the periodic manager they would
+        be garbage-collected once max_to_keep newer epoch saves exist."""
+        if self._best_ckpt is None:
+            self._best_ckpt = Checkpointer(
+                self.workdir + "/ckpt_best", max_to_keep=1
+            )
+        self._best_ckpt.save(
+            int(self.state.step), self.state,
+            {"epoch": epoch + 1, "best_tiou": self.best_tiou,
+             "best_epoch": self.best_epoch, "best": True},
+        )
 
     # -- validation probe --------------------------------------------------------
 
@@ -386,7 +403,7 @@ class Trainer:
             use_pack = False
         # FIFO of host-side per-batch metadata consumed in dispatch order
         # (score_stream yields FIFO); features themselves are NOT retained.
-        meta_fifo: list = []
+        meta_fifo: collections.deque = collections.deque()
 
         def meta_for(i, sample=None):
             # GT must not depend on WHICH staging path ran: prefer the
@@ -410,6 +427,17 @@ class Trainer:
             # via score_stream's in-flight window; the native whole-batch
             # loader (RepurposeDataset.load_batch) skips per-sample numpy
             # round-trips where it applies.
+            if hasattr(ds, "lengths"):
+                # group by bucket first (stable): interleaved lengths would
+                # otherwise pad nearly every chunk to its longest member's
+                # bucket — up to ~8x extra attention/FFN compute on a mixed
+                # split (score_videos groups the same way, infer.py)
+                from repurpose_tpu.data.batching import pick_bucket
+
+                lens_all = ds.lengths()
+                stage_idx = sorted(
+                    stage_idx, key=lambda i: pick_bucket(int(lens_all[i]), buckets)
+                )
             for i0 in range(0, len(stage_idx), bs):
                 idxs = stage_idx[i0 : i0 + bs]
                 batch = None
@@ -463,7 +491,7 @@ class Trainer:
         def consume(stream):
             nonlocal count
             for results in stream:
-                metas = meta_fifo.pop(0)
+                metas = meta_fifo.popleft()
                 for meta, r in zip(metas, results):
                     tiou = calculate_tiou(
                         meta["gt_segments"], r["segments"].tolist(),
@@ -628,7 +656,27 @@ class Trainer:
                     val_loss = self._val_probe()
                     if val_loss is not None:
                         self.metrics.log({"val/loss": val_loss}, step)
-                if preempted["flag"]:
+                stop_now = preempted["flag"]
+                if jax.process_count() > 1:
+                    # The preemption save is a multi-host COLLECTIVE (Orbax
+                    # barriers on every process): a lone host acting on its
+                    # local SIGTERM while the others keep training deadlocks
+                    # both sides. Agree on the flag across hosts on the
+                    # grad-norm cadence — SIGTERM grace windows are tens of
+                    # seconds, a 10-step agreement delay is milliseconds.
+                    if i % self.grad_norm_freq == 0:
+                        from jax.experimental import multihost_utils
+
+                        stop_now = bool(
+                            np.any(
+                                multihost_utils.process_allgather(
+                                    np.asarray(preempted["flag"])
+                                )
+                            )
+                        )
+                    else:
+                        stop_now = False
+                if stop_now:
                     logger.warning("SIGTERM received: checkpointing and exiting")
                     self._save(epoch, {"preempted": True}, epoch_complete=False)
                     return {"preempted": True, "epoch": epoch}
@@ -653,7 +701,7 @@ class Trainer:
                 if final_eval.get("tiou/mean", 0.0) > self.best_tiou:
                     self.best_tiou = final_eval["tiou/mean"]
                     self.best_epoch = epoch
-                    self._save(epoch, {"best": True})
+                    self._save_best(epoch)
         self.start_epoch = epochs  # resumable: a later fit() continues from here
         return {
             "best_tiou": self.best_tiou,
@@ -664,6 +712,8 @@ class Trainer:
     def close(self) -> None:
         self.metrics.close()
         self.checkpointer.close()
+        if self._best_ckpt is not None:
+            self._best_ckpt.close()
 
 
 def fit_with_auto_resume(

@@ -210,3 +210,35 @@ def test_trainer_pipeline_mesh(tmp_path):
     losses = [l["batch/loss"] for l in lines if "batch/loss" in l]
     assert losses and all(np.isfinite(v) for v in losses)
     assert any("val/loss" in l for l in lines)
+
+
+def test_best_checkpoint_survives_periodic_gc(tmp_path):
+    """Best-tIoU weights live in a dedicated single-slot manager
+    (workdir/ckpt_best) — inside the periodic manager, max_to_keep newer
+    epoch saves would garbage-collect them (review finding r3). The
+    reference keeps best.pth separate the same way (main.py:718-739)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from repurpose_tpu.train.checkpoint import Checkpointer
+
+    cfg = dataclasses.replace(
+        CFG, train=dataclasses.replace(CFG.train, epochs=1, eval_freq=100,
+                                       intra_epoch_eval_freq=0),
+    )
+    train_ds = SyntheticDataset([100, 90], cfg.model, seed=1)
+    trainer = Trainer(cfg, str(tmp_path / "b"), train_ds, self_check=False)
+    trainer.best_tiou, trainer.best_epoch = 0.5, 0
+    trainer._save_best(0)
+    # roll the periodic manager well past its max_to_keep=5
+    for s in range(1, 8):
+        trainer.state = dataclasses.replace(trainer.state, step=jnp.int32(s))
+        trainer._save(0)
+    assert trainer.checkpointer.latest_step() == 7
+    best = Checkpointer(str(tmp_path / "b" / "ckpt_best"))
+    assert best.latest_step() == 0
+    state, meta = best.restore(trainer.state)
+    assert meta.get("best") is True and meta["best_tiou"] == 0.5
+    assert int(state.step) == 0
+    trainer.close()
