@@ -96,9 +96,13 @@ def main() -> None:
     artifacts = [write_report(
         all_results, os.path.join(args.output_dir, "correlation_analysis_report.txt")
     )]
-    first = next(iter(all_results.values()))
+    # cross-video mean ± std curve (the reference's averaged figure) — a
+    # single video's curve would silently ignore --videos N-1 of the sample
+    from repurpose_tpu.utils.analysis import aggregate_temporal
+
+    agg = aggregate_temporal([r["temporal"] for r in all_results.values()])
     artifacts.append(render_temporal_correlation(
-        first["temporal"], os.path.join(args.output_dir, "temporal_correlation.png")
+        agg, os.path.join(args.output_dir, "temporal_correlation.png")
     ))
     fla = feature_label_analysis(
         first_sample["text"], first_sample["labels"], method=args.method
@@ -110,7 +114,7 @@ def main() -> None:
 
     print(json.dumps({
         "videos": len(all_results),
-        "peak_at_zero": first["temporal"]["peak_at_zero"],
+        "peak_at_zero": agg["peak_at_zero"],
         "separability_acc": fla["separability_acc"],
         "artifacts": artifacts,
     }))

@@ -46,6 +46,9 @@ def main() -> None:
         PreprocessingPipeline,
     )
 
+    if not args.dataset:
+        p.error("--dataset is required (unless using --split)")
+
     raw = {}
     if args.config:
         with open(args.config) as f:

@@ -131,14 +131,18 @@ class VideoDownloader:
         tracker = tracker or ProgressTracker(
             os.path.join(self.output_dir, "download_progress.json"), len(video_ids)
         )
-        todo = [
-            v for v in video_ids
-            if not tracker.is_done(v) and not os.path.exists(self.video_path(v))
-            and tracker.should_retry(v)
-        ]
+        todo = []
         for v in video_ids:
-            if os.path.exists(self.video_path(v)) and not tracker.is_done(v):
-                tracker.mark_completed(v)
+            if os.path.exists(self.video_path(v)):
+                if not tracker.is_done(v):
+                    tracker.mark_completed(v)
+                continue
+            # 'completed' status with the file gone (raw-video cleanup,
+            # partial disk wipe): re-download rather than skipping forever —
+            # the extractors' _resumable re-runs on missing OUTPUT the same
+            # way. Failed entries still respect the retryability policy.
+            if tracker.is_done(v) or tracker.should_retry(v):
+                todo.append(v)
         with ThreadPoolExecutor(max_workers=self.max_workers) as pool:
             futures = {pool.submit(self.download_one, v): v for v in todo}
             for fut in as_completed(futures):

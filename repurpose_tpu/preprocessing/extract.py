@@ -88,8 +88,16 @@ class VisualExtractor:
             CLIPVisionEncoder,
         )
 
+        import jax.numpy as jnp
+
         model = CLIPVisionEncoder(compute_dtype=compute_dtype)
-        self._encode = jax.jit(lambda imgs: model.apply({"params": params}, imgs))
+        # device-resident params threaded as a jit ARGUMENT: a closed-over
+        # host-numpy tree would inline ~350 MB of CLIP weights into the
+        # lowered module as HLO literals — the remote-compile relay rejects
+        # requests that large (CLAUDE.md: HTTP 413)
+        self._vars = {"params": jax.tree.map(jnp.asarray, params)}
+        self._encode_p = jax.jit(lambda v, imgs: model.apply(v, imgs))
+        self._encode = lambda imgs: self._encode_p(self._vars, imgs)
         self.batch_size = batch_size
         self._mean, self._std = CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
 
@@ -140,10 +148,13 @@ class AudioExtractor:
             from repurpose_tpu.extractors.cnn14 import CNN14
             from repurpose_tpu.extractors.audio_frontend import logmel
 
+            import jax.numpy as jnp
+
             model = CNN14(compute_dtype=compute_dtype)
-            self._embed = jax.jit(
-                lambda wave: model.apply({"params": params}, logmel(wave))
-            )
+            # params as a jit argument, device-resident (see VisualExtractor)
+            self._vars = {"params": jax.tree.map(jnp.asarray, params)}
+            embed_p = jax.jit(lambda v, wave: model.apply(v, logmel(wave)))
+            self._embed = lambda wave: embed_p(self._vars, wave)
 
     def extract(self, video_path: str) -> np.ndarray:
         if self._embed is None:
@@ -227,10 +238,15 @@ class TextExtractor:
 
         from repurpose_tpu.extractors.minilm import MiniLMEncoder
 
+        import jax.numpy as jnp
+
         model = MiniLMEncoder()
-        self._encode = jax.jit(
-            lambda ids, mask: model.apply({"params": params}, ids, mask)
+        # params as a jit argument, device-resident (see VisualExtractor)
+        self._vars = {"params": jax.tree.map(jnp.asarray, params)}
+        self._encode_p = jax.jit(
+            lambda v, ids, mask: model.apply(v, ids, mask)
         )
+        self._encode = lambda ids, mask: self._encode_p(self._vars, ids, mask)
         self.tokenizer = tokenizer
         self.batch_size = batch_size
         self.max_tokens = max_tokens

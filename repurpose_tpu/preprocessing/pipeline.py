@@ -180,12 +180,15 @@ class PreprocessingPipeline:
         )
 
     def process_dataset(self, dataset_json: str, steps: Sequence[str] = STEPS) -> dict:
+        # validate the WHOLE list before executing anything: a typo in a
+        # later step must not surface only after hours of earlier steps
+        bad = [s for s in steps if s not in STEPS]
+        if bad:
+            raise ValueError(f"unknown steps {bad}; valid: {STEPS}")
         video_ids = load_video_ids(dataset_json)
         logger.info("processing %d videos from %s", len(video_ids), dataset_json)
         results = {}
         for step in steps:
-            if step not in STEPS:
-                raise ValueError(f"unknown step {step!r}; valid: {STEPS}")
             logger.info("step: %s", step)
             results[step] = getattr(self, f"run_{step}")(video_ids)
         return results

@@ -29,10 +29,14 @@ class ErrorCategory(enum.Enum):
 
     @property
     def retryable(self) -> bool:
-        """Only transient failures are worth retrying (reference
-        progress_tracker.py:89-97)."""
-        return self in (ErrorCategory.NETWORK, ErrorCategory.BOT_DETECTION,
-                        ErrorCategory.UNKNOWN)
+        """Non-retryable = the reference's permanent-failure set — private/
+        deleted/terminated/copyright ONLY (progress_tracker.py:89-97).
+        format_unavailable IS retried there: yt-dlp format lists vary per
+        request/client, so those failures are often transient."""
+        return self not in (
+            ErrorCategory.PRIVATE, ErrorCategory.DELETED,
+            ErrorCategory.ACCOUNT_TERMINATED, ErrorCategory.COPYRIGHT,
+        )
 
 
 _PATTERNS = [
@@ -74,6 +78,12 @@ class ProgressTracker:
                 self.errors = data.get("errors", {})
             except Exception:
                 pass
+        # statuses resumed from a previous session are NOT this session's
+        # throughput — ETA must rate only work done since _t0
+        self._baseline_done = sum(
+            1 for s in self.status.values()
+            if s == "completed" or s.startswith("failed")
+        )
 
     # -- queries ---------------------------------------------------------------
 
@@ -96,9 +106,10 @@ class ProgressTracker:
 
     def eta_seconds(self) -> float | None:
         done = self.completed + self.failed
-        if not done or not self.total:
+        session_done = done - self._baseline_done
+        if session_done <= 0 or not self.total:
             return None
-        rate = done / max(time.time() - self._t0, 1e-9)
+        rate = session_done / max(time.time() - self._t0, 1e-9)
         return (self.total - done) / rate
 
     # -- updates ----------------------------------------------------------------

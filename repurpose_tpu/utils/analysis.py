@@ -253,13 +253,16 @@ def temporal_correlation(
     t = min(len(v) for v in streams.values())
     out: dict = {"offsets": [], "pairs": {f"{a}_{b}": [] for a, b in MODALITY_PAIRS}}
     for offset in range(-max_offset, max_offset + 1):
-        if offset >= 0:
-            s1 = slice(offset, t)
-            s2 = slice(0, t - offset)
-        else:
-            s1 = slice(0, t + offset)
-            s2 = slice(-offset, t)
-        if (t - abs(offset)) < 10:
+        # PARITY QUIRK: the reference slices with stream1[abs(offset):] /
+        # stream2[:-abs(offset)] for BOTH signs
+        # (modality_correlation_analysis.py:143-170), so its -k value is
+        # bit-identical to +k — the curve is mirrored, not a true
+        # negative-lag correlation. Reproduced so offset curves and
+        # peak_at_zero verdicts match reference output exactly.
+        k = abs(offset)
+        s1 = slice(k, t)
+        s2 = slice(0, t - k)
+        if (t - k) < 10:
             continue
         out["offsets"].append(offset)
         for a, b in MODALITY_PAIRS:
@@ -342,9 +345,45 @@ def label_cross_correlation(
     return results
 
 
+def aggregate_temporal(results: Sequence[dict]) -> dict:
+    """Average per-pair offset curves ACROSS videos — the reference's
+    plot_temporal_correlations plots the cross-video mean ± std, not a single
+    video (modality_correlation_analysis.py). Offsets align on the union;
+    videos too short for an offset are excluded from that offset's mean.
+    Same schema as temporal_correlation plus per-pair 'std' and 'n_videos'
+    (render_temporal_correlation shades the std band when present)."""
+    offsets = sorted({o for r in results for o in r["offsets"]})
+    out: dict = {
+        "offsets": offsets,
+        "pairs": {},
+        "std": {},
+        "n_videos": len(results),
+    }
+    for pair in results[0]["pairs"]:
+        mean_c, std_c = [], []
+        for o in offsets:
+            vals = [
+                r["pairs"][pair][r["offsets"].index(o)]
+                for r in results
+                if o in r["offsets"]
+            ]
+            mean_c.append(float(np.mean(vals)))
+            std_c.append(float(np.std(vals)))
+        out["pairs"][pair] = mean_c
+        out["std"][pair] = std_c
+    out["peak_at_zero"] = {}
+    if 0 in offsets:
+        zi = offsets.index(0)
+        for pair, vals in out["pairs"].items():
+            out["peak_at_zero"][pair] = bool(np.argmax(vals) == zi)
+    return out
+
+
 def render_temporal_correlation(results: dict, out_path: str) -> str:
     """Offset-vs-correlation curves, one line per modality pair (the
-    reference's plot_temporal_correlations figure)."""
+    reference's plot_temporal_correlations figure). Accepts a single video's
+    temporal_correlation dict or the cross-video aggregate_temporal dict
+    (mean curve with a ±std band)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -352,7 +391,14 @@ def render_temporal_correlation(results: dict, out_path: str) -> str:
 
     fig, ax = plt.subplots(figsize=(7, 4.5))
     for pair, vals in results["pairs"].items():
-        ax.plot(results["offsets"], vals, marker="o", ms=3, label=pair)
+        (line,) = ax.plot(results["offsets"], vals, marker="o", ms=3, label=pair)
+        std = results.get("std", {}).get(pair)
+        if std is not None:
+            lo = np.asarray(vals) - np.asarray(std)
+            hi = np.asarray(vals) + np.asarray(std)
+            ax.fill_between(
+                results["offsets"], lo, hi, color=line.get_color(), alpha=0.15
+            )
     ax.axvline(0, color="gray", lw=0.8, ls="--")
     ax.set_xlabel("temporal offset (s)")
     ax.set_ylabel("mean |corr| (first 10x10 dims)")

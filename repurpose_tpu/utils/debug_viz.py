@@ -63,14 +63,24 @@ class ValidationDebugger:
     # -- health checks -----------------------------------------------------------
 
     def check_model_collapse(self) -> list[str]:
-        """Flag samples whose predicted offsets have collapsed (std < 0.1)."""
+        """Collapse check over the POOLED offsets of all collected samples
+        (reference debug_visualizer.py:197,225-226 stacks every sample's
+        offsets and takes one np.std) — per-sample stds would fire on
+        individually-flat-but-differently-centered videos where the
+        reference stays silent, and vice versa. Per-sample stds ride along
+        in the warning for debuggability."""
         warnings = []
-        for s in self.samples:
-            std = float(s["offsets"].std())
+        if self.samples:
+            pooled = np.concatenate([s["offsets"].ravel() for s in self.samples])
+            std = float(pooled.std())
             if std < COLLAPSE_STD_THRESHOLD:
+                per = ", ".join(
+                    f"{s['video_id']}={float(s['offsets'].std()):.4f}"
+                    for s in self.samples[:10]
+                )
                 warnings.append(
-                    f"{s['video_id']}: offset std {std:.4f} < "
-                    f"{COLLAPSE_STD_THRESHOLD} — possible reg-head collapse"
+                    f"pooled offset std {std:.4f} < {COLLAPSE_STD_THRESHOLD} "
+                    f"— possible reg-head collapse (per-sample: {per})"
                 )
         for w in warnings:
             logger.warning("model-collapse check: %s", w)

@@ -32,13 +32,15 @@ class MetricLogger:
             try:
                 import wandb
 
-                self._wandb = wandb
                 wandb.init(
                     project=os.environ.get("WANDB_PROJECT", "repurpose-tpu"),
                     name=f"mmct_{time.strftime('%Y%m%d_%H%M%S')}",
                     config=dict(config or {}),
                     dir=workdir,
                 )
+                # only AFTER init succeeds — a set-then-failed-init would
+                # make every later log() call crash on the run-less module
+                self._wandb = wandb
             except Exception as e:
                 logger.warning("wandb unavailable (%s); JSONL logging only", e)
 
