@@ -125,6 +125,10 @@ def main() -> None:
         all_results = list(results)
         for i, r in enumerate(results):
             m = lazy.meta[i]
+            # per-result offset: several label entries may share one
+            # youtube_id with different timeRange slices — a video_id-keyed
+            # dict would let the last entry's offset clobber the others'
+            r["time_offset"] = m["time_offset"]
             time_offsets[m["video_id"]] = m["time_offset"]
             tiou = calculate_tiou(
                 m["gt_segments"], r["segments"].tolist(), TIOU_THRESHOLDS
@@ -134,13 +138,27 @@ def main() -> None:
         _finish(args, all_results, time_offsets, per_thr)
         return
 
+    # group by bucket first (stable sort): index-order chunks would pad
+    # nearly every batch to its longest member's bucket on a mixed-length
+    # split (same shape as Trainer.evaluate's staging)
+    if hasattr(ds, "lengths"):
+        from repurpose_tpu.data.batching import pick_bucket
+
+        _lens = ds.lengths()
+        order = sorted(
+            range(len(ds)),
+            key=lambda i: pick_bucket(int(_lens[i]), cfg.train.buckets),
+        )
+    else:
+        order = list(range(len(ds)))
+
     def staged_batches():
         # host staging (dataset reads + collate) for batch i+1 overlaps
         # device compute for batch i via score_stream's in-flight window —
         # the synchronous loop paid this box's per-dispatch RPC floor
         # serially per batch
-        for i0 in range(0, len(ds), bs):
-            samples = [ds[i] for i in range(i0, min(i0 + bs, len(ds)))]
+        for i0 in range(0, len(order), bs):
+            samples = [ds[i] for i in order[i0 : i0 + bs]]
             for smp in samples:
                 time_offsets[smp["video_id"]] = smp.get("time_offset", 0.0)
             sample_blocks.append(samples)
@@ -154,13 +172,15 @@ def main() -> None:
         # FIFO consume: score_stream yields in dispatch order; holding every
         # batch's feature arrays for the whole run would grow without bound
         samples = sample_blocks.pop(0)
-        all_results.extend(results[: len(samples)])
         for s, r in zip(samples, results):
+            # per-result offset (several entries may share a youtube_id)
+            r["time_offset"] = s.get("time_offset", 0.0)
             tiou = calculate_tiou(
                 s.get("gt_segments") or [], r["segments"].tolist(), TIOU_THRESHOLDS
             )
             for t in TIOU_THRESHOLDS:
                 per_thr[t].append(tiou[t])
+        all_results.extend(results[: len(samples)])
 
     _finish(args, all_results, time_offsets, per_thr)
 

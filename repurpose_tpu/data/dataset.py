@@ -216,7 +216,6 @@ class RepurposeDataset:
         # RepurposeClip.py:432-437) — resolved after loading.
         t = pick_bucket(max(len(e["_labels"]) for e in entries), buckets)
 
-        dims = {"visual": None, "audio": None, "text": None}
         arrays = {}
         rows = {}
         for m, fmt in self._fmt.items():
@@ -224,7 +223,6 @@ class RepurposeDataset:
             info = native.probe_npy(paths[0])
             if info is None:
                 return None
-            dims[m] = info[1]
             loaded = native.batch_load_npy(paths, t=t, d=info[1], n_threads=4)
             if loaded is None:
                 return None

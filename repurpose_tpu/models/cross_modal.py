@@ -34,18 +34,36 @@ Array = jax.Array
 
 
 class MLP(nn.Module):
-    """Two-layer projection MLP (reference transformer.py MLP)."""
+    """fc1(hidden) -> relu -> fc2(out) — the reference MLP exactly
+    (transformer.py:24-35; it contains NO dropout)."""
 
     cfg: ModelConfig
+    hidden_dim: int
     out_dim: int
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool) -> Array:
-        y = nn.Dense(self.out_dim, dtype=x.dtype, name="fc1", **dense_kw(self.cfg))(x)
+    def __call__(self, x: Array) -> Array:
+        y = nn.Dense(self.hidden_dim, dtype=x.dtype, name="fc1", **dense_kw(self.cfg))(x)
         y = nn.relu(y)
-        y = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(y)
-        y = nn.Dense(self.out_dim, dtype=x.dtype, name="fc2", **dense_kw(self.cfg))(y)
-        return y
+        return nn.Dense(self.out_dim, dtype=x.dtype, name="fc2", **dense_kw(self.cfg))(y)
+
+
+class FFN(nn.Module):
+    """Linear(d -> d_ff) -> ReLU -> Linear(d_ff -> d) — the reference layers'
+    ``ff`` block (transformer.py:91-95). ``inner_dropout`` adds the Dropout
+    the reference places between relu and fc2 ONLY in
+    CrossSelfEncoderLayer.ff (transformer.py:148-153)."""
+
+    cfg: ModelConfig
+    inner_dropout: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool) -> Array:
+        y = nn.Dense(self.cfg.d_ff, dtype=x.dtype, name="lin1", **dense_kw(self.cfg))(x)
+        y = nn.relu(y)
+        if self.inner_dropout:
+            y = nn.Dropout(self.cfg.dropout, deterministic=deterministic)(y)
+        return nn.Dense(self.cfg.d_model, dtype=x.dtype, name="lin2", **dense_kw(self.cfg))(y)
 
 
 class CrossAttention(nn.Module):
@@ -73,27 +91,35 @@ class CrossAttention(nn.Module):
         s = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
         s = s / jnp.sqrt(jnp.asarray(dh, jnp.float32))
         s = s + jnp.where(kv_valid[:, None, None, :], 0.0, NEG_INF)
+        # no attention-weight dropout: the reference MultiHeadAttention has
+        # none (transformer.py:37-80); residual dropouts live in the layers
         w = jax.nn.softmax(s, axis=-1)
-        w = nn.Dropout(cfg.dropout, deterministic=deterministic)(w)
         o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(v.dtype), v).reshape(b, tq, d)
         return nn.Dense(d, dtype=q_in.dtype, name="out", **dense_kw(cfg))(o)
 
 
 class EncoderLayer(nn.Module):
-    """Self-attention + FFN block (reference EncoderLayer, post-LN)."""
+    """PRE-LN self-attention + FFN block: ``x + drop(attn(LN1(x)))`` then
+    ``x + drop(ff(LN2(x)))`` — the reference EncoderLayer exactly
+    (transformer.py:82-102). The reference instantiates these with its
+    default ``dropout=0.0`` and never overrides it; the runnable variant
+    applies ModelConfig.dropout on the same residual-add sites."""
 
     cfg: ModelConfig
 
     @nn.compact
     def __call__(self, x: Array, valid: Array, deterministic: bool) -> Array:
-        y = CrossAttention(self.cfg, name="self_attn")(x, x, valid, deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x + y).astype(x.dtype)
-        y = MLP(self.cfg, self.cfg.d_model, name="ffn")(x, deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x + y).astype(x.dtype)
+        drop = nn.Dropout(self.cfg.dropout, deterministic=deterministic)
+        x2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(x.dtype)
+        x = x + drop(CrossAttention(self.cfg, name="self_attn")(x2, x2, valid, deterministic))
+        x2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x).astype(x.dtype)
+        return x + drop(FFN(self.cfg, name="ffn")(x2, deterministic))
 
 
 class CrossAttentionEncoderLayer(nn.Module):
-    """Cross-attention + FFN (reference CrossAttentionEncoderLayer)."""
+    """PRE-LN cross-attention + FFN (reference CrossAttentionEncoderLayer,
+    transformer.py:104-130): ``x + drop(cross(LN1(x), context))`` then
+    ``x + drop(ff(LN2(x)))``."""
 
     cfg: ModelConfig
 
@@ -101,14 +127,22 @@ class CrossAttentionEncoderLayer(nn.Module):
     def __call__(
         self, x: Array, context: Array, ctx_valid: Array, deterministic: bool
     ) -> Array:
-        y = CrossAttention(self.cfg, name="cross_attn")(x, context, ctx_valid, deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x + y).astype(x.dtype)
-        y = MLP(self.cfg, self.cfg.d_model, name="ffn")(x, deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x + y).astype(x.dtype)
+        drop = nn.Dropout(self.cfg.dropout, deterministic=deterministic)
+        x2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(x.dtype)
+        x = x + drop(
+            CrossAttention(self.cfg, name="cross_attn")(x2, context, ctx_valid, deterministic)
+        )
+        x2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x).astype(x.dtype)
+        return x + drop(FFN(self.cfg, name="ffn")(x2, deterministic))
 
 
 class CrossSelfEncoderLayer(nn.Module):
-    """Self-attn -> cross-attn -> FFN (reference CrossSelfEncoderLayer)."""
+    """Self-attn -> cross-attn -> FFN (reference CrossSelfEncoderLayer,
+    transformer.py:132-176) — including its NORM-IN-RESIDUAL quirk: the
+    first residual adds to the un-normed input, but the cross and FFN
+    residuals add to the ALREADY-NORMED tensor (``x = norm_2(x);
+    x = x + drop(cross(x, ...))``), and the FFN carries an inner dropout
+    the sibling layers lack."""
 
     cfg: ModelConfig
 
@@ -117,17 +151,20 @@ class CrossSelfEncoderLayer(nn.Module):
         self, x: Array, valid: Array, context: Array, ctx_valid: Array,
         deterministic: bool,
     ) -> Array:
-        y = CrossAttention(self.cfg, name="self_attn")(x, x, valid, deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x + y).astype(x.dtype)
-        y = CrossAttention(self.cfg, name="cross_attn")(x, context, ctx_valid, deterministic)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x + y).astype(x.dtype)
-        y = MLP(self.cfg, self.cfg.d_model, name="ffn")(x, deterministic)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln3")(x + y).astype(x.dtype)
+        drop = nn.Dropout(self.cfg.dropout, deterministic=deterministic)
+        x2 = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln1")(x).astype(x.dtype)
+        x = x + drop(CrossAttention(self.cfg, name="self_attn")(x2, x2, valid, deterministic))
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln2")(x).astype(x.dtype)
+        x = x + drop(
+            CrossAttention(self.cfg, name="cross_attn")(x, context, ctx_valid, deterministic)
+        )
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="ln3")(x).astype(x.dtype)
+        return x + drop(FFN(self.cfg, inner_dropout=True, name="ffn")(x, deterministic))
 
 
 class UniModalEncoder(nn.Module):
-    """Per-modality encoder: MLP projection + PE + N self layers
-    (reference UniModalEncoder)."""
+    """Per-modality encoder: MLP(input, d_ff, d_model) projection + PE + N
+    pre-LN self layers (reference UniModalEncoder, transformer.py:179-191)."""
 
     cfg: ModelConfig
     num_layers: int
@@ -135,7 +172,7 @@ class UniModalEncoder(nn.Module):
     @nn.compact
     def __call__(self, feats: Array, valid: Array, deterministic: bool) -> Array:
         cfg = self.cfg
-        x = MLP(cfg, cfg.d_model, name="proj")(feats, deterministic)
+        x = MLP(cfg, cfg.d_ff, cfg.d_model, name="proj")(feats)
         pe = sinusoidal_positional_encoding(x.shape[1], cfg.d_model)
         x = x + pe[None].astype(x.dtype)
         for i in range(self.num_layers):

@@ -27,10 +27,16 @@ def results_to_manifest(
     ``time_offsets`` maps video_id -> timeRange[0]: decode outputs live on the
     feature grid, which starts at that offset inside the original file
     (dataset timeRange slicing) — clips are exported in ABSOLUTE video time.
+    A per-result ``time_offset`` key takes precedence: the label schema
+    allows SEVERAL entries per youtube_id with different timeRange slices
+    (reference RepurposeClip.py:33 dedupes ids), so a video_id-keyed dict
+    cannot distinguish them.
     """
     clips = []
     for r in results:
-        t0 = float((time_offsets or {}).get(r["video_id"], 0.0))
+        t0 = float(
+            r.get("time_offset", (time_offsets or {}).get(r["video_id"], 0.0))
+        )
         order = sorted(
             range(len(r["scores"])), key=lambda i: -float(r["scores"][i])
         )

@@ -70,6 +70,16 @@ def main() -> None:
     maybe_initialize_distributed()
 
     cfg = load_config(args.config_path)
+    if args.epochs:
+        # the override must reach the CONFIG, not just fit(): the warmup/
+        # cosine schedule is built from cfg.train.epochs (train/state.py),
+        # so a fit-only override would anneal against the wrong horizon —
+        # extra epochs would train at lr exactly 0
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(cfg.train, epochs=args.epochs)
+        )
     workdir = args.workdir or os.path.join(
         "runs", time.strftime("ckpt_%Y%m%d_%H%M%S")
     )
