@@ -133,10 +133,19 @@ def preprocess_frames(frames: np.ndarray) -> np.ndarray:
     for i, f in enumerate(frames):
         im = Image.fromarray(f)
         w, h = im.size
-        scale = 224 / min(w, h)
-        im = im.resize((round(w * scale), round(h * scale)), Image.BICUBIC)
+        # torchvision semantics exactly (CLIP's _transform is
+        # Resize(224)+CenterCrop(224)): the long side TRUNCATES
+        # (int(size * long / short)) and the crop origin ROUNDS
+        # (int(round((x - 224) / 2))) — round-based resize / floor-based
+        # crop differ by one pixel on a size-dependent subset of frames
+        if w <= h:
+            nw, nh = 224, int(224 * h / w)
+        else:
+            nw, nh = int(224 * w / h), 224
+        im = im.resize((nw, nh), Image.BICUBIC)
         w, h = im.size
-        left, top = (w - 224) // 2, (h - 224) // 2
+        left = int(round((w - 224) / 2.0))
+        top = int(round((h - 224) / 2.0))
         im = im.crop((left, top, left + 224, top + 224))
         out[i] = np.asarray(im, np.float32) / 255.0
     return (out - CLIP_IMAGE_MEAN) / CLIP_IMAGE_STD

@@ -88,10 +88,22 @@ class CNN14(nn.Module):
         return nn.relu(x)
 
 
+_EMBED_FNS: dict = {}
+
+
 def embed_waveform_chunks(params, wave_chunks: Array, compute_dtype="bfloat16") -> Array:
-    """[N, samples] 1-second chunks -> [N, 2048] embeddings."""
-    mel = logmel(wave_chunks)
-    return CNN14(compute_dtype=compute_dtype).apply({"params": params}, mel)
+    """[N, samples] 1-second chunks -> [N, 2048] embeddings. Jitted
+    (CLAUDE.md: unjitted op-by-op dispatch is pathological on this box's
+    tunneled TPU) with params threaded as an argument (relay rule)."""
+    import jax
+
+    fn = _EMBED_FNS.get(compute_dtype)
+    if fn is None:
+        fn = jax.jit(
+            lambda v, w: CNN14(compute_dtype=compute_dtype).apply(v, logmel(w))
+        )
+        _EMBED_FNS[compute_dtype] = fn
+    return fn({"params": params}, wave_chunks)
 
 
 def _fold_bn(sd: Mapping[str, np.ndarray], name: str, eps: float = 1e-5) -> dict:

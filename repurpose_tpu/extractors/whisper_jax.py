@@ -364,11 +364,18 @@ def _suppress_mask(cfg: WhisperJaxConfig) -> np.ndarray:
     (openai SuppressBlank/SuppressTokens cover more vocabulary-specific ids;
     the structural ones matter for segment extraction)."""
     m = np.zeros(cfg.vocab_size, bool)
-    ids = [cfg.sot, cfg.translate, cfg.transcribe, cfg.no_speech, cfg.no_timestamps]
+    ids = [
+        cfg.sot, cfg.translate, cfg.transcribe, cfg.no_speech,
+        cfg.no_timestamps,
+        # <|startoflm|> / <|startofprev|> — openai's default suppress list
+        # always includes them (decoding.py _get_suppress_tokens)
+        cfg.translate + 2, cfg.translate + 3,
+    ]
     m[[i for i in ids if i < cfg.vocab_size]] = True
-    # the 99 language-tag slots exist in BOTH vocab layouts (n_langs=0 only
-    # marks English-only prompting) — always suppress them
-    m[cfg.lang_begin : min(cfg.lang_begin + 99, cfg.vocab_size)] = True
+    # every language-tag slot up to <|translate|> (99 or, on large-v3
+    # vocabs, 100 slots — they exist in BOTH prompting layouts; n_langs=0
+    # only marks English-only prompting) — always suppress them
+    m[cfg.lang_begin : min(cfg.translate, cfg.vocab_size)] = True
     return m
 
 
@@ -679,17 +686,21 @@ def beam_decode(
              fin_lengths0, fin_count0, jnp.int32(0)),
         )
     )
-    # finalize: elements short of W finished fall back to their best live
-    # hypothesis (openai pads unfinished sequences in at finalize)
+    # finalize: openai pads the finished pool with the BEST LIVE hypotheses
+    # until it holds W entries whenever fin_count < W (BeamSearchDecoder.
+    # finalize), then ranks score/length over all W. At budget exhaustion
+    # every live hypothesis has the same sampled length (l - p), so their
+    # score order equals their ranked order — admitting just the best live
+    # as one extra candidate is argmax-equivalent to openai's full pad.
     live_best = jnp.argmax(scores, axis=1)
     live_tokens = tokens.reshape(b, w, l)[jnp.arange(b), live_best]
     live_scores = scores[jnp.arange(b), live_best]
-    no_fin = fin_count == 0
-    fb_scores = jnp.where(no_fin, live_scores, neg)
+    admit_live = fin_count < w
+    fb_scores = jnp.where(admit_live, live_scores, neg)
     fin_scores = jnp.concatenate([fin_scores, fb_scores[:, None]], axis=1)
     fin_tokens = jnp.concatenate([fin_tokens, live_tokens[:, None]], axis=1)
     fin_lengths = jnp.concatenate(
-        [fin_lengths, jnp.full((b, 1), float(max(l - 1 - p, 1)))], axis=1
+        [fin_lengths, jnp.full((b, 1), float(max(l - p, 1)))], axis=1
     )
     best = jnp.argmax(fin_scores / fin_lengths, axis=1)
     return fin_tokens[jnp.arange(b), best]
@@ -798,13 +809,21 @@ def config_from_hf(hf_cfg) -> WhisperJaxConfig:
     multilingual = vocab >= 51865
     eot = 50257 if multilingual else 50256
     sot = eot + 1
-    # both vocabs carry the 99 language tags; specials sit at fixed offsets
-    # from <|startoftranscript|> (openai whisper/tokenizer.py specials list).
+    # Specials sit right after the language-tag block (openai whisper/
+    # tokenizer.py specials order: langs, <|translate|>, <|transcribe|>,
+    # <|startoflm|>, <|startofprev|>, <|nospeech|>, <|notimestamps|>,
+    # timestamps). The lang block is 99 slots in the original vocabs
+    # (51864/51865) and 100 in large-v3/v3-turbo's 51866 (adds <|yue|>),
+    # which shifts EVERY special by one — deriving from the 99-slot layout
+    # on a v3 checkpoint would condition on <|translate|> instead of
+    # <|transcribe|> and misparse every timestamp.
     # n_langs=0 marks English-only checkpoints: *.en models are trained with
     # the bare <|startoftranscript|> prompt (no lang/task tokens) — WhisperASR
-    # keys its prompt choice off this
-    n_langs = 99 if multilingual else 0
-    no_timestamps = sot + 105
+    # keys its prompt choice off this; their vocab still CARRIES the 99 slots,
+    # so the special offsets use the layout width, not n_langs.
+    lang_slots = 100 if vocab >= 51866 else 99
+    n_langs = lang_slots if multilingual else 0
+    translate = sot + 1 + lang_slots
     return WhisperJaxConfig(
         vocab_size=vocab,
         n_mels=hf_cfg.num_mel_bins,
@@ -819,11 +838,11 @@ def config_from_hf(hf_cfg) -> WhisperJaxConfig:
         sot=sot,
         lang_begin=sot + 1,
         n_langs=n_langs,
-        translate=sot + 100,
-        transcribe=sot + 101,
-        no_speech=sot + 104,
-        no_timestamps=no_timestamps,
-        timestamp_begin=no_timestamps + 1,
+        translate=translate,
+        transcribe=translate + 1,
+        no_speech=translate + 4,
+        no_timestamps=translate + 5,
+        timestamp_begin=translate + 6,
     )
 
 
@@ -893,7 +912,17 @@ class WhisperASR:
         alignment_heads: Sequence[tuple[int, int]] | None = None,
         auto_language: bool = False,
         beam_size: int = 1,
+        no_speech_threshold: float | None = None,
     ):
+        """``no_speech_threshold`` (e.g. openai's 0.6) drops a chunk's
+        segments when P(<|nospeech|>) at the sot position exceeds it — the
+        silence gate that suppresses Whisper's silence hallucinations.
+        Opt-in and slightly more aggressive than openai, which additionally
+        requires avg_logprob below -1.0 before skipping (decoding that
+        needs per-token logprob accumulation in the decode loop); the
+        reference's whisperx path gates silence with an external VAD
+        instead (text_feature_extractor.py:129-160)."""
+        self.no_speech_threshold = no_speech_threshold
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.beam_size = beam_size
@@ -904,9 +933,10 @@ class WhisperASR:
         # every greedy_decode call and inline into the jit as HLO literals
         self._enc_vars = jax.tree.map(jnp.asarray, {"params": enc_params})
         self._dec_vars = jax.tree.map(jnp.asarray, {"params": dec_params})
-        self._encode = jax.jit(
-            lambda mel: self.encoder.apply(self._enc_vars, mel)
-        )
+        # params threaded as jit ARGUMENTS (CLAUDE.md relay rule: closed-over
+        # trees inflate the compile request -> HTTP 413 on large checkpoints)
+        _encode_p = jax.jit(lambda v, mel: self.encoder.apply(v, mel))
+        self._encode = lambda mel: _encode_p(self._enc_vars, mel)
         lang = lang_id if lang_id is not None else cfg.lang_begin  # <|en|>
         self.prompt = (
             (cfg.sot, lang, cfg.transcribe) if cfg.n_langs else (cfg.sot,)
@@ -942,16 +972,18 @@ class WhisperASR:
             return cfg.lang_begin, 1.0
         if not hasattr(self, "_detect_fn"):
             # jitted once; an eager decoder forward would dispatch per-op
-            # over the device tunnel (CLAUDE.md: always jit)
-            def _detect(enc):
+            # over the device tunnel (CLAUDE.md: always jit) — params as a
+            # jit argument per the relay rule
+            def _detect(dv, enc):
                 logits = self.decoder.apply(
-                    self._dec_vars, jnp.asarray([[cfg.sot]], jnp.int32), enc
+                    dv, jnp.asarray([[cfg.sot]], jnp.int32), enc
                 )[0, 0]
                 return jax.nn.softmax(
                     logits[cfg.lang_begin : cfg.lang_begin + cfg.n_langs]
                 )
 
-            self._detect_fn = jax.jit(_detect)
+            _detect_p = jax.jit(_detect)
+            self._detect_fn = lambda enc: _detect_p(self._dec_vars, enc)
         wave = np.zeros(N_SAMPLES, np.float32)
         wave[: min(len(wave_16k), N_SAMPLES)] = wave_16k[:N_SAMPLES]
         mel = log_mel_whisper(wave[None], n_mels=cfg.n_mels)
@@ -984,21 +1016,11 @@ class WhisperASR:
             hf_cfg = WhisperConfig(**json.load(f))
         cfg = config_from_hf(hf_cfg)
 
-        st = os.path.join(path, "model.safetensors")
-        if os.path.exists(st):
-            from safetensors.numpy import load_file
+        # one checkpoint-loading recipe shared with the other extractors
+        # (safetensors/bin/dir layouts + ckpt['model'] unwrap)
+        from repurpose_tpu.preprocessing.pipeline import PreprocessingPipeline
 
-            sd = load_file(st)
-        else:
-            import torch
-
-            sd = {
-                k: v.numpy()
-                for k, v in torch.load(
-                    os.path.join(path, "pytorch_model.bin"), map_location="cpu",
-                    weights_only=True,
-                ).items()
-            }
+        sd = PreprocessingPipeline._load_state_dict(path)
         enc_p, dec_p = convert_hf_whisper(sd, cfg)
         if alignment_heads is None:
             # published per-checkpoint head dump (generation_config.json /
@@ -1022,6 +1044,26 @@ class WhisperASR:
             beam_size=beam_size,
         )
 
+    def _no_speech_probs(self, enc, prompt: tuple[int, ...]):
+        """Per-row P(<|nospeech|>) at the sot position — openai decoding.py
+        reads the initial forward's logits at sot_index. One tiny
+        teacher-forced decoder pass per block; jitted per prompt length."""
+        if not hasattr(self, "_ns_fns"):
+            self._ns_fns = {}
+        key = len(prompt)
+        if key not in self._ns_fns:
+
+            def _ns(dv, enc_, toks):
+                logits = self.decoder.apply(dv, toks, enc_)
+                probs = jax.nn.softmax(logits[:, 0].astype(jnp.float32), axis=-1)
+                return probs[:, self.cfg.no_speech]
+
+            self._ns_fns[key] = jax.jit(_ns)
+        toks = jnp.broadcast_to(
+            jnp.asarray(prompt, jnp.int32)[None], (enc.shape[0], len(prompt))
+        )
+        return self._ns_fns[key](self._dec_vars, enc, toks)
+
     def transcribe_file(self, path: str, word_timestamps: bool = False) -> list[dict]:
         """Video/audio file -> segments (ffmpeg decode at 16 kHz host-side)."""
         from repurpose_tpu.preprocessing.media import load_audio
@@ -1043,6 +1085,11 @@ class WhisperASR:
             words_from_matrix,
         )
 
+        if len(wave_16k) == 0:
+            # zero-length audio has nothing to transcribe; promoting it to
+            # one all-zero chunk would invite Whisper's silence
+            # hallucinations into the transcript
+            return []
         prompt = self.prompt
         if self._auto_lang:
             lang, _ = self.detect_language(wave_16k)
@@ -1081,8 +1128,12 @@ class WhisperASR:
                     greedy_decode(self.decoder, self._dec_vars, enc, prompt)
                 )
             n_real = block.shape[0] - pad
+            gated = np.zeros(block.shape[0], bool)
+            if self.no_speech_threshold is not None:
+                ns = np.asarray(self._no_speech_probs(enc, prompt))
+                gated = ns > self.no_speech_threshold
             block_segments = [
-                tokens_to_segments(
+                [] if gated[j] else tokens_to_segments(
                     tokens[j], self.cfg, self.tokenizer.decode,
                     offset_s=(i + j) * float(CHUNK_S),
                 )

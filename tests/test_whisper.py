@@ -436,3 +436,43 @@ def test_text_extractor_uses_jax_asr(tiny, tmp_path, monkeypatch):
     assert cache.exists() and json.load(open(cache)) == segs
     for s in segs:
         assert set(s) == {"start", "end", "text", "tokens"}
+
+
+def test_config_from_hf_large_v3_layout():
+    """large-v3 / v3-turbo vocabs (51866) carry 100 language slots (<|yue|>
+    added), shifting every special by one: transcribe=50360 (not 50359,
+    which is <|translate|>), timestamps start at 50365 (review finding r3 —
+    the 99-slot offsets would condition on TRANSLATE and misparse every
+    timestamp)."""
+    from transformers import WhisperConfig
+
+    hf_cfg = WhisperConfig(
+        vocab_size=51866, num_mel_bins=128, d_model=16, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=32, decoder_ffn_dim=32, max_source_positions=1500,
+        max_target_positions=24,
+    )
+    cfg = config_from_hf(hf_cfg)
+    assert cfg.eot == 50257 and cfg.sot == 50258
+    assert cfg.n_langs == 100
+    assert cfg.translate == 50359
+    assert cfg.transcribe == 50360
+    assert cfg.no_speech == 50363
+    assert cfg.no_timestamps == 50364
+    assert cfg.timestamp_begin == 50365
+    from repurpose_tpu.extractors.whisper_jax import _suppress_mask
+
+    m = _suppress_mask(cfg)
+    # all 100 language slots incl. <|yue|> (50358), plus startoflm/startofprev
+    assert m[50259] and m[50358] and m[50361] and m[50362]
+    assert not m[cfg.timestamp_begin]
+
+    # v2 layout (51865) unchanged: 99 slots, transcribe 50359, ts0 50364
+    hf_v2 = WhisperConfig(
+        vocab_size=51865, num_mel_bins=80, d_model=16, encoder_layers=2,
+        decoder_layers=2, encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=32, decoder_ffn_dim=32, max_source_positions=1500,
+        max_target_positions=24,
+    )
+    v2 = config_from_hf(hf_v2)
+    assert (v2.n_langs, v2.transcribe, v2.timestamp_begin) == (99, 50359, 50364)

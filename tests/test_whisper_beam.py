@@ -67,9 +67,12 @@ def _reference_beam(decoder, dec_p, enc_row, prompt, w, l, cfg, with_ts):
             finished.append(entry)
         if len(finished) >= w:
             break
-    if not finished:  # fallback: best live hypothesis, truncated
-        tokens, score = max(hyps, key=lambda c: c[1])
-        finished = [(tokens, score, max(l - 1 - p, 1))]
+    if len(finished) < w and hyps:
+        # openai finalize: pad the finished pool with the best live
+        # hypotheses until it holds w entries (not only when empty)
+        hyps.sort(key=lambda c: -c[1])
+        for tokens, score in hyps[: w - len(finished)]:
+            finished.append((tokens, score, max(len(tokens) - p, 1)))
     best, best_rank = None, -np.inf
     for tokens, score, n_sampled in finished:
         rank = score / max(n_sampled, 1)
