@@ -1394,7 +1394,13 @@ def mha_pallas(
         # resolved at CALL time so sweeps can retune the module defaults
         q_block = PACKED_Q_BLOCK if packed else DEFAULT_Q_BLOCK
     picked = _pick_block(q.shape[1], min(q_block, q.shape[1]))
-    if picked is None or (packed and q.shape[1] > STREAM_MAX_T):
+    # the FUSED BACKWARD independently needs a legal k block — for t in
+    # (256, 512] not divisible by 8 the forward's q block is t itself
+    # (trivially legal) but _pick_block(t, 256) is None, and a forward-only
+    # check would pass here and crash at the first gradient; such buckets
+    # must take the XLA fallback like every other odd shape
+    bwd_kb = _pick_block(q.shape[1], min(DEFAULT_K_BLOCK, q.shape[1]))
+    if picked is None or bwd_kb is None or (packed and q.shape[1] > STREAM_MAX_T):
         if packed and q.shape[1] > STREAM_MAX_T:
             import logging
 

@@ -481,3 +481,21 @@ def test_packed_stream_bf16(rng, monkeypatch):
         np.asarray(want, np.float32)[valid],
         atol=3e-2,
     )
+
+
+def test_odd_bucket_gradient_falls_back(rng):
+    """Buckets in (256, 512] not divisible by 8 (e.g. 300): the forward's
+    q block is trivially legal (t itself) but the fused backward's k block
+    is not — the entry check must route such shapes to the XLA fallback
+    BEFORE the forward, or the first gradient step dies on the backward's
+    block assert (review finding r3)."""
+    t = 300
+    q = jnp.asarray(rng.normal(0, 1, (2, t, 2, 16)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (2, t, 2, 16)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (2, t, 2, 16)), jnp.float32)
+    lens = np.array([t, t - 5])
+    mask = jnp.asarray(np.arange(t)[None, :] < lens[:, None])
+
+    g = jax.grad(lambda q_: mha_pallas(q_, k, v, mask, softmax_dtype="float32").sum())(q)
+    gr = jax.grad(lambda q_: mha_xla(q_, k, v, mask).sum())(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-6)
