@@ -476,3 +476,36 @@ def test_config_from_hf_large_v3_layout():
     )
     v2 = config_from_hf(hf_v2)
     assert (v2.n_langs, v2.transcribe, v2.timestamp_begin) == (99, 50359, 50364)
+
+
+def test_no_speech_gate(tiny, monkeypatch):
+    """Opt-in silence gate: threshold 0 gates every chunk (P(nospeech) >= 0),
+    None keeps current behavior; zero-length audio always returns []."""
+    import repurpose_tpu.extractors.whisper_jax as wj
+
+    _, cfg, enc_p, dec_p = tiny
+
+    class Tok:
+        def decode(self, ids):
+            return "".join(f" w{i}" for i in ids)
+
+    ts0 = cfg.timestamp_begin
+    row = [cfg.sot, cfg.lang_begin, cfg.transcribe, ts0, 5, ts0 + 100, cfg.eot]
+
+    def fake_decode(decoder, variables, enc, prompt, with_timestamps=True):
+        out = np.full((enc.shape[0], cfg.max_target_positions), cfg.eot, np.int32)
+        for j in range(enc.shape[0]):
+            out[j, : len(row)] = row
+        return jnp.asarray(out)
+
+    monkeypatch.setattr(wj, "greedy_decode", fake_decode)
+    rng = np.random.default_rng(5)
+    wave = rng.normal(0, 0.1, 16000 * 3).astype(np.float32)
+
+    asr = WhisperASR(cfg, enc_p, dec_p, Tok())
+    assert asr.transcribe_wave(np.zeros(0, np.float32)) == []
+    segs_open = asr.transcribe_wave(wave)
+    assert segs_open  # ungated: the stubbed decode yields one segment
+
+    gated = WhisperASR(cfg, enc_p, dec_p, Tok(), no_speech_threshold=0.0)
+    assert gated.transcribe_wave(wave) == []
