@@ -189,3 +189,30 @@ def test_nondeterministic_without_rng_rejected(mesh, params):
             jnp.zeros((8, 32, CFG.text_dim)), jnp.ones((8, 32), bool),
             deterministic=False,
         )
+
+
+def test_trainer_packed_pipeline_mesh(tmp_path):
+    """pack_sequences x MeshConfig.pipe: FFD-packed rows (seg_ids/positions)
+    ride through the GPipe forward inside the standard Trainer loop."""
+    from repurpose_tpu.config import Config, TestConfig
+    from repurpose_tpu.train.loop import Trainer
+
+    cfg = Config(
+        model=dataclasses.replace(
+            CFG, self_num_layers=2, vis_dim=8, aud_dim=12, text_dim=4,
+            d_model=16, num_heads=2, d_ff=32, hidden_dim=8,
+        ),
+        train=TrainConfig(
+            batch_size=4, buckets=(128,), epochs=1, eval_freq=100,
+            intra_epoch_eval_freq=0, save_epochs=100, lr=1e-3,
+            pack_sequences=True, loss_norm="batch_size",
+            pipeline_microbatches=2,
+        ),
+        mesh=MeshConfig(data=2, pipe=2),
+        test_cfg=TestConfig(pre_nms_topk=16),
+    )
+    ds = SyntheticDataset([60, 40, 70, 50, 90, 30, 80, 20], cfg.model, seed=3)
+    trainer = Trainer(cfg, str(tmp_path / "pp_pack"), ds)
+    trainer.fit()
+    assert int(trainer.state.step) == trainer.steps_per_epoch
+    assert trainer.steps_per_epoch >= 1
