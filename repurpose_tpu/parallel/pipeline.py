@@ -24,12 +24,14 @@ Design:
 - Embed (projection + PE) and the heads run replicated on every pipe
   stage: they are O(one layer) of compute, and pipelining them would add
   two more transfer boundaries for no wall-clock win at 16 layers.
-- Params stay in the STANDARD per-layer tree (checkpoints, telemetry,
-  and the torch converter are unchanged); the stack + pipe-shard happens
-  inside the jitted step as a local slice of the replicated tree (no
-  collectives). A memory-honest pre-stacked TrainState is future work —
-  at the flagship's 85M params, replication costs ~0.6 GB HBM and is
-  irrelevant on v5e; the capability matters for much deeper variants.
+- Two parameter layouts: the default keeps the STANDARD per-layer tree
+  (checkpoints, telemetry, and the torch converter unchanged; the stack +
+  pipe-shard happens inside the jitted step as a local slice of the
+  replicated tree — at the flagship's 85M params replication costs
+  ~0.6 GB HBM, irrelevant on v5e). For much deeper variants,
+  ``create_pipeline_train_state`` + ``PipelinedMMCTStacked`` hold the
+  layer stack ONLY pipe-sharded (each stage stores its own L/S layers and
+  Adam moments; ``merge_pipeline_params`` exports the standard tree).
 
 Restrictions (checked in ``validate_pipeline``): pipe>1 requires
 model=seq=1 (TP psums and the ring ppermute would need hand-placed
@@ -289,6 +291,49 @@ def _pipeline_encoder(
     return fn(stacked, x, mask, raw_key)
 
 
+def split_pipeline_params(params, n_layers: int) -> dict:
+    """Standard MMCT param tree -> ``{"layers": stacked [L, ...],
+    "rest": everything-but-encoder}`` — the memory-honest pipeline layout
+    where each stage holds ONLY its own layers (pipe-sharded dim 0)."""
+    return {
+        "layers": stack_layer_params(params, n_layers),
+        "rest": {k: v for k, v in params.items() if k != "encoder"},
+    }
+
+
+def merge_pipeline_params(pp: dict, n_layers: int) -> dict:
+    """Inverse of ``split_pipeline_params`` — standard-tree export for
+    checkpoints / the torch converter / the decode pipeline."""
+    params = dict(pp["rest"])
+    params["encoder"] = unstack_layer_params(pp["layers"], n_layers)
+    return params
+
+
+def _pipeline_forward_split(
+    cfg: ModelConfig,
+    mesh: Mesh,
+    n_microbatches: int,
+    stacked,
+    rest,
+    visual: Array,
+    audio: Array,
+    text: Array,
+    mask: Array,
+    deterministic: bool = True,
+    rng=None,
+    seg_ids: Array | None = None,
+    positions: Array | None = None,
+) -> MMCTOutput:
+    if not deterministic and rng is None:
+        raise ValueError("deterministic=False needs a dropout rng")
+    validate_pipeline(cfg, mesh, n_microbatches, visual.shape[0])
+    x = _embed(cfg, rest, visual, audio, text, positions)
+    x = _pipeline_encoder(
+        cfg, mesh, n_microbatches, stacked, x, mask, seg_ids, rng, deterministic
+    )
+    return _head(cfg, rest, x, deterministic, rng)
+
+
 def pipeline_forward(
     cfg: ModelConfig,
     mesh: Mesh,
@@ -306,16 +351,14 @@ def pipeline_forward(
     """Full MMCT forward with the encoder pipelined over the pipe axis.
     Value-identical to ``MMCT.apply`` when deterministic (pinned by
     tests/test_pipeline.py); with dropout the draws differ (module docstring).
-    """
-    if not deterministic and rng is None:
-        raise ValueError("deterministic=False needs a dropout rng")
-    validate_pipeline(cfg, mesh, n_microbatches, visual.shape[0])
-    x = _embed(cfg, params, visual, audio, text, positions)
-    stacked = stack_layer_params(params, cfg.self_num_layers)
-    x = _pipeline_encoder(
-        cfg, mesh, n_microbatches, stacked, x, mask, seg_ids, rng, deterministic
+    Takes the STANDARD per-layer tree (replicated; convenient for checkpoints
+    and the Trainer) — deep models that need per-stage parameter memory use
+    the split layout via ``create_pipeline_train_state``."""
+    split = split_pipeline_params(params, cfg.self_num_layers)
+    return _pipeline_forward_split(
+        cfg, mesh, n_microbatches, split["layers"], split["rest"],
+        visual, audio, text, mask, deterministic, rng, seg_ids, positions,
     )
-    return _head(cfg, params, x, deterministic, rng)
 
 
 class PipelinedMMCT:
@@ -358,9 +401,89 @@ class PipelinedMMCT:
         )
 
 
+class PipelinedMMCTStacked:
+    """Like ``PipelinedMMCT`` but over the SPLIT param layout
+    (``{"layers": [L, ...] pipe-sharded, "rest": replicated}``) — the
+    memory-honest state where each stage's HBM holds only its own layers.
+    Build the matching TrainState with ``create_pipeline_train_state``."""
+
+    def __init__(self, cfg: ModelConfig, mesh: Mesh, n_microbatches: int):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.n_microbatches = n_microbatches
+
+    def apply(
+        self,
+        variables,
+        visual,
+        audio,
+        text,
+        mask,
+        deterministic: bool = True,
+        seg_ids=None,
+        positions=None,
+        rngs=None,
+    ) -> MMCTOutput:
+        rng = (rngs or {}).get("dropout")
+        pp = variables["params"]
+        return _pipeline_forward_split(
+            self.cfg,
+            self.mesh,
+            self.n_microbatches,
+            pp["layers"],
+            pp["rest"],
+            visual,
+            audio,
+            text,
+            mask,
+            deterministic,
+            rng,
+            seg_ids,
+            positions,
+        )
+
+
+def create_pipeline_train_state(
+    model_cfg: ModelConfig,
+    train_cfg,
+    mesh: Mesh,
+    steps_per_epoch: int,
+    rng,
+):
+    """Memory-honest pipeline TrainState: params in the split layout with the
+    layer stack placed ``P("pipe")`` — each stage's devices hold ONLY their
+    own L/S layers (and the small replicated rest), and Adam moments inherit
+    the same placement. Returns ``(state, tx, schedule)``; pair with
+    ``make_train_step(model=PipelinedMMCTStacked(...))``. Export a standard
+    tree for checkpoints/decode with ``merge_pipeline_params``. At the
+    flagship's 85M params replication costs ~0.6 GB and the plain
+    ``PipelinedMMCT`` path is simpler; this layout is for much deeper
+    variants where per-stage parameter memory matters."""
+    from jax.sharding import NamedSharding
+
+    from repurpose_tpu.train.state import TrainState, create_train_state
+
+    state, tx, schedule = create_train_state(
+        model_cfg, train_cfg, steps_per_epoch, rng
+    )
+    split = split_pipeline_params(state.params, model_cfg.self_num_layers)
+    lay_sh = NamedSharding(mesh, P("pipe"))
+    rep = NamedSharding(mesh, P())
+    placed = {
+        "layers": jax.tree.map(lambda x: jax.device_put(x, lay_sh), split["layers"]),
+        "rest": jax.tree.map(lambda x: jax.device_put(x, rep), split["rest"]),
+    }
+    opt_state = tx.init(placed)  # zeros_like inherits the placement
+    return TrainState(params=placed, opt_state=opt_state, step=state.step), tx, schedule
+
+
 __all__ = [
     "PipelinedMMCT",
+    "PipelinedMMCTStacked",
+    "create_pipeline_train_state",
+    "merge_pipeline_params",
     "pipeline_forward",
+    "split_pipeline_params",
     "stack_layer_params",
     "unstack_layer_params",
     "validate_pipeline",

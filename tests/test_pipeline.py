@@ -216,3 +216,58 @@ def test_trainer_packed_pipeline_mesh(tmp_path):
     trainer.fit()
     assert int(trainer.state.step) == trainer.steps_per_epoch
     assert trainer.steps_per_epoch >= 1
+
+
+def test_stacked_state_matches_replicated_pipeline(mesh):
+    """Memory-honest split layout (create_pipeline_train_state +
+    PipelinedMMCTStacked): same trajectory as the replicated-tree pipeline
+    (dropout 0), layer stack physically pipe-sharded, and the standard-tree
+    export round-trips."""
+    from repurpose_tpu.parallel.pipeline import (
+        PipelinedMMCTStacked,
+        create_pipeline_train_state,
+        merge_pipeline_params,
+    )
+
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    ds = SyntheticDataset([32 - i for i in range(8)], CFG, seed=0)
+    batch = collate([ds[i] for i in range(8)], tc.buckets, 8)
+
+    state_r, tx_r, sched_r = create_train_state(
+        CFG, tc, steps_per_epoch=2, rng=jax.random.key(1)
+    )
+    state_s, tx_s, sched_s = create_pipeline_train_state(
+        CFG, tc, mesh, steps_per_epoch=2, rng=jax.random.key(1)
+    )
+    # the layer stack is physically sharded over the pipe axis
+    lk = state_s.params["layers"]["attn"]["qkv"]["kernel"]
+    spec = lk.sharding.spec
+    assert spec and spec[0] == "pipe"
+    assert lk.addressable_shards[0].data.shape[0] == CFG.self_num_layers // 4
+
+    # standard-tree export equals the replicated init exactly
+    merged = merge_pipeline_params(
+        jax.device_get(state_s.params), CFG.self_num_layers
+    )
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(state_r.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    step_r = make_train_step(
+        CFG, tc, tx_r, sched_r, donate=False, model=PipelinedMMCT(CFG, mesh, 2)
+    )
+    step_s = make_train_step(
+        CFG, tc, tx_s, sched_s, donate=False,
+        model=PipelinedMMCTStacked(CFG, mesh, 2),
+    )
+    rng = jax.random.key(7)
+    for _ in range(2):
+        state_r, m_r = step_r(state_r, batch, rng)
+        state_s, m_s = step_s(state_s, batch, rng)
+        np.testing.assert_allclose(
+            float(m_r["loss"]), float(m_s["loss"]), rtol=1e-5
+        )
+    merged = merge_pipeline_params(
+        jax.device_get(state_s.params), CFG.self_num_layers
+    )
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(state_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
