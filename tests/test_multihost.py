@@ -11,6 +11,7 @@ import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
 
 
@@ -208,3 +209,82 @@ def test_two_process_training(tmp_path):
     values = [float(v) for v in loss_lines[0][0].split()[1:]]
     assert len(values) == 3 and all(v > 0 for v in values)
     assert values[-1] < values[0]  # training progresses
+
+
+PP_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address="localhost:" + os.environ["COORD_PORT"], num_processes=2, process_id=pid
+)
+import numpy as np
+sys.path.insert(0, os.environ["REPO"])
+from repurpose_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from repurpose_tpu.data.loader import BatchLoader
+from repurpose_tpu.data.synthetic import SyntheticDataset
+from repurpose_tpu.parallel.mesh import create_mesh, mesh_self_check
+from repurpose_tpu.parallel.pipeline import PipelinedMMCT
+from repurpose_tpu.parallel.sharding import make_global_batch
+from repurpose_tpu.train.state import create_train_state
+from repurpose_tpu.train.step import make_train_step
+
+mc = ModelConfig(vis_dim=8, aud_dim=12, text_dim=4, d_model=16, self_num_layers=4,
+                 num_heads=2, d_ff=32, hidden_dim=8, compute_dtype="float32",
+                 attention_impl="xla")
+tc = TrainConfig(batch_size=4, buckets=(64,), epochs=1,
+                 pipeline_microbatches=2)  # global batch 8 over dp=2 x M=2
+
+mesh = create_mesh(MeshConfig(data=2, model=1, seq=1, pipe=4))
+assert mesh.devices.size == 8, mesh.devices.size
+mesh_self_check(mesh)
+
+ds = SyntheticDataset([50, 40, 60, 55], mc, seed=4)
+loader = BatchLoader(ds, batch_size=4, buckets=tc.buckets, shuffle=False,
+                     process_index=jax.process_index(), process_count=2)
+state, tx, sched = create_train_state(mc, tc, 2, jax.random.key(0))
+step = make_train_step(mc, tc, tx, sched, donate=False,
+                       model=PipelinedMMCT(mc, mesh, tc.pipeline_microbatches))
+losses = []
+for epoch in range(2):
+    for batch in loader.epoch(epoch):
+        gb = make_global_batch(batch, mesh)
+        assert gb.visual.shape[0] == 8
+        state, m = step(state, gb, jax.random.key(1))
+        losses.append(float(m["loss"]))
+print("LOSSES", " ".join(f"{l:.6f}" for l in losses), flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_pipeline_training(tmp_path):
+    """GPipe over a CROSS-PROCESS mesh: 2 hosts x 4 devices, {data:2, pipe:4}
+    — the ppermute stage hops ride the inter-process fabric. Both processes
+    must see identical finite losses."""
+    script = tmp_path / "pp_worker.py"
+    script.write_text(PP_WORKER)
+    env = dict(
+        os.environ,
+        REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        PALLAS_AXON_POOL_IPS="",
+        COORD_PORT=_free_port(),
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = _communicate_all(procs)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    rows = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("LOSSES ")]
+        assert lines, out[-1000:]
+        rows.append([float(x) for x in lines[0].split()[1:]])
+    assert rows[0] == rows[1]
+    assert all(np.isfinite(v) for v in rows[0]) and len(rows[0]) >= 2
