@@ -1339,6 +1339,14 @@ def _mha_fwd(
 
 def _mha_bwd(q_block, interpret, backward, precision, sm_name, packed, res, g):
     q, k, v, key_valid, seg, o, lse = res
+    if backward == "pallas" and _pick_block(
+        q.shape[1], min(DEFAULT_K_BLOCK, q.shape[1])
+    ) is None:
+        # buckets in (256, 512] not divisible by 8: the forward's q block is
+        # trivially legal (t itself) but the fused backward has no legal k
+        # block — recompute through XLA instead of crashing, keeping the fast
+        # Pallas forward for inference-only and backward="xla" callers
+        backward = "xla"
     if backward == "pallas":
         dq, dk, dv = _flash_backward(
             q, k, v, key_valid, o, lse, g, q_block, DEFAULT_K_BLOCK, interpret,
@@ -1394,13 +1402,10 @@ def mha_pallas(
         # resolved at CALL time so sweeps can retune the module defaults
         q_block = PACKED_Q_BLOCK if packed else DEFAULT_Q_BLOCK
     picked = _pick_block(q.shape[1], min(q_block, q.shape[1]))
-    # the FUSED BACKWARD independently needs a legal k block — for t in
-    # (256, 512] not divisible by 8 the forward's q block is t itself
-    # (trivially legal) but _pick_block(t, 256) is None, and a forward-only
-    # check would pass here and crash at the first gradient; such buckets
-    # must take the XLA fallback like every other odd shape
-    bwd_kb = _pick_block(q.shape[1], min(DEFAULT_K_BLOCK, q.shape[1]))
-    if picked is None or bwd_kb is None or (packed and q.shape[1] > STREAM_MAX_T):
+    # (buckets whose FUSED backward has no legal k block — t in (256, 512]
+    # not divisible by 8 — keep the fast Pallas forward; _mha_bwd swaps in
+    # the XLA-recompute backward for them)
+    if picked is None or (packed and q.shape[1] > STREAM_MAX_T):
         if packed and q.shape[1] > STREAM_MAX_T:
             import logging
 

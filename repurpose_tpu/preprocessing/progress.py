@@ -79,11 +79,10 @@ class ProgressTracker:
             except Exception:
                 pass
         # statuses resumed from a previous session are NOT this session's
-        # throughput — ETA must rate only work done since _t0
-        self._baseline_done = sum(
-            1 for s in self.status.values()
-            if s == "completed" or s.startswith("failed")
-        )
+        # throughput — ETA rates only marks made since _t0. A counter (not a
+        # baseline diff) so retries that FLIP an already-terminal status
+        # (failed->completed, re-download of a deleted file) still count.
+        self._session_marks = 0
 
     # -- queries ---------------------------------------------------------------
 
@@ -106,10 +105,9 @@ class ProgressTracker:
 
     def eta_seconds(self) -> float | None:
         done = self.completed + self.failed
-        session_done = done - self._baseline_done
-        if session_done <= 0 or not self.total:
+        if self._session_marks <= 0 or not self.total:
             return None
-        rate = session_done / max(time.time() - self._t0, 1e-9)
+        rate = self._session_marks / max(time.time() - self._t0, 1e-9)
         return (self.total - done) / rate
 
     # -- updates ----------------------------------------------------------------
@@ -117,6 +115,7 @@ class ProgressTracker:
     def mark_completed(self, video_id: str) -> None:
         with self._lock:
             self.status[video_id] = "completed"
+            self._session_marks += 1
             self._save_locked()
             self._print_locked()
 
@@ -124,6 +123,7 @@ class ProgressTracker:
         cat = categorize_error(error)
         with self._lock:
             self.status[video_id] = f"failed:{cat.value}"
+            self._session_marks += 1
             self.errors.setdefault(cat.value, [])
             if len(self.errors[cat.value]) < 5:  # keep a few examples
                 self.errors[cat.value].append({"video_id": video_id, "error": error[:300]})

@@ -428,18 +428,28 @@ class Trainer:
             # loader (RepurposeDataset.load_batch) skips per-sample numpy
             # round-trips where it applies.
             if hasattr(ds, "lengths"):
-                # group by bucket first (stable): interleaved lengths would
-                # otherwise pad nearly every chunk to its longest member's
-                # bucket — up to ~8x extra attention/FFN compute on a mixed
-                # split (score_videos groups the same way, infer.py)
+                # group STRICTLY per bucket and chunk within each group
+                # (score_videos' shape, infer.py): interleaved lengths would
+                # pad nearly every chunk to its longest member's bucket, and
+                # a mere sort still mixes buckets in the boundary chunks
                 from repurpose_tpu.data.batching import pick_bucket
 
                 lens_all = ds.lengths()
-                stage_idx = sorted(
-                    stage_idx, key=lambda i: pick_bucket(int(lens_all[i]), buckets)
-                )
-            for i0 in range(0, len(stage_idx), bs):
-                idxs = stage_idx[i0 : i0 + bs]
+                groups: dict[int, list[int]] = {}
+                for i in stage_idx:
+                    groups.setdefault(
+                        pick_bucket(int(lens_all[i]), buckets), []
+                    ).append(i)
+                chunks = [
+                    groups[b][j : j + bs]
+                    for b in sorted(groups)
+                    for j in range(0, len(groups[b]), bs)
+                ]
+            else:
+                chunks = [
+                    stage_idx[j : j + bs] for j in range(0, len(stage_idx), bs)
+                ]
+            for idxs in chunks:
                 batch = None
                 if hasattr(ds, "load_batch"):
                     batch = ds.load_batch(idxs, buckets, bs)

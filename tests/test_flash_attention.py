@@ -486,9 +486,9 @@ def test_packed_stream_bf16(rng, monkeypatch):
 def test_odd_bucket_gradient_falls_back(rng):
     """Buckets in (256, 512] not divisible by 8 (e.g. 300): the forward's
     q block is trivially legal (t itself) but the fused backward's k block
-    is not — the entry check must route such shapes to the XLA fallback
-    BEFORE the forward, or the first gradient step dies on the backward's
-    block assert (review finding r3)."""
+    is not — _mha_bwd must swap in the XLA-recompute backward for such
+    shapes (keeping the fast Pallas forward) instead of dying on the fused
+    backward's block assert at the first gradient step (review finding r3)."""
     t = 300
     q = jnp.asarray(rng.normal(0, 1, (2, t, 2, 16)), jnp.float32)
     k = jnp.asarray(rng.normal(0, 1, (2, t, 2, 16)), jnp.float32)

@@ -66,11 +66,13 @@ def main() -> None:
             lambda x: x.astype(cast) if x.dtype == jnp.float32 else x, dparams
         )
         dvars = {"params": jax.tree.map(jnp.asarray, dp)}
+        evars = {"params": jax.tree.map(jnp.asarray, eparams)}
+        # params as jit ARGUMENTS (CLAUDE.md relay rule — a closed-over tree
+        # inflates each batch-size specialization's compile request)
+        encode = jax.jit(lambda v, m: wenc.apply(v, m))
         for bc in (8, 16, 32, 64):
             wav = jnp.asarray(rng.normal(0, 0.1, (bc, 480000)), jnp.float32)
-            enc = jax.jit(lambda m: wenc.apply({"params": eparams}, m))(
-                log_mel_whisper(wav)
-            )
+            enc = encode(evars, log_mel_whisper(wav))
             enc.block_until_ready()
 
             def decode(e):
