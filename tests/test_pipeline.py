@@ -271,3 +271,17 @@ def test_stacked_state_matches_replicated_pipeline(mesh):
     )
     for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(state_r.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_forward_parity_two_stage_mesh(params, rng):
+    """Stage-count sweep: the same model on a {data:4, pipe:2} mesh (2 layers
+    per stage) matches unpipelined — the schedule math must hold for any
+    S dividing L, not just the module fixture's S=4."""
+    mesh2 = create_mesh(MeshConfig(data=4, model=1, seq=1, pipe=2))
+    v, a, t, mask = _inputs(rng)
+    ref = MMCT(CFG).apply({"params": params}, v, a, t, mask, True)
+    out = jax.jit(
+        lambda p, *xs: pipeline_forward(CFG, mesh2, 2, p, *xs)
+    )(params, v, a, t, mask)
+    np.testing.assert_allclose(out.cls_logits, ref.cls_logits, atol=2e-5)
+    np.testing.assert_allclose(out.offsets, ref.offsets, atol=2e-5)
