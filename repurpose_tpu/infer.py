@@ -26,41 +26,6 @@ from repurpose_tpu.ops.decode import (
 )
 
 
-class _SubsetVideos:
-    """Lazy index-subset view over a video sequence: items load only when
-    accessed (score_videos stages one batch at a time), and the parent's
-    planning lengths ride along so no feature is touched for bucket routing."""
-
-    def __init__(self, base, indices, lengths=None):
-        self._base = base
-        self._idx = list(indices)
-        self._lens = None if lengths is None else [lengths[i] for i in self._idx]
-        if self._lens is None and hasattr(base, "lengths"):
-            base_lens = list(base.lengths())
-            self._lens = [base_lens[i] for i in self._idx]
-
-    def __len__(self):
-        return len(self._idx)
-
-    def __getitem__(self, k):
-        v = self._base[self._idx[k]]
-        if "video_id" not in v:
-            # default ids must come from the PARENT index space — a
-            # subset-local default would collide with the parent's own
-            # defaults for different videos
-            v = dict(v)
-            v["video_id"] = str(self._idx[k])
-        return v
-
-    def lengths(self):
-        if self._lens is None:  # last resort: measure from the features
-            self._lens = [
-                min(len(v["visual"]), len(v["audio"]), len(v["text"]))
-                for v in self
-            ]
-        return self._lens
-
-
 def _unpack(res: DecodeResult, durations, video_ids, raw=None) -> list[dict]:
     """Fixed-size decode output -> per-video result dicts (rows beyond
     len(video_ids) are batch padding from ragged final batches).
@@ -325,14 +290,12 @@ class InferencePipeline:
         per-video layout padded to a bucket-constant capacity with length-0
         dummies; samples load lazily per batch). ``videos`` may expose
         ``lengths()`` (e.g. a dataset-backed lazy sequence) to plan packing
-        without touching features. Videos routing to buckets past the packed
-        kernels' reach (> STREAM_MAX_T, where packed attention would fall
-        back to an XLA [B, T, T] score tensor) score UNPACKED instead —
-        such long videos rarely share rows anyway."""
+        without touching features. Packing covers every bucket length: past
+        STREAM_MAX_T the packed streaming/HBM attention kernels take over
+        (ops/flash_attention.py), so multi-hour buckets pack too."""
         import collections
 
         from repurpose_tpu.data.batching import iter_packed_batches
-        from repurpose_tpu.ops.flash_attention import STREAM_MAX_T
 
         buckets = sorted(buckets)
         if hasattr(videos, "lengths"):
@@ -342,10 +305,6 @@ class InferencePipeline:
                 min(len(v["visual"]), len(v["audio"]), len(v["text"]))
                 for v in videos
             ]
-        packable = [
-            i for i in range(len(lengths))
-            if pick_bucket(lengths[i], buckets) <= STREAM_MAX_T
-        ]
 
         def fetch(i):
             v = videos[i]
@@ -365,7 +324,7 @@ class InferencePipeline:
 
         def stream_items():
             for batch, layout, gidx, samples in iter_packed_batches(
-                fetch, lengths, buckets, batch_size, indices=packable
+                fetch, lengths, buckets, batch_size
             ):
                 # ids from the already-fetched samples — indexing ``videos``
                 # again would re-load features on lazy dataset-backed inputs
@@ -377,18 +336,6 @@ class InferencePipeline:
 
         for rs in self.score_packed_stream(stream_items(), depth=depth, params=params):
             for i, r in zip(gidx_fifo.popleft(), rs):
-                results[i] = r
-        pack_set = set(packable)
-        long_idx = [i for i in range(len(lengths)) if i not in pack_set]
-        if long_idx:
-            # lazy subset view — a list comprehension would materialize every
-            # long video's features at once, defeating the one-batch-at-a-time
-            # memory contract on multi-hour corpora
-            unpacked = self.score_videos(
-                _SubsetVideos(videos, long_idx, lengths), buckets, batch_size,
-                depth, params, pack=False,
-            )
-            for i, r in zip(long_idx, unpacked):
                 results[i] = r
         return results  # type: ignore[return-value]
 

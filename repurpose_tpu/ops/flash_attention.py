@@ -106,22 +106,22 @@ HBM_STREAM_T = 8192
 DQ_STREAM_T: int | None = None
 DKV_STREAM_T: int | None = None
 
-# Sequence-packed forward interior: above this T the packed kernel switches
-# from the dense [Tq, T] slab to the k-blocked BOUNDED sweep — each query
-# block's key loop runs only the blocks overlapping its own videos' spans
-# (block-diagonal attention makes everything outside exactly zero mass), so
-# per-video key cost drops from the full row T to ~the video's own length.
-# MEASURED DEAD END at T=2048 on v5e (tools/bench_packed_infer.py,
-# corpus-fill packed batch, back-to-back): 34.8 ms vs the dense slab's 26.5
-# — the per-block online-softmax rescale (f32 [Tq, dh] accumulator x heads
-# per k block) costs the VPU more than the skipped blocks save, consistent
-# with the dense/stream sweeps elsewhere in this file. None = dense always
-# (the default). NOTE: this knob only selects the interior WITHIN the
-# packed dense routing window (t <= STREAM_MAX_T) — packed t beyond that
-# falls back to XLA in mha_pallas before any packed kernel runs, so the
-# streaming kernel does NOT unlock packed long-T by itself (producers
-# route long buckets unpacked instead: infer.py, train/loop.py; wiring a
-# packed long-T path would also need a bounded-sweep packed backward).
+# Sequence-packed STREAMING threshold: above this T the packed forward
+# switches from the dense [Tq, T] slab to the k-blocked BOUNDED sweep — each
+# query block's key loop runs only the blocks overlapping its own videos'
+# spans (block-diagonal attention makes everything outside exactly zero
+# mass), so per-video key cost stays ~the video's own length even inside a
+# long packed row. None = STREAM_MAX_T (dense in the corpus-bucket window,
+# streaming beyond — mirroring the unpacked routing); a smaller value forces
+# the streaming interior earlier for sweeps. Forcing it at T=2048 MEASURED
+# SLOWER than the dense slab on v5e (34.8 vs 26.5 ms,
+# tools/bench_packed_infer.py): the per-block online-softmax rescale costs
+# the VPU more than the skipped blocks save — but past STREAM_MAX_T the
+# dense slab stops fitting VMEM and the bounded sweep is the only packed
+# interior. The packed BACKWARD mirrors this routing (bounded-sweep dq,
+# overlap-gated 4-axis dkv, HBM-resident dq past HBM_STREAM_T), so
+# pack_sequences composes with long-video buckets end-to-end
+# (tests/test_flash_attention.py packed long-T parity tests).
 PACKED_STREAM_T: int | None = None
 PACKED_K_BLOCK = 512
 
@@ -293,10 +293,12 @@ def _flash_forward(
     q_block = min(q_block, t)
     scale = 1.0 / (dh ** 0.5)
     d_block = _pick_d_block(d, dh)
-    if seg_ids is not None:
-        # packed kernels rebuild the [Tq, T] seg bias once per d-block
+    if seg_ids is not None and t <= STREAM_MAX_T:
+        # packed dense kernels rebuild the [Tq, T] seg bias once per d-block
         # program — larger d blocks amortize it over more heads (measured,
-        # see PACKED_D_BLOCK) when they tile legally
+        # see PACKED_D_BLOCK) when they tile legally. NOT applied to the
+        # long-T slab kernels: doubling d_block doubles the VMEM-resident
+        # K/V slabs, which already cap the slab strategy at T~8k.
         pdb = min(PACKED_D_BLOCK, d)
         if d % pdb == 0 and pdb % dh == 0:
             d_block = max(d_block, pdb)
@@ -328,22 +330,40 @@ def _flash_forward(
         jax.ShapeDtypeStruct((b, t, d), q.dtype),
         jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
     )
-    # sequence packing is dense-kernel-only (mha_pallas routes packed long-T
-    # to the XLA path before reaching here)
-    assert seg_ids is None or t <= STREAM_MAX_T
     if t > HBM_STREAM_T:
         kb = _pick_block(t, STREAM_K_BLOCK)
+        packed_ins, packed_ops = [], []
+        if seg_ids is not None:
+            # sequence packing at arbitrary T: seg bias + bounded k sweep
+            nqb = t // q_block
+            lo, hi = _packed_block_bounds(seg_ids, q_block, kb)
+            packed_ins = [
+                pl.BlockSpec((1, q_block, 1), lambda bi, di, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t), lambda bi, di, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, nqb), lambda bi, di, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((b, nqb), lambda bi, di, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ]
+            packed_ops = [
+                seg_ids[:, :, None].astype(jnp.int32),
+                seg_ids[:, None, :].astype(jnp.int32),
+                lo, hi,
+            ]
         out, lse = pl.pallas_call(
             functools.partial(
                 _flash_fwd_hbm_kernel, scale=scale, heads=heads_per_block,
                 k_block=kb, d_block=d_block, sm_dtype=sm_dtype,
+                packed=seg_ids is not None,
             ),
             grid=(b, d // d_block, t // q_block),
             in_specs=[
                 blk_q,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                blk_mask, blk_kvl,
+                blk_mask, blk_kvl, *packed_ins,
             ],
             out_specs=(blk_q, blk_lse),
             out_shape=out_shape,
@@ -354,12 +374,16 @@ def _flash_forward(
             ],
             interpret=interpret,
             **_cp_kwargs(),
-        )(qf, kf, vf, mask, kvl)
+        )(qf, kf, vf, mask, kvl, *packed_ops)
         return out.reshape(b, t, h, dh), lse
+    # packed long-T (STREAM_MAX_T < t <= HBM_STREAM_T): the bounded-sweep
+    # streaming kernel is the only VMEM-legal packed interior (the dense
+    # packed kernel's [Tq, T] slab stops fitting). PACKED_STREAM_T can force
+    # it earlier for sweeps (measured slower than dense at t=2048).
     packed_kb = (
         _pick_block(t, min(PACKED_K_BLOCK, t))
-        if seg_ids is not None and PACKED_STREAM_T is not None
-        and t > PACKED_STREAM_T
+        if seg_ids is not None
+        and t > (PACKED_STREAM_T if PACKED_STREAM_T is not None else STREAM_MAX_T)
         else None
     )
     if packed_kb is not None:
@@ -611,11 +635,21 @@ def _flash_fwd_stream_kernel(
 
 
 def _flash_fwd_hbm_kernel(
-    q_ref, k_hbm, v_hbm, mask_ref, kvl_ref, o_ref, lse_ref,
-    kbuf, vbuf, sems,
-    *, scale: float, heads: int, k_block: int, d_block: int,
-    sm_dtype=jnp.float32,
+    q_ref, k_hbm, v_hbm, mask_ref, kvl_ref, *rest,
+    scale: float, heads: int, k_block: int, d_block: int,
+    sm_dtype=jnp.float32, packed: bool = False,
 ):
+    # packed=True (sequence packing at arbitrary T): four extra refs —
+    # seg_col [1, Tq, 1] / seg_row [1, 1, T] (block-diagonal bias, see
+    # _flash_fwd_kernel) and lo/hi [B, nqb] SMEM (_packed_block_bounds) that
+    # BOUND the k sweep to the chunks this query block's own videos occupy,
+    # so per-video key DMA/compute cost stays ~the video's own length even
+    # inside a multi-hour packed row.
+    if packed:
+        seg_col_ref, seg_row_ref, lo_ref, hi_ref, o_ref, lse_ref = rest[:6]
+        kbuf, vbuf, sems = rest[6:]
+    else:
+        o_ref, lse_ref, kbuf, vbuf, sems = rest
     # Arbitrary-T forward: K/V never enter VMEM whole. They arrive as ANY
     # (HBM-resident) refs; the kernel DMAs [k_block, d_block] chunks into the
     # double-buffered kbuf/vbuf scratch (slot kb % 2), starting block kb+1's
@@ -626,18 +660,26 @@ def _flash_fwd_hbm_kernel(
     # ceil(kvl / k_block); fully-padded query blocks write zeros + SKIP_LSE.
     bi = pl.program_id(0)
     di = pl.program_id(1)
+    qi = pl.program_id(2)
     dh = d_block // heads
     tq = q_ref.shape[1]
     kvl = kvl_ref[bi, 0]
-    q_start = pl.program_id(2) * tq
+    q_start = qi * tq
     n_kb = pl.cdiv(kvl, k_block)
+    if packed:
+        kb_lo = lo_ref[bi, qi]
+        kb_hi = jnp.minimum(hi_ref[bi, qi], n_kb)
+        live = (q_start < kvl) & (kb_lo < kb_hi)
+    else:
+        kb_lo, kb_hi = 0, n_kb
+        live = q_start < kvl
 
-    @pl.when(q_start >= kvl)
+    @pl.when(jnp.logical_not(live))
     def _():
         o_ref[...] = jnp.zeros_like(o_ref)
         lse_ref[...] = jnp.full_like(lse_ref, SKIP_LSE)
 
-    @pl.when(q_start < kvl)
+    @pl.when(live)
     def _():
         def dmas(kb, slot):
             ks = pl.ds(kb * k_block, k_block)
@@ -651,7 +693,7 @@ def _flash_fwd_hbm_kernel(
                 ),
             )
 
-        for d0 in dmas(0, 0):
+        for d0 in dmas(kb_lo, jax.lax.rem(kb_lo, 2) if packed else 0):
             d0.start()
 
         qh = [
@@ -664,7 +706,7 @@ def _flash_fwd_hbm_kernel(
             m, l, acc = carry  # [heads, tq, 1] f32 x2, [heads, tq, dh] f32
             slot = jax.lax.rem(kb, 2)
 
-            @pl.when(kb + 1 < n_kb)
+            @pl.when(kb + 1 < kb_hi)
             def _():
                 for dn in dmas(kb + 1, jax.lax.rem(kb + 1, 2)):
                     dn.start()
@@ -673,9 +715,13 @@ def _flash_fwd_hbm_kernel(
                 dc.wait()
             kblk = kbuf[slot]  # [k_block, d_block]
             vblk = vbuf[slot]
-            bias = jnp.where(
-                mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
-            )  # [1, k_block]
+            ok = mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0  # [1, k_block]
+            if packed:
+                ok = ok & (
+                    seg_col_ref[0]
+                    == seg_row_ref[0, :, pl.ds(kb * k_block, k_block)]
+                )  # [Tq, k_block]
+            bias = jnp.where(ok, 0.0, NEG_INF)
             ms, ls, accs = [], [], []
             for h in range(heads):
                 sl = slice(h * dh, (h + 1) * dh)
@@ -705,7 +751,7 @@ def _flash_fwd_hbm_kernel(
         m0 = jnp.full((heads, tq, 1), -1e30, jnp.float32)
         l0 = jnp.zeros((heads, tq, 1), jnp.float32)
         acc0 = jnp.zeros((heads, tq, dh), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_kb, body, (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(kb_lo, kb_hi, body, (m0, l0, acc0))
         for h in range(heads):
             o_ref[0, :, h * dh : (h + 1) * dh] = (acc[h] / l[h]).astype(o_ref.dtype)
             lse_ref[0, h] = m[h] + jnp.log(l[h])
@@ -833,12 +879,95 @@ def _bwd_dq_stream_kernel(
             dq_ref[0, :, sl] = (dq * scale).astype(dq_ref.dtype)
 
 
-def _bwd_dq_hbm_kernel(
-    q_ref, k_hbm, v_hbm, mask_ref, kvl_ref, o_ref, g_ref, lse_ref, dq_ref,
-    kbuf, vbuf, sems,
-    *, scale: float, heads: int, k_block: int, d_block: int,
-    sm_dtype=jnp.float32,
+def _bwd_dq_packed_stream_kernel(
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, seg_col_ref, seg_row_ref,
+    lo_ref, hi_ref, o_ref, g_ref, lse_ref, dq_ref,
+    *, scale: float, heads: int, k_block: int, sm_dtype=jnp.float32,
 ):
+    # Sequence-packed streaming dq: _bwd_dq_stream_kernel plus the
+    # block-diagonal seg bias, with the k sweep BOUNDED to [lo, hi) — the k
+    # blocks this query block's own videos occupy (_packed_block_bounds).
+    # Blocks outside carry exactly-zero softmax mass (the -1e9 seg bias
+    # underflows in exp(s - lse)), so skipping them is a numeric no-op; the
+    # seg bias still handles video boundaries INSIDE the range. The block
+    # loop is outer (one bias build per block, shared across heads).
+    d = q_ref.shape[-1]
+    dh = d // heads
+    tq = q_ref.shape[1]
+    bi = pl.program_id(0)
+    qi = pl.program_id(2)
+    kvl = kvl_ref[bi, 0]
+    q_start = qi * tq
+    kb_lo = lo_ref[bi, qi]
+    kb_hi = jnp.minimum(hi_ref[bi, qi], pl.cdiv(kvl, k_block))
+    live = (q_start < kvl) & (kb_lo < kb_hi)
+
+    @pl.when(jnp.logical_not(live))
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    @pl.when(live)
+    def _():
+        seg_col = seg_col_ref[0]  # [Tq, 1]
+        qh, gh, dterm, lses = [], [], [], []
+        for h in range(heads):
+            sl = slice(h * dh, (h + 1) * dh)
+            qh.append(
+                (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
+            )
+            gh.append(g_ref[0, :, sl].astype(jnp.float32))
+            o = o_ref[0, :, sl].astype(jnp.float32)
+            dterm.append(jnp.sum(gh[h] * o, axis=-1, keepdims=True))
+            lses.append(lse_ref[0, h])  # [Tq, 1]
+
+        def body(kb, dq_acc):  # [heads, tq, dh] f32
+            ks = pl.ds(kb * k_block, k_block)
+            ok = (mask_ref[0, :, ks] != 0) & (seg_col == seg_row_ref[0, :, ks])
+            bias = jnp.where(ok, 0.0, NEG_INF)  # [Tq, k_block]
+            kslab = k_ref[0, ks, :]
+            vslab = v_ref[0, ks, :]
+            outs = []
+            for h in range(heads):
+                sl = slice(h * dh, (h + 1) * dh)
+                s = jax.lax.dot_general(
+                    qh[h], kslab[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                p = jnp.exp((s + bias - lses[h]).astype(sm_dtype))
+                dp = jax.lax.dot_general(
+                    gh[h], vslab[:, sl],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = p * (dp - dterm[h]).astype(sm_dtype)
+                outs.append(dq_acc[h] + jax.lax.dot_general(
+                    ds.astype(kslab.dtype), kslab[:, sl],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))
+            return jnp.stack(outs)
+
+        dq = jax.lax.fori_loop(
+            kb_lo, kb_hi, body, jnp.zeros((heads, tq, dh), jnp.float32)
+        )
+        for h in range(heads):
+            dq_ref[0, :, h * dh : (h + 1) * dh] = (dq[h] * scale).astype(
+                dq_ref.dtype
+            )
+
+
+def _bwd_dq_hbm_kernel(
+    q_ref, k_hbm, v_hbm, mask_ref, kvl_ref, *rest,
+    scale: float, heads: int, k_block: int, d_block: int,
+    sm_dtype=jnp.float32, packed: bool = False,
+):
+    if packed:
+        # seg bias + bounded k sweep, as in the packed _flash_fwd_hbm_kernel
+        seg_col_ref, seg_row_ref, lo_ref, hi_ref = rest[:4]
+        o_ref, g_ref, lse_ref, dq_ref, kbuf, vbuf, sems = rest[4:]
+    else:
+        o_ref, g_ref, lse_ref, dq_ref, kbuf, vbuf, sems = rest
     # Arbitrary-T dq: like _bwd_dq_stream_kernel but K/V stay in HBM and the
     # kernel double-buffers [k_block, d_block] chunks via async DMA (see
     # _flash_fwd_hbm_kernel). No online softmax — the saved LSE normalizes
@@ -846,17 +975,25 @@ def _bwd_dq_hbm_kernel(
     # so the k sweep is outer and each chunk is fetched once.
     bi = pl.program_id(0)
     di = pl.program_id(1)
+    qi = pl.program_id(2)
     dh = d_block // heads
     tq = q_ref.shape[1]
     kvl = kvl_ref[bi, 0]
-    q_start = pl.program_id(2) * tq
+    q_start = qi * tq
     n_kb = pl.cdiv(kvl, k_block)
+    if packed:
+        kb_lo = lo_ref[bi, qi]
+        kb_hi = jnp.minimum(hi_ref[bi, qi], n_kb)
+        live = (q_start < kvl) & (kb_lo < kb_hi)
+    else:
+        kb_lo, kb_hi = 0, n_kb
+        live = q_start < kvl
 
-    @pl.when(q_start >= kvl)
+    @pl.when(jnp.logical_not(live))
     def _():
         dq_ref[...] = jnp.zeros_like(dq_ref)
 
-    @pl.when(q_start < kvl)
+    @pl.when(live)
     def _():
         def dmas(kb, slot):
             ks = pl.ds(kb * k_block, k_block)
@@ -870,7 +1007,7 @@ def _bwd_dq_hbm_kernel(
                 ),
             )
 
-        for d0 in dmas(0, 0):
+        for d0 in dmas(kb_lo, jax.lax.rem(kb_lo, 2) if packed else 0):
             d0.start()
 
         qh, gh, dterm = [], [], []
@@ -886,7 +1023,7 @@ def _bwd_dq_hbm_kernel(
         def body(kb, dq_acc):  # [heads, tq, dh] f32
             slot = jax.lax.rem(kb, 2)
 
-            @pl.when(kb + 1 < n_kb)
+            @pl.when(kb + 1 < kb_hi)
             def _():
                 for dn in dmas(kb + 1, jax.lax.rem(kb + 1, 2)):
                     dn.start()
@@ -895,9 +1032,13 @@ def _bwd_dq_hbm_kernel(
                 dc.wait()
             kblk = kbuf[slot]
             vblk = vbuf[slot]
-            bias = jnp.where(
-                mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0, 0.0, NEG_INF
-            )
+            ok = mask_ref[0, :, pl.ds(kb * k_block, k_block)] != 0
+            if packed:
+                ok = ok & (
+                    seg_col_ref[0]
+                    == seg_row_ref[0, :, pl.ds(kb * k_block, k_block)]
+                )
+            bias = jnp.where(ok, 0.0, NEG_INF)
             outs = []
             for h in range(heads):
                 sl = slice(h * dh, (h + 1) * dh)
@@ -922,7 +1063,7 @@ def _bwd_dq_hbm_kernel(
             return jnp.stack(outs)
 
         dq = jax.lax.fori_loop(
-            0, n_kb, body, jnp.zeros((heads, tq, dh), jnp.float32)
+            kb_lo, kb_hi, body, jnp.zeros((heads, tq, dh), jnp.float32)
         )
         for h in range(heads):
             dq_ref[0, :, h * dh : (h + 1) * dh] = (dq[h] * scale).astype(
@@ -1017,9 +1158,19 @@ def _dkv_compute(
 
 
 def _bwd_dkv_stream_kernel(
-    q_ref, k_ref, v_ref, mask_ref, kvl_ref, o_ref, g_ref, lse_ref, dk_ref,
-    dv_ref, dk_acc, dv_acc, *, scale: float, heads: int, sm_dtype=jnp.float32,
+    q_ref, k_ref, v_ref, mask_ref, kvl_ref, *rest,
+    scale: float, heads: int, sm_dtype=jnp.float32, packed: bool = False,
 ):
+    # packed: extra seg_col [1, Qc, 1] (this q chunk) / seg_row [1, 1, Tk]
+    # (this k block) refs plus lo/hi [B, n_qchunks] SMEM
+    # (_packed_block_bounds at q_chunk granularity): a (k block, q chunk)
+    # pair accumulates only when the chunk's own videos overlap the block
+    # (lo <= ki < hi) — everything else carries exactly-zero softmax mass.
+    if packed:
+        seg_col_ref, seg_row_ref, lo_ref, hi_ref = rest[:4]
+        o_ref, g_ref, lse_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest[4:]
+    else:
+        o_ref, g_ref, lse_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
     # Streaming dk/dv: 4-axis grid (b, d-block, k-block, q-chunk) with the
     # q-chunk axis innermost. Each step fetches only [1, Qc, Dblk] q/o/g
     # blocks (a VMEM-resident full slab per input OOM'd at T=8192 — 28.5M vs
@@ -1030,22 +1181,31 @@ def _bwd_dkv_stream_kernel(
     # k block sits past kvl (zero upstream gradient / exactly-zero softmax
     # mass); scratch still zeroes at qi==0 and writes out at the last chunk,
     # so skipped k blocks emit exact zeros.
+    bi = pl.program_id(0)
+    ki = pl.program_id(2)
     qi = pl.program_id(3)
     n_q = pl.num_programs(3)
     d = q_ref.shape[-1]
     dh = d // heads
-    kvl = kvl_ref[pl.program_id(0), 0]
+    kvl = kvl_ref[bi, 0]
     q_start = qi * q_ref.shape[1]
-    k_start = pl.program_id(2) * k_ref.shape[1]
+    k_start = ki * k_ref.shape[1]
 
     @pl.when(qi == 0)
     def _():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
-    @pl.when((q_start < kvl) & (k_start < kvl))
+    live = (q_start < kvl) & (k_start < kvl)
+    if packed:
+        live = live & (lo_ref[bi, qi] <= ki) & (ki < hi_ref[bi, qi])
+
+    @pl.when(live)
     def _():
-        bias = jnp.where(mask_ref[0] != 0, 0.0, NEG_INF)  # [1, Tk]
+        ok = mask_ref[0] != 0  # [1, Tk]
+        if packed:
+            ok = ok & (seg_col_ref[0] == seg_row_ref[0])  # [Qc, Tk]
+        bias = jnp.where(ok, 0.0, NEG_INF)
         for h in range(heads):
             sl = slice(h * dh, (h + 1) * dh)
             k = k_ref[0, :, sl]  # [Tk, Dh]
@@ -1133,20 +1293,37 @@ def _flash_backward(
         (1, heads_per_block, q_block, 1), lambda bi, di, i: (bi, di, i, 0),
         memory_space=pltpu.VMEM,
     )
+    dq_stream_t = STREAM_MAX_T if DQ_STREAM_T is None else DQ_STREAM_T
     if t > HBM_STREAM_T:
         # K/V stay in HBM; the kernel DMAs double-buffered chunks itself.
         kb_hbm = _pick_block(t, STREAM_K_BLOCK)
+        packed_ins, packed_ops = [], []
+        if seg_ids is not None:
+            nqb = t // q_block
+            lo, hi = _packed_block_bounds(seg_ids, q_block, kb_hbm)
+            packed_ins = [
+                pl.BlockSpec((1, q_block, 1), lambda bi, di, i: (bi, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, t), lambda bi, di, i: (bi, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, nqb), lambda bi, di, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((b, nqb), lambda bi, di, i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ]
+            packed_ops = [seg_col, seg_row, lo, hi]
         dq = pl.pallas_call(
             functools.partial(
                 _bwd_dq_hbm_kernel, scale=scale, heads=heads_per_block,
                 k_block=kb_hbm, d_block=d_block, sm_dtype=sm_dtype,
+                packed=seg_ids is not None,
             ),
             grid=(b, d // d_block, t // q_block),
             in_specs=[
                 blk_q,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
-                blk_mask, blk_kvl, blk_q, blk_q, blk_lse_q,
+                blk_mask, blk_kvl, *packed_ins, blk_q, blk_q, blk_lse_q,
             ],
             out_specs=blk_q,
             out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
@@ -1157,11 +1334,36 @@ def _flash_backward(
             ],
             interpret=interpret,
             **_cp_kwargs(),
-        )(qf, kf, vf, mask, kvl, of, gf, lse)
+        )(qf, kf, vf, mask, kvl, *packed_ops, of, gf, lse)
+    elif seg_ids is not None and t > dq_stream_t:
+        # sequence-packed streaming dq: bounded k sweep over VMEM K/V slabs
+        kb_dq = _pick_block(t, min(PACKED_K_BLOCK, t))
+        nqb = t // q_block
+        lo, hi = _packed_block_bounds(seg_ids, q_block, kb_dq)
+        dq = pl.pallas_call(
+            functools.partial(
+                _bwd_dq_packed_stream_kernel, scale=scale,
+                heads=heads_per_block, k_block=kb_dq, sm_dtype=sm_dtype,
+            ),
+            grid=(b, d // d_block, nqb),
+            in_specs=[blk_q, blk_full, blk_full, blk_mask, blk_kvl,
+                      pl.BlockSpec((1, q_block, 1), lambda bi, di, i: (bi, i, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1, t), lambda bi, di, i: (bi, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((b, nqb), lambda bi, di, i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      pl.BlockSpec((b, nqb), lambda bi, di, i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+                      blk_q, blk_q, blk_lse_q],
+            out_specs=blk_q,
+            out_shape=jax.ShapeDtypeStruct((b, t, d), q.dtype),
+            interpret=interpret,
+            **_cp_kwargs(),
+        )(qf, kf, vf, mask, kvl, seg_col, seg_row, lo, hi, of, gf, lse)
     elif seg_ids is not None:
-        # sequence packing: dense dq kernel with block-diagonal bias (the
-        # mha_pallas entry guarantees t <= STREAM_MAX_T on this path)
-        assert t <= STREAM_MAX_T
+        # sequence packing, corpus buckets: dense dq kernel with
+        # block-diagonal [Tq, T] bias
         dq = pl.pallas_call(
             functools.partial(
                 _bwd_dq_kernel, scale=scale, heads=heads_per_block,
@@ -1180,7 +1382,7 @@ def _flash_backward(
             **_cp_kwargs(),
         )(qf, kf, vf, mask, kvl, seg_col, seg_row, of, gf, lse)
     else:
-        if t > (STREAM_MAX_T if DQ_STREAM_T is None else DQ_STREAM_T):
+        if t > dq_stream_t:
             dq_kernel = functools.partial(
                 _bwd_dq_stream_kernel, scale=scale, heads=heads_per_block,
                 k_block=_pick_block(t, STREAM_K_BLOCK), sm_dtype=sm_dtype,
@@ -1211,7 +1413,66 @@ def _flash_backward(
         (1, heads_per_block, t, 1), lambda bi, di, i: (bi, di, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    if seg_ids is not None:
+    dkv_stream_t = STREAM_MAX_T if DKV_STREAM_T is None else DKV_STREAM_T
+    if seg_ids is not None and t > dkv_stream_t:
+        # sequence-packed streaming dk/dv: the unpacked 4-axis grid
+        # (b, d-block, k-block, q-chunk) plus the block-diagonal bias; a
+        # (k block, q chunk) pair is skipped entirely unless the chunk's own
+        # videos overlap the block (lo/hi at q_chunk granularity).
+        q_chunk = _pick_block(t, DEFAULT_Q_BLOCK)
+        n_qc = t // q_chunk
+        lo_q, hi_q = _packed_block_bounds(seg_ids, q_chunk, k_block)
+        blk_qc = pl.BlockSpec(
+            (1, q_chunk, d_block), lambda bi, di, ki, qi: (bi, qi, di),
+            memory_space=pltpu.VMEM,
+        )
+        blk_k4 = pl.BlockSpec(
+            (1, k_block, d_block), lambda bi, di, ki, qi: (bi, ki, di),
+            memory_space=pltpu.VMEM,
+        )
+        blk_kmask4 = pl.BlockSpec(
+            (1, 1, k_block), lambda bi, di, ki, qi: (bi, 0, ki),
+            memory_space=pltpu.VMEM,
+        )
+        blk_lse4 = pl.BlockSpec(
+            (1, heads_per_block, q_chunk, 1),
+            lambda bi, di, ki, qi: (bi, di, qi, 0),
+            memory_space=pltpu.VMEM,
+        )
+        dk, dv = pl.pallas_call(
+            functools.partial(
+                _bwd_dkv_stream_kernel, scale=scale, heads=heads_per_block,
+                sm_dtype=sm_dtype, packed=True,
+            ),
+            grid=(b, d // d_block, t // k_block, t // q_chunk),
+            in_specs=[
+                blk_qc, blk_k4, blk_k4, blk_kmask4,
+                pl.BlockSpec(
+                    (b, 1), lambda bi, di, ki, qi: (0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                pl.BlockSpec((1, q_chunk, 1), lambda bi, di, ki, qi: (bi, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, k_block), lambda bi, di, ki, qi: (bi, 0, ki),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, n_qc), lambda bi, di, ki, qi: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((b, n_qc), lambda bi, di, ki, qi: (0, 0),
+                             memory_space=pltpu.SMEM),
+                blk_qc, blk_qc, blk_lse4,
+            ],
+            out_specs=(blk_k4, blk_k4),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, t, d), k.dtype),
+                jax.ShapeDtypeStruct((b, t, d), v.dtype),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((k_block, d_block), jnp.float32),
+                pltpu.VMEM((k_block, d_block), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qf, kf, vf, mask, kvl, seg_col, seg_row, lo_q, hi_q, of, gf, lse)
+    elif seg_ids is not None:
         # sequence packing: dense dkv kernel, block-diagonal [T, Tk] bias
         dk, dv = pl.pallas_call(
             functools.partial(
@@ -1233,7 +1494,7 @@ def _flash_backward(
             interpret=interpret,
             **_cp_kwargs(),
         )(qf, kf, vf, mask, kvl, seg_col, seg_row, of, gf, lse)
-    elif t > (STREAM_MAX_T if DKV_STREAM_T is None else DKV_STREAM_T):
+    elif t > dkv_stream_t:
         # 4-axis grid, q-chunk innermost; dk/dv blocks revisit across the q
         # sweep (index_map ignores qi) and accumulate in f32 scratch.
         q_chunk = _pick_block(t, DEFAULT_Q_BLOCK)
@@ -1394,9 +1655,11 @@ def mha_pallas(
 
     ``seg_ids`` ([B, T] int32, -1 on padding) enables SEQUENCE PACKING:
     attention goes block-diagonal so videos sharing a row never attend each
-    other (see mha_xla). Packed fast paths exist for the dense kernels
-    (t <= STREAM_MAX_T — the corpus buckets, where packing pays); packed
-    longer sequences fall back to the XLA path."""
+    other (see mha_xla). Packed fast paths cover EVERY T window the unpacked
+    kernels do: dense slab (t <= STREAM_MAX_T), bounded-sweep streaming
+    (<= HBM_STREAM_T), and HBM-resident double-buffered DMA beyond — so
+    sequence packing composes with long-video buckets (multi-hour packed
+    rows) instead of falling back to an XLA [B, H, T, T] score tensor."""
     packed = seg_ids is not None
     if q_block is None:
         # resolved at CALL time so sweeps can retune the module defaults
@@ -1405,19 +1668,7 @@ def mha_pallas(
     # (buckets whose FUSED backward has no legal k block — t in (256, 512]
     # not divisible by 8 — keep the fast Pallas forward; _mha_bwd swaps in
     # the XLA-recompute backward for them)
-    if picked is None or (packed and q.shape[1] > STREAM_MAX_T):
-        if packed and q.shape[1] > STREAM_MAX_T:
-            import logging
-
-            # trace-time (once per compiled shape): the XLA packed fallback
-            # materializes [B, H, T, T] scores — prohibitive past ~2048.
-            # Producers route long buckets unpacked (infer.py, train/loop.py)
-            # and the Trainer rejects pack+long-bucket configs outright.
-            logging.getLogger(__name__).warning(
-                "packed attention at T=%d exceeds STREAM_MAX_T=%d: falling "
-                "back to XLA attention with a [B, H, T, T] score tensor",
-                q.shape[1], STREAM_MAX_T,
-            )
+    if picked is None:
         return mha_xla(q, k, v, key_valid, precision=precision, seg_ids=seg_ids)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

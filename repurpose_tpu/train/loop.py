@@ -77,20 +77,9 @@ class Trainer:
             )
         if tc.pack_sequences and cfg.model.attention_impl == "ring":
             raise ValueError("pack_sequences is not supported with ring attention")
-        if tc.pack_sequences:
-            from repurpose_tpu.ops.flash_attention import STREAM_MAX_T
-
-            if max(tc.buckets) > STREAM_MAX_T:
-                # the loader packs every batch into the LARGEST bucket
-                # (data/loader.py); packed Pallas kernels exist only up to
-                # STREAM_MAX_T — beyond it attention would silently fall back
-                # to an XLA [B, T, T] score tensor (~3 GB/layer at T=4096)
-                raise ValueError(
-                    f"pack_sequences packs into the largest bucket "
-                    f"({max(tc.buckets)}), but packed attention kernels stop "
-                    f"at T={STREAM_MAX_T} — shrink TrainConfig.buckets or "
-                    f"disable packing for long-video configs"
-                )
+        # pack_sequences composes with ANY bucket length: past STREAM_MAX_T
+        # the packed streaming/HBM attention kernels take over
+        # (ops/flash_attention.py), so long-video configs pack too.
         self.train_loader = BatchLoader(
             train_ds,
             batch_size=tc.batch_size,
@@ -531,26 +520,14 @@ class Trainer:
                         )
 
         if use_pack:
-            # videos routing past the packed kernels' reach (> STREAM_MAX_T)
-            # score unpacked — packed attention there would fall back to an
-            # XLA [B, T, T] score tensor (see mha_pallas)
-            from repurpose_tpu.data.batching import pick_bucket
-            from repurpose_tpu.ops.flash_attention import STREAM_MAX_T
-
+            # every bucket length packs: past STREAM_MAX_T the packed
+            # streaming/HBM attention kernels take over (mha_pallas)
             lens = [int(t) for t in ds.lengths()]
-            pack_idx = [
-                i for i in my_idx
-                if pick_bucket(lens[i], buckets) <= STREAM_MAX_T
-            ]
-            pack_set = set(pack_idx)
-            rest_idx = [i for i in my_idx if i not in pack_set]
             consume(
                 pipeline.score_packed_stream(
-                    staged_packed(pack_idx, lens), params=params
+                    staged_packed(my_idx, lens), params=params
                 )
             )
-            if rest_idx:
-                consume(pipeline.score_stream(staged(rest_idx), params=params))
         else:
             consume(pipeline.score_stream(staged(my_idx), params=params))
         if debugger is not None:

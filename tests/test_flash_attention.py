@@ -499,3 +499,115 @@ def test_odd_bucket_gradient_falls_back(rng):
     g = jax.grad(lambda q_: mha_pallas(q_, k, v, mask, softmax_dtype="float32").sum())(q)
     gr = jax.grad(lambda q_: mha_xla(q_, k, v, mask).sum())(q)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr), atol=1e-6)
+
+
+# -- sequence packing at long T (VERDICT r3 item 3: packed long-T kernels) ----------
+
+
+def _packed_loss(f, mask):
+    def inner(q, k, v):
+        out = f(q, k, v)
+        return jnp.sum(jnp.where(mask[..., None, None], out, 0.0) ** 2)
+    return inner
+
+
+def _assert_packed_grads_match(q, k, v, mask, seg, q_block=64, atol=1e-4):
+    g_p = jax.jit(jax.grad(
+        _packed_loss(
+            lambda *a: mha_pallas(*a, mask, q_block=q_block, seg_ids=seg), mask
+        ),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    g_x = jax.jit(jax.grad(
+        _packed_loss(lambda *a: mha_xla(*a, mask, seg_ids=seg), mask),
+        argnums=(0, 1, 2),
+    ))(q, k, v)
+    for gp, gx, name in zip(g_p, g_x, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gp), np.asarray(gx), atol=atol, rtol=1e-3, err_msg=name
+        )
+
+
+def test_packed_streaming_window_forward_and_grads(rng, monkeypatch):
+    """STREAM_MAX_T < t <= HBM_STREAM_T packed: the bounded-sweep streaming
+    forward plus the packed streaming dq and overlap-gated 4-axis streaming
+    dkv — forward and all three grads match the XLA packed path."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAM_MAX_T", 128)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    monkeypatch.setattr(fa, "PACKED_K_BLOCK", 64)
+    monkeypatch.setattr(fa, "DEFAULT_K_BLOCK", 64)
+    monkeypatch.setattr(fa, "DEFAULT_Q_BLOCK", 64)
+    q, k, v, mask, seg = _packed_inputs(rng)  # t=256 > patched STREAM_MAX_T
+    want = jax.jit(lambda *a: mha_xla(*a, seg_ids=seg))(q, k, v, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64, seg_ids=seg))(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+    _assert_packed_grads_match(q, k, v, mask, seg)
+
+
+def test_packed_hbm_window_forward_and_grads(rng, monkeypatch):
+    """t > HBM_STREAM_T packed: HBM-resident K/V with double-buffered DMA,
+    seg bias, and the bounded k sweep — forward + grads match XLA packed."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAM_MAX_T", 64)
+    monkeypatch.setattr(fa, "HBM_STREAM_T", 128)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    monkeypatch.setattr(fa, "PACKED_K_BLOCK", 64)
+    monkeypatch.setattr(fa, "DEFAULT_K_BLOCK", 64)
+    monkeypatch.setattr(fa, "DEFAULT_Q_BLOCK", 64)
+    q, k, v, mask, seg = _packed_inputs(rng)  # t=256 > patched HBM_STREAM_T
+    want = jax.jit(lambda *a: mha_xla(*a, seg_ids=seg))(q, k, v, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64, seg_ids=seg))(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+    _assert_packed_grads_match(q, k, v, mask, seg)
+
+
+def test_packed_streaming_bf16(rng, monkeypatch):
+    import repurpose_tpu.ops.flash_attention as fa
+
+    monkeypatch.setattr(fa, "STREAM_MAX_T", 128)
+    monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+    monkeypatch.setattr(fa, "PACKED_K_BLOCK", 64)
+    q, k, v, mask, seg = _packed_inputs(rng)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    want = jax.jit(lambda *a: mha_xla(*a, seg_ids=seg))(qb, kb, vb, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64, seg_ids=seg))(qb, kb, vb, mask)
+    assert got.dtype == jnp.bfloat16
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32)[valid],
+        np.asarray(want, np.float32)[valid],
+        atol=3e-2,
+    )
+
+
+@pytest.mark.slow
+def test_packed_t4096_forward_and_grad(rng):
+    """The real trigger (T=4096 > STREAM_MAX_T=2048) at reduced head dims:
+    two multi-hour-scale videos packed into each 4096-bucket row, unpatched
+    routing constants — packed streaming fwd/dq/dkv end to end."""
+    b, t, h, dh = 1, 4096, 2, 32
+    q = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+    seg = np.full((b, t), -1, np.int32)
+    seg[0, :1800] = 0
+    seg[0, 1800:3900] = 1
+    mask = jnp.asarray(seg >= 0)
+    seg = jnp.asarray(seg)
+    want = jax.jit(lambda *a: mha_xla(*a, seg_ids=seg))(q, k, v, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, seg_ids=seg))(q, k, v, mask)
+    valid = np.asarray(mask)[..., None, None] & np.ones((1, 1, h, dh), bool)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid[:, :, 0, 0]], np.asarray(want)[valid[:, :, 0, 0]],
+        atol=2e-5, rtol=1e-4,
+    )
+    _assert_packed_grads_match(q, k, v, mask, seg, q_block=None, atol=2e-4)
