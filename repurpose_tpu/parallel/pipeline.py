@@ -33,9 +33,17 @@ Design:
   layer stack ONLY pipe-sharded (each stage stores its own L/S layers and
   Adam moments; ``merge_pipeline_params`` exports the standard tree).
 
-Restrictions (checked in ``validate_pipeline``): pipe>1 requires
-model=seq=1 (TP psums and the ring ppermute would need hand-placed
-collectives inside the shard_map body), concat fusion, no ring
+Composition: pipe x data always; pipe x TENSOR PARALLELISM (``model``
+axis) via partial-manual ``shard_map`` — the body is manual over
+``data``/``pipe`` (explicit ppermute microbatch hops) while the ``model``
+axis stays a compiler axis: each stage's layer scan runs inside
+``jax.sharding.auto_axes(("model",))`` so GSPMD places the Megatron
+column/row TP collectives (parallel/sharding.py rules) INSIDE the stage,
+riding the model axis exactly as in the unpipelined TP path.
+Restrictions (checked in ``validate_pipeline``): pipe>1 requires seq=1
+(the ring ppermute would need hand-placed collectives in the body),
+``attention_impl="xla"`` when model>1 (GSPMD cannot partition the Pallas
+custom call over heads; XLA dots it can), concat fusion, no ring
 attention, ``L % S == 0`` and ``B % (dp * M) == 0``.
 
 With dropout ON, pipelined and unpipelined trajectories draw different
@@ -52,7 +60,8 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import auto_axes
 
 from repurpose_tpu.config import ModelConfig
 from repurpose_tpu.models.encoder import EncoderLayer, dense_kw
@@ -73,10 +82,16 @@ def validate_pipeline(
     ax = mesh_axis_sizes(mesh)
     s = ax.get("pipe", 1)
     dp = ax.get("data", 1)
-    if ax.get("model", 1) > 1 or ax.get("seq", 1) > 1:
+    if ax.get("seq", 1) > 1:
         raise ValueError(
-            "pipeline parallelism composes with the data axis only "
-            f"(mesh axes {ax}); set model=seq=1"
+            "pipeline parallelism composes with the data and model axes "
+            f"(mesh axes {ax}); set seq=1"
+        )
+    if ax.get("model", 1) > 1 and cfg.attention_impl != "xla":
+        raise ValueError(
+            "pipe x tensor parallelism needs attention_impl='xla' (GSPMD "
+            f"partitions XLA dots over heads, not Pallas custom calls); got "
+            f"{cfg.attention_impl!r}"
         )
     if cfg.fusion != "concat":
         raise ValueError(f"pipeline supports the concat-fusion MMCT, not {cfg.fusion!r}")
@@ -109,6 +124,20 @@ def unstack_layer_params(stacked, n_layers: int) -> dict:
         f"layer_{i}": jax.tree.map(lambda x, i=i: x[i], stacked)
         for i in range(n_layers)
     }
+
+
+def stacked_param_specs(stacked) -> Any:
+    """PartitionSpecs for the stacked layer tree: dim 0 (layers) over
+    ``pipe``, the per-layer dims per the Megatron TP rules
+    (parallel/sharding.py:param_sharding_rules) over ``model`` — e.g. the
+    stacked qkv kernel [L, d, 3d] gets ``P("pipe", None, "model")``."""
+    from repurpose_tpu.parallel.sharding import param_sharding_rules
+
+    def rule(path, v):
+        inner = param_sharding_rules(path, v)
+        return P("pipe", *inner)
+
+    return jax.tree_util.tree_map_with_path(rule, stacked)
 
 
 def _compute_dtype(cfg: ModelConfig):
@@ -176,9 +205,17 @@ def _pipeline_encoder(
     deterministic: bool,
 ) -> Array:
     """Run the encoder stack as an S-stage GPipe pipeline over ``mesh``'s
-    pipe axis. ``x`` [B, T, d] data-sharded in, same sharding out."""
+    pipe axis. ``x`` [B, T, d] data-sharded in, same sharding out.
+
+    With ``model > 1`` (pipe x tensor parallelism) the shard_map is
+    PARTIAL-MANUAL: ``axis_names={"data", "pipe"}`` keeps the microbatch
+    ppermute hops explicit while the ``model`` axis stays a compiler axis —
+    each stage's layer scan runs under ``auto_axes(("model",))`` so GSPMD
+    partitions the qkv/FFN dots over heads and places the Megatron psums
+    (parallel/sharding.py rules) INSIDE the stage."""
     ax = mesh_axis_sizes(mesh)
     s_stages = ax.get("pipe", 1)
+    tp = ax.get("model", 1)
     lps = cfg.self_num_layers // s_stages
     m_micro = n_microbatches
     layer_mod = EncoderLayer(cfg)
@@ -203,6 +240,29 @@ def _pipeline_encoder(
     key_impl = jax.random.key_impl(rng)
     raw_key = jax.random.key_data(rng)
 
+    def stage_stack(layers_loc, x_, mask_, seg_, raw_loc, mb_idx, stage):
+        """One stage's layer scan. Everything it touches from the manual
+        context arrives as an ARGUMENT (not a closure) so the whole function
+        can cross the ``auto_axes`` boundary under pipe x tp."""
+        rng_loc = jax.random.wrap_key_data(raw_loc, impl=key_impl)
+
+        def body(carry, inp):
+            lp, li = inp
+            key = None
+            if not det:
+                gli = stage * lps + li
+                key = jax.random.fold_in(jax.random.fold_in(rng_loc, gli), mb_idx)
+            return apply_layer(lp, carry, mask_, seg_, key), None
+
+        out, _ = jax.lax.scan(body, x_, (layers_loc, jnp.arange(lps)))
+        return out
+
+    if tp > 1:
+        # GSPMD owns the model axis inside the stage; activations enter and
+        # leave replicated over it (row-parallel matmuls close each TP region
+        # with a psum, exactly as in the unpipelined TP path).
+        stage_stack = auto_axes(stage_stack, axes=("model",), out_sharding=P())
+
     def shard_body(layers_loc, x_loc, mask_loc, seg_loc, raw):
         stage = jax.lax.axis_index("pipe")
         # Fold the data-shard index in so dropout masks are iid across the
@@ -212,6 +272,7 @@ def _pipeline_encoder(
             jax.random.wrap_key_data(raw, impl=key_impl),
             jax.lax.axis_index("data"),
         )
+        raw_loc = jax.random.key_data(rng_loc)
         bl, t, d = x_loc.shape
         mb = bl // m_micro
         x_mb = x_loc.reshape(m_micro, mb, t, d)
@@ -219,18 +280,7 @@ def _pipeline_encoder(
         seg_mb = seg_loc.reshape(m_micro, mb, t) if has_seg else None
 
         def stage_fn(x_, mask_, seg_, mb_idx):
-            def body(carry, inp):
-                lp, li = inp
-                key = None
-                if not det:
-                    gli = stage * lps + li
-                    key = jax.random.fold_in(
-                        jax.random.fold_in(rng_loc, gli), mb_idx
-                    )
-                return apply_layer(lp, carry, mask_, seg_, key), None
-
-            out, _ = jax.lax.scan(body, x_, (layers_loc, jnp.arange(lps)))
-            return out
+            return stage_stack(layers_loc, x_, mask_, seg_, raw_loc, mb_idx, stage)
 
         def step(carry, tstep):
             prev, outs = carry
@@ -274,12 +324,25 @@ def _pipeline_encoder(
             )
         return outs.reshape(bl, t, d)
 
+    sm_kw: dict[str, Any] = {}
+    if tp > 1:
+        # Partial-manual: data/pipe manual (explicit ppermute), model left to
+        # GSPMD. Pin the Megatron layout on the stacked layer tree so the
+        # auto-axis collectives land as column/row TP psums, not resharding.
+        sm_kw["axis_names"] = {"data", "pipe"}
+        specs = stacked_param_specs(stacked)
+        stacked = jax.tree.map(
+            lambda v, s: jax.lax.with_sharding_constraint(v, NamedSharding(mesh, s)),
+            stacked,
+            specs,
+        )
     if has_seg:
         fn = jax.shard_map(
             shard_body,
             mesh=mesh,
             in_specs=(P("pipe"), P("data"), P("data"), P("data"), P()),
             out_specs=P("data"),
+            **sm_kw,
         )
         return fn(stacked, x, mask, seg_ids, raw_key)
     fn = jax.shard_map(
@@ -287,6 +350,7 @@ def _pipeline_encoder(
         mesh=mesh,
         in_specs=(P("pipe"), P("data"), P("data"), P()),
         out_specs=P("data"),
+        **sm_kw,
     )
     return fn(stacked, x, mask, raw_key)
 
@@ -467,10 +531,16 @@ def create_pipeline_train_state(
         model_cfg, train_cfg, steps_per_epoch, rng
     )
     split = split_pipeline_params(state.params, model_cfg.self_num_layers)
-    lay_sh = NamedSharding(mesh, P("pipe"))
+    lay_specs = stacked_param_specs(split["layers"])
     rep = NamedSharding(mesh, P())
     placed = {
-        "layers": jax.tree.map(lambda x: jax.device_put(x, lay_sh), split["layers"]),
+        # pipe on dim 0; under pipe x tp the Megatron dims also land on the
+        # model axis (stacked_param_specs) so Adam moments inherit both.
+        "layers": jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            split["layers"],
+            lay_specs,
+        ),
         "rest": jax.tree.map(lambda x: jax.device_put(x, rep), split["rest"]),
     }
     opt_state = tx.init(placed)  # zeros_like inherits the placement

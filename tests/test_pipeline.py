@@ -154,10 +154,18 @@ def test_validation_errors(mesh):
     ring = dataclasses.replace(CFG, attention_impl="ring")
     with pytest.raises(ValueError, match="ring"):
         validate_pipeline(ring, mesh, 2, 8)
-    # tp/sp axes don't compose with pipe
+    # the seq axis doesn't compose with pipe (ring ppermute needs hand
+    # placement in the manual body)
+    sp_mesh = create_mesh(MeshConfig(data=2, model=1, seq=2, pipe=2))
+    with pytest.raises(ValueError, match="seq=1"):
+        validate_pipeline(CFG, sp_mesh, 2, 8)
+    # pipe x tp needs the XLA attention (GSPMD can't partition the Pallas
+    # custom call over heads)
     tp_mesh = create_mesh(MeshConfig(data=2, model=2, seq=1, pipe=2))
-    with pytest.raises(ValueError, match="data axis only"):
-        validate_pipeline(CFG, tp_mesh, 2, 8)
+    pallas = dataclasses.replace(CFG, attention_impl="pallas")
+    with pytest.raises(ValueError, match="attention_impl"):
+        validate_pipeline(pallas, tp_mesh, 2, 8)
+    validate_pipeline(CFG, tp_mesh, 2, 8)  # xla impl composes
 
 
 def test_dropout_iid_across_data_shards(mesh, params, rng):
@@ -271,6 +279,73 @@ def test_stacked_state_matches_replicated_pipeline(mesh):
     )
     for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(state_r.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+@pytest.fixture(scope="module")
+def tp_mesh():
+    return create_mesh(MeshConfig(data=2, model=2, seq=1, pipe=2))
+
+
+def test_forward_matches_unpipelined_pipe_tp(tp_mesh, params, rng):
+    """pipe x tensor parallelism: partial-manual shard_map (data/pipe manual,
+    model left to GSPMD via auto_axes) reproduces the unpipelined forward, and
+    the compiled HLO carries both the Megatron TP all-reduces and the
+    microbatch collective-permutes."""
+    v, a, t, mask = _inputs(rng)
+    ref = MMCT(CFG).apply({"params": params}, v, a, t, mask, True)
+    f = jax.jit(lambda p, *xs: pipeline_forward(CFG, tp_mesh, 2, p, *xs))
+    out = f(params, v, a, t, mask)
+    np.testing.assert_allclose(out.cls_logits, ref.cls_logits, atol=2e-5)
+    np.testing.assert_allclose(out.offsets, ref.offsets, atol=2e-5)
+    hlo = f.lower(params, v, a, t, mask).compile().as_text()
+    assert "all-reduce" in hlo  # TP psums (GSPMD-placed over the model axis)
+    assert "collective-permute" in hlo  # pipe-stage microbatch hops
+
+
+def test_train_trajectory_pipe_tp(tp_mesh):
+    """3 train steps on the {data:2, model:2, pipe:2} mesh == the plain
+    single-device trajectory (dropout 0): the TP gradient psums GSPMD places
+    inside each stage compose with autodiff's reverse GPipe schedule."""
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    ds = SyntheticDataset([32 - i for i in range(8)], CFG, seed=0)
+    batch = collate([ds[i] for i in range(8)], tc.buckets, 8)
+
+    state0, tx, sched = create_train_state(
+        CFG, tc, steps_per_epoch=3, rng=jax.random.key(1)
+    )
+    plain = make_train_step(CFG, tc, tx, sched, donate=False)
+    piped = make_train_step(
+        CFG, tc, tx, sched, donate=False, model=PipelinedMMCT(CFG, tp_mesh, 2)
+    )
+    rng = jax.random.key(7)
+    s_a = s_b = state0
+    for _ in range(3):
+        s_a, m_a = plain(s_a, batch, rng)
+        s_b, m_b = piped(s_b, batch, rng)
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    for la, lb in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(la, lb, atol=5e-4)
+
+
+def test_forward_matches_packed_pipe_tp(tp_mesh, params, rng):
+    """seg_ids/positions (sequence packing) ride the pipe x tp composition."""
+    b, t = 8, 32
+    v, a, tx, _ = _inputs(rng, b, t)
+    seg_ids = jnp.asarray(np.where(np.arange(t) < 20, 0, 1)[None].repeat(b, 0))
+    positions = jnp.asarray(
+        np.where(np.arange(t) < 20, np.arange(t), np.arange(t) - 20)[None].repeat(b, 0)
+    )
+    mask = jnp.ones((b, t), bool)
+    ref = MMCT(CFG).apply(
+        {"params": params}, v, a, tx, mask, True,
+        seg_ids=seg_ids, positions=positions,
+    )
+    out = jax.jit(
+        lambda p, *xs: pipeline_forward(
+            CFG, tp_mesh, 2, p, *xs, seg_ids=seg_ids, positions=positions
+        )
+    )(params, v, a, tx, mask)
+    np.testing.assert_allclose(out.cls_logits, ref.cls_logits, atol=2e-5)
 
 
 def test_forward_parity_two_stage_mesh(params, rng):
