@@ -146,12 +146,19 @@ class TrainConfig:
     (config_batch_size would divide by rows). The reference has no packing —
     it pads every video to the batch max (dataset/RepurposeClip.py:449-533)."""
     pipeline_microbatches: int = 2
-    """GPipe microbatches per step when the mesh has a ``pipe`` axis > 1
+    """Pipeline microbatches per step when the mesh has a ``pipe`` axis > 1
     (parallel/pipeline.py). More microbatches shrink the pipeline bubble
     ((stages-1)/(microbatches+stages-1)) at the cost of smaller per-stage
     matmuls; the global batch must be a multiple of
     data_axis x microbatches, and the stage count must divide
     self_num_layers. Ignored on pipe=1 meshes."""
+    pipeline_schedule: str = "1f1b"
+    """Pipeline schedule on pipe > 1 meshes. "1f1b" (default; one-forward-
+    one-backward, parallel/pipeline_1f1b.py) bounds in-flight activations at
+    O(stages) regardless of microbatch count — more microbatches shrink the
+    bubble for free. "gpipe" (parallel/pipeline.py) banks all microbatches'
+    activations (O(microbatches)) but composes with tensor parallelism
+    (pipe x model meshes require it) and runs eval through the same forward."""
     rng_impl: str = "rbg"
     """PRNG for the per-step dropout keys. "rbg" (XLA RngBitGenerator) makes
     the flagship train step 30% faster on v5e than JAX's default threefry
@@ -172,6 +179,8 @@ class TrainConfig:
             raise ValueError(
                 f"pipeline_microbatches must be >= 1, got {self.pipeline_microbatches}"
             )
+        if self.pipeline_schedule not in ("gpipe", "1f1b"):
+            raise ValueError(f"bad pipeline_schedule: {self.pipeline_schedule}")
 
 
 @dataclass(frozen=True)
@@ -292,7 +301,7 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
     train_raw.update(
         {k: tpu[k] for k in
          ("buckets", "loss_norm", "reg_loss_weight", "pack_sequences",
-          "pipeline_microbatches") if k in tpu}
+          "pipeline_microbatches", "pipeline_schedule") if k in tpu}
     )
     mesh_raw = {k: tpu[k] for k in ("data", "model", "seq", "pipe") if k in tpu}
     if "mesh" in tpu:

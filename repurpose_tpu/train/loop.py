@@ -105,9 +105,13 @@ class Trainer:
             cfg.model, tc, steps_per_epoch, rng, mesh=model_mesh
         )
         self.state = self._place(state)
-        # Pipe axis > 1: swap the forward for the GPipe-pipelined one
-        # (parallel/pipeline.py); loss/Adam/telemetry below are unchanged.
+        # Pipe axis > 1: swap the forward for the pipelined one. GPipe
+        # (parallel/pipeline.py) rides make_train_step unchanged; the 1F1B
+        # schedule (parallel/pipeline_1f1b.py, the default — O(stages)
+        # activation memory) replaces the whole grad computation, keeping
+        # the same (state, batch, rng) -> (state, metrics) contract.
         pp_model = None
+        pp_schedule = None
         if mesh_axes.get("pipe", 1) > 1:
             from repurpose_tpu.parallel.pipeline import PipelinedMMCT, validate_pipeline
 
@@ -117,10 +121,19 @@ class Trainer:
                 cfg.model, self.mesh, tc.pipeline_microbatches,
                 tc.batch_size * jax.process_count(),
             )
+            pp_schedule = tc.pipeline_schedule
+            if pp_schedule == "1f1b" and mesh_axes.get("model", 1) > 1:
+                logger.warning(
+                    "pipeline_schedule='1f1b' does not compose with tensor "
+                    "parallelism (model axis %d); falling back to GPipe",
+                    mesh_axes["model"],
+                )
+                pp_schedule = "gpipe"
+            # eval is forward-only; it always rides the GPipe forward.
             pp_model = PipelinedMMCT(cfg.model, self.mesh, tc.pipeline_microbatches)
             logger.info(
-                "pipeline parallelism: %d stages x %d microbatches",
-                mesh_axes["pipe"], tc.pipeline_microbatches,
+                "pipeline parallelism: %d stages x %d microbatches (%s)",
+                mesh_axes["pipe"], tc.pipeline_microbatches, pp_schedule,
             )
         # Three compiled steps, matching the observability cadences: per-layer
         # grad norms are logged 1/10 steps (reference main.py:345-367) and
@@ -129,18 +142,25 @@ class Trainer:
         # T=2048 on v5e — the reductions hide under the model pass), so the
         # split's real effect is skipping the off-cadence host FETCHES of
         # unconsumed telemetry buffers, which ride this box's tunnel RPC.
-        self.train_step = make_train_step(
-            cfg.model, tc, tx, schedule, mesh=model_mesh, model=pp_model,
-            per_layer_grad_norms=False, grad_histograms=False,
-        )
-        self.train_step_norms = make_train_step(
-            cfg.model, tc, tx, schedule, mesh=model_mesh, model=pp_model,
-            per_layer_grad_norms=True, grad_histograms=False,
-        )
-        self.train_step_hist = make_train_step(
-            cfg.model, tc, tx, schedule, mesh=model_mesh, model=pp_model,
-            per_layer_grad_norms=True, grad_histograms=True,
-        )
+        if pp_schedule == "1f1b":
+            from repurpose_tpu.parallel.pipeline_1f1b import make_1f1b_train_step
+
+            def _mk(norms: bool, hist: bool):
+                return make_1f1b_train_step(
+                    cfg.model, tc, tx, schedule, mesh=self.mesh,
+                    n_microbatches=tc.pipeline_microbatches,
+                    per_layer_grad_norms=norms, grad_histograms=hist,
+                )
+        else:
+            def _mk(norms: bool, hist: bool):
+                return make_train_step(
+                    cfg.model, tc, tx, schedule, mesh=model_mesh, model=pp_model,
+                    per_layer_grad_norms=norms, grad_histograms=hist,
+                )
+
+        self.train_step = _mk(False, False)
+        self.train_step_norms = _mk(True, False)
+        self.train_step_hist = _mk(True, True)
         self.eval_step = make_eval_step(cfg.model, tc, mesh=model_mesh, model=pp_model)
         # rbg keys cut the step 30% on v5e (TrainConfig.rng_impl docstring)
         impl = "rbg" if tc.rng_impl == "rbg" else None

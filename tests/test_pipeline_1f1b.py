@@ -1,0 +1,264 @@
+"""1F1B pipeline schedule (parallel/pipeline_1f1b.py) on the virtual mesh.
+
+The reference has no pipeline parallelism (utils/distributed.py:242-625 is
+DP-only); GPipe was this framework's v1 and 1F1B is the production schedule:
+same math, same bubble, O(stages) instead of O(microbatches) activation
+memory. These tests pin (a) exact trajectory equality with the plain and
+GPipe steps at dropout 0, (b) the memory claim via XLA's compiled memory
+analysis, and (c) composition with sequence packing and the Trainer."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from repurpose_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from repurpose_tpu.data.batching import collate
+from repurpose_tpu.data.synthetic import SyntheticDataset
+from repurpose_tpu.parallel.mesh import create_mesh
+from repurpose_tpu.parallel.pipeline import PipelinedMMCT
+from repurpose_tpu.parallel.pipeline_1f1b import make_1f1b_train_step, validate_1f1b
+from repurpose_tpu.train.state import create_train_state
+from repurpose_tpu.train.step import make_train_step
+
+CFG = ModelConfig(
+    vis_dim=16, aud_dim=24, text_dim=8, d_model=32, self_num_layers=4,
+    num_heads=4, d_ff=64, hidden_dim=16, compute_dtype="float32",
+    attention_impl="xla", dropout=0.0,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return create_mesh(MeshConfig(data=2, model=1, seq=1, pipe=4))
+
+
+def _batch(tc, b=8, t=32, seed=0):
+    ds = SyntheticDataset([t - i for i in range(b)], CFG, seed=seed)
+    return collate([ds[i] for i in range(b)], tc.buckets, b)
+
+
+def test_trajectory_matches_plain_step(mesh):
+    """3 steps of the manually-scheduled 1F1B grads == the plain autodiff
+    step (dropout 0) — losses, grad norms, and parameters."""
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    batch = _batch(tc)
+    state0, tx, sched = create_train_state(
+        CFG, tc, steps_per_epoch=3, rng=jax.random.key(1)
+    )
+    plain = make_train_step(CFG, tc, tx, sched, donate=False)
+    f1b = make_1f1b_train_step(
+        CFG, tc, tx, sched, mesh=mesh, n_microbatches=4, donate=False
+    )
+    rng = jax.random.key(7)
+    s_a = s_b = state0
+    for _ in range(3):
+        s_a, m_a = plain(s_a, batch, rng)
+        s_b, m_b = f1b(s_b, batch, rng)
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4
+        )
+    for la, lb in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(la, lb, atol=5e-4)
+
+
+def test_microbatch_count_sweep(mesh):
+    """The schedule math holds for every M (incl. M < S and M = 1): one step's
+    loss and grad norm match the plain step."""
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    batch = _batch(tc)
+    state0, tx, sched = create_train_state(
+        CFG, tc, steps_per_epoch=1, rng=jax.random.key(1)
+    )
+    plain = make_train_step(CFG, tc, tx, sched, donate=False)
+    _, m_ref = plain(state0, batch, jax.random.key(7))
+    for m in (1, 2, 4):
+        f1b = make_1f1b_train_step(
+            CFG, tc, tx, sched, mesh=mesh, n_microbatches=m, donate=False
+        )
+        _, m_new = f1b(state0, batch, jax.random.key(7))
+        np.testing.assert_allclose(
+            float(m_ref["loss"]), float(m_new["loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(m_ref["grad_norm"]), float(m_new["grad_norm"]), rtol=1e-4
+        )
+
+
+def test_packed_batch_matches_plain_step(mesh):
+    """seg_ids/positions (sequence packing) ride the 1F1B schedule: loss and
+    grad norm match the plain step on the identical packed batch."""
+    from repurpose_tpu.data.batching import pack_batch, plan_packing
+
+    tc = TrainConfig(
+        batch_size=4, buckets=(64,), epochs=1, lr=1e-3,
+        pack_sequences=True, loss_norm="batch_size",
+    )
+    durs = [40, 20, 30, 25, 35, 15, 45, 10]
+    ds = SyntheticDataset(durs, CFG, seed=3)
+    rows = plan_packing(durs, 64, 4)[0]
+    batch = pack_batch([ds[i] for i in range(8)], rows, 64, 4)
+    assert batch.seg_ids is not None
+    state0, tx, sched = create_train_state(
+        CFG, tc, steps_per_epoch=1, rng=jax.random.key(1)
+    )
+    plain = make_train_step(CFG, tc, tx, sched, donate=False)
+    f1b = make_1f1b_train_step(
+        CFG, tc, tx, sched, mesh=mesh, n_microbatches=2, donate=False
+    )
+    _, m_ref = plain(state0, batch, jax.random.key(7))
+    _, m_new = f1b(state0, batch, jax.random.key(7))
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_new["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_ref["grad_norm"]), float(m_new["grad_norm"]), rtol=1e-4
+    )
+
+
+def test_activation_memory_beats_gpipe(mesh):
+    """The headline 1F1B property: at M=16 microbatches the compiled step's
+    temp (activation) memory is well under GPipe's, whose residual banking
+    grows O(M). XLA's memory analysis gives exact buffer-assignment sizes."""
+    cfg = dataclasses.replace(CFG, d_model=64, d_ff=128, remat=True)
+    m_micro, b = 16, 32
+    tc = TrainConfig(batch_size=b, buckets=(256,), epochs=1, lr=1e-3)
+    ds = SyntheticDataset([200 + i for i in range(b)], cfg, seed=0)
+    batch = collate([ds[i] for i in range(b)], tc.buckets, b)
+    state0, tx, sched = create_train_state(
+        cfg, tc, steps_per_epoch=1, rng=jax.random.key(1)
+    )
+    gpipe = make_train_step(
+        cfg, tc, tx, sched, donate=False, model=PipelinedMMCT(cfg, mesh, m_micro)
+    )
+    f1b = make_1f1b_train_step(
+        cfg, tc, tx, sched, mesh=mesh, n_microbatches=m_micro, donate=False
+    )
+    rng = jax.random.key(7)
+    temps = {}
+    for name, fn in (("gpipe", gpipe), ("1f1b", f1b)):
+        ma = fn.lower(state0, batch, rng).compile().memory_analysis()
+        if ma is None:  # pragma: no cover - backend without the analysis
+            pytest.skip("backend provides no compiled memory analysis")
+        temps[name] = ma.temp_size_in_bytes
+    # measured on the 8-device CPU mesh: ~23.1 MB vs ~8.6 MB; assert with
+    # headroom so buffer-assignment jitter can't flake the claim.
+    assert temps["1f1b"] < 0.6 * temps["gpipe"], temps
+
+
+def test_dropout_on_trains(mesh):
+    """With dropout ON the 1F1B step still trains (finite loss, nonzero
+    grads); draws differ from the plain step by design (module docstring)."""
+    cfg = dataclasses.replace(CFG, dropout=0.1)
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    batch = _batch(tc)
+    state0, tx, sched = create_train_state(
+        cfg, tc, steps_per_epoch=1, rng=jax.random.key(1)
+    )
+    f1b = make_1f1b_train_step(
+        cfg, tc, tx, sched, mesh=mesh, n_microbatches=4, donate=False
+    )
+    _, metrics = f1b(state0, batch, jax.random.key(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_reg_loss_and_telemetry(mesh):
+    """reg_loss_weight > 0 flows the DIoU term through the manual head vjp
+    (matching the plain step), and the per-layer grad-norm / histogram
+    telemetry keys match make_train_step's."""
+    tc = TrainConfig(
+        batch_size=8, buckets=(32,), epochs=1, lr=1e-3, reg_loss_weight=0.5
+    )
+    batch = _batch(tc)
+    state0, tx, sched = create_train_state(
+        CFG, tc, steps_per_epoch=1, rng=jax.random.key(1)
+    )
+    plain = make_train_step(
+        CFG, tc, tx, sched, donate=False, per_layer_grad_norms=True,
+        grad_histograms=True,
+    )
+    f1b = make_1f1b_train_step(
+        CFG, tc, tx, sched, mesh=mesh, n_microbatches=4, donate=False,
+        per_layer_grad_norms=True, grad_histograms=True,
+    )
+    _, m_ref = plain(state0, batch, jax.random.key(7))
+    _, m_new = f1b(state0, batch, jax.random.key(7))
+    np.testing.assert_allclose(float(m_ref["loss"]), float(m_new["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_ref["reg_loss"]), float(m_new["reg_loss"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_ref["grad_norms/stacked"]),
+        np.asarray(m_new["grad_norms/stacked"]),
+        rtol=1e-3,
+    )
+    assert m_new["hist/grads/counts"].shape == m_ref["hist/grads/counts"].shape
+
+
+def test_split_layout_state(mesh):
+    """split_layout=True pairs with create_pipeline_train_state: same
+    trajectory as the standard-tree 1F1B step, layer stack pipe-sharded."""
+    from repurpose_tpu.parallel.pipeline import (
+        create_pipeline_train_state,
+        merge_pipeline_params,
+    )
+
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    batch = _batch(tc)
+    state_r, tx_r, sched_r = create_train_state(
+        CFG, tc, steps_per_epoch=2, rng=jax.random.key(1)
+    )
+    state_s, tx_s, sched_s = create_pipeline_train_state(
+        CFG, tc, mesh, steps_per_epoch=2, rng=jax.random.key(1)
+    )
+    step_r = make_1f1b_train_step(
+        CFG, tc, tx_r, sched_r, mesh=mesh, n_microbatches=4, donate=False
+    )
+    step_s = make_1f1b_train_step(
+        CFG, tc, tx_s, sched_s, mesh=mesh, n_microbatches=4, donate=False,
+        split_layout=True,
+    )
+    rng = jax.random.key(7)
+    for _ in range(2):
+        state_r, m_r = step_r(state_r, batch, rng)
+        state_s, m_s = step_s(state_s, batch, rng)
+        np.testing.assert_allclose(float(m_r["loss"]), float(m_s["loss"]), rtol=1e-5)
+    merged = merge_pipeline_params(
+        jax.device_get(state_s.params), CFG.self_num_layers
+    )
+    for a, b in zip(jax.tree.leaves(merged), jax.tree.leaves(state_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_validation_rejects_tp():
+    tp_mesh = create_mesh(MeshConfig(data=2, model=2, seq=1, pipe=2))
+    with pytest.raises(ValueError, match="gpipe"):
+        validate_1f1b(CFG, tp_mesh, 2, 8)
+
+
+def test_trainer_runs_1f1b(tmp_path):
+    """End-to-end: the Trainer's default pipeline schedule (1f1b) fits a
+    synthetic epoch on a {data:2, pipe:2} mesh, packed rows included."""
+    from repurpose_tpu.config import Config, TestConfig
+    from repurpose_tpu.train.loop import Trainer
+
+    cfg = Config(
+        model=dataclasses.replace(
+            CFG, self_num_layers=2, vis_dim=8, aud_dim=12, text_dim=4,
+            d_model=16, num_heads=2, d_ff=32, hidden_dim=8,
+        ),
+        train=TrainConfig(
+            batch_size=4, buckets=(128,), epochs=1, eval_freq=100,
+            intra_epoch_eval_freq=0, save_epochs=100, lr=1e-3,
+            pack_sequences=True, loss_norm="batch_size",
+            pipeline_microbatches=2, pipeline_schedule="1f1b",
+        ),
+        mesh=MeshConfig(data=2, pipe=2),
+        test_cfg=TestConfig(pre_nms_topk=16),
+    )
+    ds = SyntheticDataset([60, 40, 70, 50, 90, 30, 80, 20], cfg.model, seed=3)
+    trainer = Trainer(cfg, str(tmp_path / "f1b"), ds)
+    trainer.fit()
+    assert int(trainer.state.step) == trainer.steps_per_epoch
