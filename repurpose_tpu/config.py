@@ -157,8 +157,9 @@ class TrainConfig:
     one-backward, parallel/pipeline_1f1b.py) bounds in-flight activations at
     O(stages) regardless of microbatch count — more microbatches shrink the
     bubble for free. "gpipe" (parallel/pipeline.py) banks all microbatches'
-    activations (O(microbatches)) but composes with tensor parallelism
-    (pipe x model meshes require it) and runs eval through the same forward."""
+    activations (O(microbatches)); autodiff runs its reverse schedule, which
+    makes it the simpler reference implementation (eval always rides its
+    forward). Both compose with data and tensor parallelism."""
     rng_impl: str = "rbg"
     """PRNG for the per-step dropout keys. "rbg" (XLA RngBitGenerator) makes
     the flagship train step 30% faster on v5e than JAX's default threefry

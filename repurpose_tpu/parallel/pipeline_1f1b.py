@@ -46,10 +46,18 @@ per-microbatch partial sums over the same global denominator add up to the
 full-batch loss; tests pin trajectory equality with the plain and GPipe
 steps at dropout 0.
 
-Restrictions (``validate_1f1b``): everything ``validate_pipeline`` checks,
-plus model == 1 — the explicit vjp would need hand-built TP out-shardings;
-the GPipe schedule covers pipe x tp (``TrainConfig.pipeline_schedule``
-selects).
+Composition: pipe x data always; pipe x TENSOR PARALLELISM like the GPipe
+path (partial-manual shard_map, ``model`` a compiler axis): the layer-stack
+forward AND its vjp run under ``auto_axes(("model",))`` with the layer
+gradients' ``out_sharding`` pinned to the Megatron TP layout — the
+model-axis psum GSPMD inserts inside each pullback IS the correct TP
+gradient reduction (partial products of a sharded contraction), unlike the
+pipe/data axes where contributions belong to different microbatches and
+must stay local until the schedule's predicates mask them.
+
+Restrictions (``validate_1f1b``): identical to ``validate_pipeline`` —
+seq == 1, ``attention_impl="xla"`` when model > 1, concat fusion,
+``L % S == 0``, ``B % (dp * M) == 0``.
 """
 
 from __future__ import annotations
@@ -59,7 +67,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P, auto_axes
 
 from repurpose_tpu.config import ModelConfig, TrainConfig
 from repurpose_tpu.data.batching import Batch
@@ -82,13 +90,11 @@ Array = jax.Array
 def validate_1f1b(
     cfg: ModelConfig, mesh: Mesh, n_microbatches: int, batch: int
 ) -> tuple[int, int]:
-    s, dp = validate_pipeline(cfg, mesh, n_microbatches, batch)
-    if mesh_axis_sizes(mesh).get("model", 1) > 1:
-        raise ValueError(
-            "the 1F1B schedule composes with the data axis only; for "
-            "pipe x tensor parallelism use pipeline_schedule='gpipe'"
-        )
-    return s, dp
+    """Same restrictions as the GPipe schedule (validate_pipeline): 1F1B
+    composes with data always and with the model axis via partial-manual
+    shard_map + auto_axes (attention_impl='xla' required there); seq needs
+    the ring ppermute hand-placed and stays unsupported."""
+    return validate_pipeline(cfg, mesh, n_microbatches, batch)
 
 
 def _loss_and_grads(
@@ -106,6 +112,7 @@ def _loss_and_grads(
     (psum'd over data and pipe)."""
     ax = mesh_axis_sizes(mesh)
     s_stages = ax.get("pipe", 1)
+    tp = ax.get("model", 1)
     lps = cfg.self_num_layers // s_stages
     w_slots = 2 * s_stages - 1
     has_seg = batch.seg_ids is not None
@@ -167,19 +174,48 @@ def _loss_and_grads(
         segid_mb = rs(seg) if has_seg else None
         pos_mb = rs(pos) if has_pos else None
 
-        def layer_key(li, mb_idx):
-            # Identical folds as parallel/pipeline.py — (global layer,
-            # microbatch) — so fwd and the bwd-time recompute agree.
-            gli = stage * lps + li
-            return jax.random.fold_in(jax.random.fold_in(rng_loc, gli), mb_idx)
+        raw_loc = jax.random.key_data(rng_loc)
 
-        def stage_fwd(lp_stack, x_, mask_, seg_, mb_idx):
+        def stage_fwd_raw(lp_stack, x_, mask_, seg_, raw_, mb_idx, stage_):
+            # Dropout keys fold (data idx, global layer, microbatch) —
+            # identical to parallel/pipeline.py — so the bwd-time recompute
+            # regenerates the same masks. Everything from the manual context
+            # arrives as an ARGUMENT so the function can cross the
+            # ``auto_axes`` boundary under pipe x tp.
+            rloc = jax.random.wrap_key_data(raw_, impl=key_impl)
+
             def bstep(carry, inp):
                 lpi, li = inp
-                return apply_layer(lpi, carry, mask_, seg_, layer_key(li, mb_idx)), None
+                key = jax.random.fold_in(
+                    jax.random.fold_in(rloc, stage_ * lps + li), mb_idx
+                )
+                return apply_layer(lpi, carry, mask_, seg_, key), None
 
             out, _ = jax.lax.scan(bstep, x_, (lp_stack, jnp.arange(lps)))
             return out
+
+        def stage_vjp_raw(lp_stack, xi, mask_, seg_, raw_, mb_idx, stage_, g_in):
+            _, pb = jax.vjp(
+                lambda l_, x_: stage_fwd_raw(l_, x_, mask_, seg_, raw_, mb_idx, stage_),
+                lp_stack, xi,
+            )
+            return pb(g_in)
+
+        # pipe x tensor parallelism needs no special-casing here: under the
+        # partial-manual shard_map (axis_names={"data","pipe"}) the model
+        # axis stays an AUTO compiler axis, so GSPMD partitions the layer
+        # dots over heads and places the Megatron psums — including inside
+        # the vjp pullbacks, where the model-axis psum IS the correct TP
+        # gradient reduction (partial products of a sharded contraction),
+        # unlike the pipe/data axes where contributions belong to different
+        # microbatches and must stay local (pcast above). The TP layout of
+        # the layer gradients follows from the stacked tree's sharding
+        # constraint placed before the shard_map call.
+        def stage_fwd(lp_stack, x_, mask_, seg_, mb_idx):
+            return stage_fwd_raw(lp_stack, x_, mask_, seg_, raw_loc, mb_idx, stage)
+
+        def stage_vjp(lp_stack, xi, mask_, seg_, mb_idx, g_in):
+            return stage_vjp_raw(lp_stack, xi, mask_, seg_, raw_loc, mb_idx, stage, g_in)
 
         def embed_fn(rest__, mi):
             p_ = dix(pos_mb, mi) if has_pos else None
@@ -236,10 +272,7 @@ def _loss_and_grads(
             xin_b = dix(xbuf, jax.lax.rem(mbc, w_slots))
             m_b = dix(mask_mb, mbc)
             s_b = dix(segid_mb, mbc) if has_seg else None
-            _, pb_stage = jax.vjp(
-                lambda lp, xi: stage_fwd(lp, xi, m_b, s_b, mbc), layers_loc, xin_b
-            )
-            g_lay_inc, g_xin = pb_stage(g_in)
+            g_lay_inc, g_xin = stage_vjp(layers_loc, xin_b, m_b, s_b, mbc, g_in)
             g_lay = jax.tree.map(
                 lambda acc, g: acc + jnp.where(bwd_valid, g, 0), g_lay, g_lay_inc
             )
@@ -279,6 +312,22 @@ def _loss_and_grads(
         l_acc = jax.lax.psum(l_acc, ("data", "pipe"))
         return l_acc, g_lay, g_rest
 
+    sm_kw: dict = {}
+    if tp > 1:
+        # Partial-manual: data/pipe manual, model left to the compiler. Pin
+        # the Megatron layout on the stacked tree so the auto-axis
+        # collectives land as TP psums, not resharding (same as
+        # parallel/pipeline.py's GPipe path).
+        from jax.sharding import NamedSharding
+
+        from repurpose_tpu.parallel.pipeline import stacked_param_specs
+
+        sm_kw["axis_names"] = {"data", "pipe"}
+        stacked = jax.tree.map(
+            lambda v, s: jax.lax.with_sharding_constraint(v, NamedSharding(mesh, s)),
+            stacked,
+            stacked_param_specs(stacked),
+        )
     args = [
         stacked, rest, batch.visual, batch.audio, batch.text,
         batch.mask, batch.labels, batch.segments, norm, raw_key,
@@ -290,7 +339,7 @@ def _loss_and_grads(
         P("data") if has_seg else P(), P("data") if has_pos else P(),
     )
     fn = jax.shard_map(
-        body, mesh=mesh, in_specs=specs, out_specs=(P(), P("pipe"), P())
+        body, mesh=mesh, in_specs=specs, out_specs=(P(), P("pipe"), P()), **sm_kw
     )
     losses, g_lay, g_rest = fn(*args)
     return losses, g_lay, g_rest, n_real

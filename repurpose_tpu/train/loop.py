@@ -122,13 +122,6 @@ class Trainer:
                 tc.batch_size * jax.process_count(),
             )
             pp_schedule = tc.pipeline_schedule
-            if pp_schedule == "1f1b" and mesh_axes.get("model", 1) > 1:
-                logger.warning(
-                    "pipeline_schedule='1f1b' does not compose with tensor "
-                    "parallelism (model axis %d); falling back to GPipe",
-                    mesh_axes["model"],
-                )
-                pp_schedule = "gpipe"
             # eval is forward-only; it always rides the GPipe forward.
             pp_model = PipelinedMMCT(cfg.model, self.mesh, tc.pipeline_microbatches)
             logger.info(

@@ -255,6 +255,24 @@ for epoch in range(2):
         state, m = step(state, gb, jax.random.key(1))
         losses.append(float(m["loss"]))
 print("LOSSES", " ".join(f"{l:.6f}" for l in losses), flush=True)
+
+# 1F1B over the same cross-process mesh: the explicit backward's
+# reverse-ppermute gradient hops ride the inter-process fabric too. At
+# dropout 0 its loss must equal the GPipe step's exactly.
+import dataclasses
+from repurpose_tpu.parallel.pipeline_1f1b import make_1f1b_train_step
+d0 = dataclasses.replace(mc, dropout=0.0)
+state0, tx0, sched0 = create_train_state(d0, tc, 2, jax.random.key(0))
+gp0 = make_train_step(d0, tc, tx0, sched0, donate=False,
+                      model=PipelinedMMCT(d0, mesh, tc.pipeline_microbatches))
+f1b = make_1f1b_train_step(d0, tc, tx0, sched0, mesh=mesh,
+                           n_microbatches=tc.pipeline_microbatches, donate=False)
+gb0 = make_global_batch(next(iter(loader.epoch(0))), mesh)
+_, m_gp = gp0(state0, gb0, jax.random.key(1))
+_, m_f1b = f1b(state0, gb0, jax.random.key(1))
+assert abs(float(m_gp["loss"]) - float(m_f1b["loss"])) < 1e-5, (
+    float(m_gp["loss"]), float(m_f1b["loss"]))
+print("F1B", f"{float(m_f1b['loss']):.6f}", flush=True)
 """
 
 
@@ -282,9 +300,16 @@ def test_two_process_pipeline_training(tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
     rows = []
+    f1b_rows = []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("LOSSES ")]
         assert lines, out[-1000:]
         rows.append([float(x) for x in lines[0].split()[1:]])
+        f1b = [l for l in out.splitlines() if l.startswith("F1B ")]
+        assert f1b, out[-1000:]
+        f1b_rows.append(float(f1b[0].split()[1]))
     assert rows[0] == rows[1]
     assert all(np.isfinite(v) for v in rows[0]) and len(rows[0]) >= 2
+    # both processes agree on the 1F1B loss (worker already asserted it
+    # equals the GPipe loss at dropout 0)
+    assert f1b_rows[0] == f1b_rows[1] and np.isfinite(f1b_rows[0])

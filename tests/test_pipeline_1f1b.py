@@ -232,10 +232,35 @@ def test_split_layout_state(mesh):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
 
-def test_validation_rejects_tp():
+def test_trajectory_pipe_tp():
+    """1F1B x tensor parallelism: the layer-stack vjp under auto_axes (model
+    a compiler axis, TP-sharded layer grads) matches the plain step on a
+    {data:2, model:2, pipe:2} mesh."""
     tp_mesh = create_mesh(MeshConfig(data=2, model=2, seq=1, pipe=2))
-    with pytest.raises(ValueError, match="gpipe"):
-        validate_1f1b(CFG, tp_mesh, 2, 8)
+    # Pallas attention can't be GSPMD-partitioned over heads: rejected.
+    pallas = dataclasses.replace(CFG, attention_impl="pallas")
+    with pytest.raises(ValueError, match="attention_impl"):
+        validate_1f1b(pallas, tp_mesh, 2, 8)
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    batch = _batch(tc)
+    state0, tx, sched = create_train_state(
+        CFG, tc, steps_per_epoch=2, rng=jax.random.key(1)
+    )
+    plain = make_train_step(CFG, tc, tx, sched, donate=False)
+    f1b = make_1f1b_train_step(
+        CFG, tc, tx, sched, mesh=tp_mesh, n_microbatches=2, donate=False
+    )
+    rng = jax.random.key(7)
+    s_a = s_b = state0
+    for _ in range(2):
+        s_a, m_a = plain(s_a, batch, rng)
+        s_b, m_b = f1b(s_b, batch, rng)
+        np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4
+        )
+    for la, lb in zip(jax.tree.leaves(s_a.params), jax.tree.leaves(s_b.params)):
+        np.testing.assert_allclose(la, lb, atol=5e-4)
 
 
 def test_trainer_runs_1f1b(tmp_path):

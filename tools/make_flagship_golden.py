@@ -6,10 +6,12 @@ main.py:513-531 and consumed by inference.py:33-34. This tool RUNS the
 reference's own model code (/root/reference) at flagship dims:
 
 1. builds MMCTransformer(**configs/Repurpose.yaml model section) seeded,
-2. trains it for a few steps of the reference's own loop numerics (Adam
-   lr 1e-3 wd 1e-4, loss = cls_loss / config_batch_size; main.py:190-206,
-   331) on seeded synthetic signal batches, so the weights carry TRAINED
-   statistics (non-random scales, wd-decayed reg head),
+2. trains it with the reference's own loop numerics (Adam lr 1e-3 wd 1e-4,
+   loss = cls_loss / config_batch_size; main.py:190-206, 331) plus the
+   reference's own defined-but-unused DIoU reg loss (so decoded segment
+   boundaries are meaningful — see the comment in build_flagship_checkpoint)
+   on seeded synthetic signal batches, long enough (160 steps) that
+   PRODUCTION-threshold decode keeps a nontrivial segment set,
 3. saves a real .pth in the reference checkpoint schema (main.py:513-531),
 4. records the reference's fp32 forward (T=1800, the corpus-max length) and
    its decode + Soft-NMS outputs + tIoU under both the production TestConfig
@@ -46,7 +48,8 @@ FLAGSHIP_KW = dict(
     self_num_layers=16, text_num_layers=3, cross_num_layers=3, num_heads=8,
 )
 
-TRAIN_STEPS = 20
+TRAIN_STEPS = 160
+REG_WEIGHT = 0.5
 TRAIN_LENS = (192, 160)
 EVAL_LENS = (1800, 1313)  # corpus max + ~mean (BASELINE.md)
 BATCH_SIZE_CFG = 2
@@ -69,7 +72,7 @@ TEST_CFGS = {
 
 def signal_batch(rng: np.random.Generator, lens, t_max) -> dict:
     """Learnable synthetic batch at flagship feature dims: labels come from
-    planted 12-24 s segments and the first 32 visual dims carry a +1.5 bias
+    planted 12-24 s segments and the first 32 visual dims carry a +2.5 bias
     inside them (same construction as the tiny fixture, tools/make_goldens.py),
     so a short training run yields realistic score distributions."""
     b = len(lens)
@@ -96,7 +99,7 @@ def signal_batch(rng: np.random.Generator, lens, t_max) -> dict:
             for t in range(lo, hi):
                 if offsets[i, t].sum() == 0:
                     offsets[i, t] = (t - s, e - t)
-        vis[i, :ln, :32] += 1.5 * labels[i, :ln, None]
+        vis[i, :ln, :32] += 2.5 * labels[i, :ln, None]
     return {
         "visual": vis, "audio": aud, "text": txt, "mask": mask,
         "labels": labels, "segments": offsets, "lens": list(lens),
@@ -147,6 +150,8 @@ def build_flagship_checkpoint(path: str = CKPT_PATH, steps: int = TRAIN_STEPS):
             m.dropout = 0.0
     model.train()
 
+    from models.losses import ctr_diou_loss_1d
+
     batches = train_batches()
     opt = torch.optim.Adam(model.parameters(), lr=1e-3, weight_decay=1e-4)
     cos = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=steps)
@@ -154,13 +159,36 @@ def build_flagship_checkpoint(path: str = CKPT_PATH, steps: int = TRAIN_STEPS):
     for step in range(steps):
         batch = _torch_batch(batches[step % len(batches)])
         out = model(batch)
-        final = model.losses(*out)["cls_loss"] / BATCH_SIZE_CFG
+        cls_loss = model.losses(*out)["cls_loss"] / BATCH_SIZE_CFG
+        # The shipped reference trains cls-only (main.py:664 'Regression loss
+        # removed'), which leaves the reg head — the source of decoded segment
+        # BOUNDARIES — at init: every predicted duration is ~0 s and the
+        # production duration_thresh=10 gate empties the keep-set, making the
+        # decode golden non-discriminating. The fixture therefore also trains
+        # the reg head with the reference's OWN (defined-but-unused) DIoU loss
+        # (models/losses.py:57), masked to positive timesteps like our
+        # ops/losses.py:masked_reg_loss; inference parity is unaffected by how
+        # the checkpoint was trained, and production-threshold decode now
+        # keeps a real segment set.
+        masks, _, offsets, labels, gt_offsets, _ = out
+        pos = (labels * masks.transpose(1, 2).squeeze(-1)).float()
+        # clamp: gt offsets are negative OUTSIDE segments (dataset label
+        # construction), and the TorchScript loss asserts non-negativity on
+        # every entry even though the pos mask zeroes those terms anyway
+        # (the TorchScript body indexes [:,:,k]: it takes [B,T,2] despite its
+        # docstring's (N,2))
+        diou = ctr_diou_loss_1d(offsets, gt_offsets.clamp_min(0.0))
+        reg_loss = (diou * pos).sum() / BATCH_SIZE_CFG
+        final = cls_loss + REG_WEIGHT * reg_loss
         opt.zero_grad()
         final.backward()
         opt.step()
         cos.step()
-        losses.append(float(final.item()))
-        print(f"  ref step {step}: loss {losses[-1]:.4f}", flush=True)
+        losses.append(float(cls_loss.item()))
+        print(
+            f"  ref step {step}: cls {losses[-1]:.4f} reg {float(reg_loss):.4f}",
+            flush=True,
+        )
     assert losses[-1] < losses[0], "flagship reference training went nowhere"
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -180,11 +208,26 @@ def build_flagship_checkpoint(path: str = CKPT_PATH, steps: int = TRAIN_STEPS):
 def reference_eval(ckpt_path: str = CKPT_PATH):
     """Load the .pth the way the reference's inference.py:33-34 does, run the
     fp32 forward + per-cfg decode on the seeded eval batch, and return all
-    outputs as numpy/json-able structures."""
+    outputs as numpy/json-able structures.
+
+    Device-semantics pin: the reference's soft_nms_intervals_cpu mutates its
+    numpy view of the scores IN PLACE (softnms.py:4-5 swap + decay), and
+    ``tensor.cpu().numpy()`` ALIASES the torch tensor when inference already
+    runs on CPU — so the reference reports decayed, swap-scrambled scores on
+    CPU but pre-decay originals on CUDA (where ``.cpu()`` copies). The
+    deployed reference runs CUDA; this framework pins THOSE semantics
+    (PARITY.md 'pre-decay scores'), so the generator clones the scores
+    tensor before NMS to emulate the CUDA copy deterministically."""
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)
     import torch
+    import models.MMCTransformer as _mm
     from models.MMCTransformer import MMCTransformer
+
+    orig_nms = _mm.soft_nms_intervals_cpu
+    _mm.soft_nms_intervals_cpu = lambda scores, segs, **kw: orig_nms(
+        scores.clone(), segs, **kw
+    )
 
     sys.path.insert(0, os.path.join(REFERENCE, "utils"))
     from utils.metrics import calculate_tiou as ref_tiou
@@ -225,8 +268,14 @@ def reference_eval(ckpt_path: str = CKPT_PATH):
 
 def main() -> None:
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    print("training flagship reference model (85M params, CPU)...", flush=True)
-    losses = build_flagship_checkpoint()
+    if "--eval-only" in sys.argv and os.path.exists(CKPT_PATH):
+        # reuse the cached checkpoint (training is deterministic from seeds;
+        # ~15 CPU-min saved when only the eval/decode recording changed)
+        with open(os.path.join(GOLDEN_DIR, "flagship_decode.json")) as f:
+            losses = json.load(f)["losses"]
+    else:
+        print("training flagship reference model (85M params, CPU)...", flush=True)
+        losses = build_flagship_checkpoint()
     print("running reference eval forward at T=1800...", flush=True)
     ev, cls_logits, offsets, decode = reference_eval()
     np.savez_compressed(
