@@ -160,6 +160,20 @@ class TrainConfig:
     activations (O(microbatches)); autodiff runs its reverse schedule, which
     makes it the simpler reference implementation (eval always rides its
     forward). Both compose with data and tensor parallelism."""
+    grad_accum_steps: int = 1
+    """Gradient accumulation: split each batch into this many chunks along
+    the batch dim and scan the backward, summing grads before ONE optimizer
+    update (train/step.py:_accum_grads). Trains identically to the unsplit
+    step (global loss denominator; reduction order aside) with peak
+    activation memory of one chunk — the standard large-effective-batch
+    lever the reference lacks (its loop is one backward per batch,
+    main.py:294-412). batch_size must be divisible by it."""
+    grad_accum_dtype: str = "float32"
+    """Accumulator dtype for grad_accum_steps > 1. "bfloat16" halves the
+    accumulator HBM footprint and read/write traffic per chunk (the MXU
+    already computes grads in mixed precision; the optimizer update stays
+    fp32). Expect ~1e-2 relative grad noise — fine at production batch
+    sizes; keep fp32 for parity tests."""
     rng_impl: str = "rbg"
     """PRNG for the per-step dropout keys. "rbg" (XLA RngBitGenerator) makes
     the flagship train step 30% faster on v5e than JAX's default threefry
@@ -182,6 +196,15 @@ class TrainConfig:
             )
         if self.pipeline_schedule not in ("gpipe", "1f1b"):
             raise ValueError(f"bad pipeline_schedule: {self.pipeline_schedule}")
+        if self.grad_accum_steps < 1:
+            raise ValueError(f"grad_accum_steps must be >= 1, got {self.grad_accum_steps}")
+        if self.grad_accum_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"bad grad_accum_dtype: {self.grad_accum_dtype}")
+        if self.grad_accum_steps > 1 and self.batch_size % self.grad_accum_steps:
+            raise ValueError(
+                f"batch_size {self.batch_size} not divisible by "
+                f"grad_accum_steps {self.grad_accum_steps}"
+            )
 
 
 @dataclass(frozen=True)
@@ -302,7 +325,8 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
     train_raw.update(
         {k: tpu[k] for k in
          ("buckets", "loss_norm", "reg_loss_weight", "pack_sequences",
-          "pipeline_microbatches", "pipeline_schedule") if k in tpu}
+          "pipeline_microbatches", "pipeline_schedule", "grad_accum_steps",
+          "grad_accum_dtype") if k in tpu}
     )
     mesh_raw = {k: tpu[k] for k in ("data", "model", "seq", "pipe") if k in tpu}
     if "mesh" in tpu:

@@ -115,6 +115,13 @@ class Trainer:
         if mesh_axes.get("pipe", 1) > 1:
             from repurpose_tpu.parallel.pipeline import PipelinedMMCT, validate_pipeline
 
+            if tc.grad_accum_steps > 1:
+                raise ValueError(
+                    "grad_accum_steps > 1 does not compose with pipeline "
+                    "parallelism — pipeline microbatches already serve that "
+                    "role; raise pipeline_microbatches instead"
+                )
+
             # The jitted step sees the GLOBAL batch (batch_size is
             # per-process, DistributedSampler semantics) — validate that.
             validate_pipeline(

@@ -27,7 +27,10 @@ from repurpose_tpu.ops.losses import masked_cls_loss, masked_reg_loss
 from repurpose_tpu.train.state import TrainState
 
 
-def _loss_fn(model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bool):
+def _loss_fn(
+    model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bool,
+    norm_override=None,
+):
     # sequence-packed batches (data/batching.py:pack_batch) carry seg_ids /
     # positions; passed as kwargs so the non-packing model variants
     # (cross/bottleneck fusion) keep their narrower signatures
@@ -56,11 +59,16 @@ def _loss_fn(model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bo
     # the reference's per-rank loss/batch_size with DDP gradient averaging.
     # "batch_size" divides by the ACTUAL sample count — n_real, not the
     # batch dimension, which pad_last keeps equal to the configured size.
-    norm = (
-        float(train_cfg.batch_size) * jax.process_count()
-        if train_cfg.loss_norm == "config_batch_size"
-        else jnp.maximum(n_real, 1).astype(jnp.float32)
-    )
+    # norm_override: gradient accumulation passes the GLOBAL denominator so
+    # per-chunk partial losses sum to the full-batch loss exactly.
+    if norm_override is not None:
+        norm = norm_override
+    else:
+        norm = (
+            float(train_cfg.batch_size) * jax.process_count()
+            if train_cfg.loss_norm == "config_batch_size"
+            else jnp.maximum(n_real, 1).astype(jnp.float32)
+        )
     total = cls_loss / norm
     aux = {
         "cls_loss": cls_loss,
@@ -130,11 +138,76 @@ def make_train_step(
     if model is None:
         model = build_model(model_cfg, mesh=mesh)
 
+    accum = max(int(train_cfg.grad_accum_steps), 1)
+    accum_dtype = (
+        jnp.bfloat16 if train_cfg.grad_accum_dtype == "bfloat16" else jnp.float32
+    )
+
+    def _accum_grads(params, batch: Batch, rng):
+        """Gradient accumulation: split the batch into ``accum`` chunks along
+        the batch dim and lax.scan the per-chunk backward, summing grads in
+        ``grad_accum_dtype``. Peak activation memory drops to one chunk's;
+        the loss denominator is computed GLOBALLY first so the summed chunk
+        losses (and their grads) equal the full-batch computation exactly
+        (reduction order aside). bf16 accumulators halve the accumulator
+        HBM traffic — the optimizer update stays fp32."""
+        b = batch.visual.shape[0]
+        if b % accum:
+            raise ValueError(f"batch {b} not divisible by grad_accum_steps {accum}")
+        if batch.seg_ids is not None:
+            n_real = jnp.sum(jnp.maximum(jnp.max(batch.seg_ids, axis=1) + 1, 0))
+        else:
+            n_real = jnp.sum(batch.durations > 0)
+        norm = (
+            float(train_cfg.batch_size) * jax.process_count()
+            if train_cfg.loss_norm == "config_batch_size"
+            else jnp.maximum(n_real, 1).astype(jnp.float32)
+        )
+        chunked = type(batch)(*[
+            None if x is None else x.reshape(accum, b // accum, *x.shape[1:])
+            for x in batch
+        ])
+
+        def one_chunk(carry, inp):
+            g_acc, aux_acc = carry
+            chunk, idx = inp
+            (_, aux), g = jax.value_and_grad(
+                lambda p: _loss_fn(
+                    model, train_cfg, p, chunk,
+                    jax.random.fold_in(rng, idx), True, norm_override=norm,
+                ),
+                has_aux=True,
+            )(params)
+            g_acc = jax.tree.map(
+                lambda a, gi: a + gi.astype(accum_dtype), g_acc, g
+            )
+            aux_acc = {
+                k: aux_acc[k] + v for k, v in aux.items() if k != "n_real"
+            } | {"n_real": aux_acc["n_real"]}
+            return (g_acc, aux_acc), None
+
+        g0 = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, accum_dtype), params
+        )
+        aux_keys = ["cls_loss", "loss", "n_real"] + (
+            ["reg_loss"] if train_cfg.reg_loss_weight > 0.0 else []
+        )
+        aux0 = {k: jnp.float32(0.0) for k in aux_keys}
+        aux0["n_real"] = n_real
+        (g_acc, aux), _ = jax.lax.scan(
+            one_chunk, (g0, aux0), (chunked, jnp.arange(accum))
+        )
+        return aux, jax.tree.map(lambda g, p: g.astype(p.dtype), g_acc, params)
+
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
-        (_, aux), grads = jax.value_and_grad(
-            lambda p: _loss_fn(model, train_cfg, p, batch, rng, True), has_aux=True
-        )(state.params)
+        if accum > 1:
+            aux, grads = _accum_grads(state.params, batch, rng)
+        else:
+            (_, aux), grads = jax.value_and_grad(
+                lambda p: _loss_fn(model, train_cfg, p, batch, rng, True),
+                has_aux=True,
+            )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = dict(aux)
