@@ -168,6 +168,12 @@ class TrainConfig:
     activation memory of one chunk — the standard large-effective-batch
     lever the reference lacks (its loop is one backward per batch,
     main.py:294-412). batch_size must be divisible by it."""
+    shard_opt_state: bool = False
+    """ZeRO-1: shard the Adam moments over the mesh's ``data`` axis
+    (parallel/sharding.py:zero1_opt_specs — composes with the Megatron TP
+    placement of TP-sharded params' moments). Cuts optimizer-state HBM ~dp x
+    for the cost of the update-time all-gather; the reference's DDP
+    replicates moments on every rank. No effect on data=1 meshes."""
     grad_accum_dtype: str = "float32"
     """Accumulator dtype for grad_accum_steps > 1. "bfloat16" halves the
     accumulator HBM footprint and read/write traffic per chunk (the MXU
@@ -326,7 +332,7 @@ def load_config(path_or_dict: str | Mapping[str, Any]) -> Config:
         {k: tpu[k] for k in
          ("buckets", "loss_norm", "reg_loss_weight", "pack_sequences",
           "pipeline_microbatches", "pipeline_schedule", "grad_accum_steps",
-          "grad_accum_dtype") if k in tpu}
+          "grad_accum_dtype", "shard_opt_state") if k in tpu}
     )
     mesh_raw = {k: tpu[k] for k in ("data", "model", "seq", "pipe") if k in tpu}
     if "mesh" in tpu:

@@ -356,6 +356,7 @@ def make_1f1b_train_step(
     per_layer_grad_norms: bool = False,
     grad_histograms: bool = False,
     split_layout: bool = False,
+    zero1: bool = False,
 ) -> Callable:
     """Build the jitted 1F1B train step: (state, batch, rng) -> (state,
     metrics) — a drop-in for train/step.py:make_train_step when the mesh has
@@ -367,6 +368,12 @@ def make_1f1b_train_step(
 
     if mesh is None:
         raise ValueError("the 1F1B step needs the mesh with the pipe axis")
+    if zero1 and split_layout:
+        raise ValueError(
+            "zero1 supports the standard param layout only (the split "
+            "layout's stacked moments are already pipe/TP-sharded; "
+            "zero1_opt_specs keys on per-layer param paths)"
+        )
     n_layers = model_cfg.self_num_layers
 
     def train_step(state: TrainState, batch: Batch, rng: jax.Array):
@@ -386,6 +393,29 @@ def make_1f1b_train_step(
             grads["encoder"] = unstack_layer_params(g_lay, n_layers)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if zero1:
+            # ZeRO-1 over the data axis (see train/step.py zero1_mesh):
+            # moments data-sharded, params pinned back to their layout.
+            from jax.sharding import NamedSharding
+
+            from repurpose_tpu.parallel.sharding import (
+                param_sharding_rules,
+                zero1_opt_specs,
+            )
+
+            opt_state = jax.tree.map(
+                lambda v, s: jax.lax.with_sharding_constraint(
+                    v, NamedSharding(mesh, s)
+                ),
+                opt_state,
+                zero1_opt_specs(opt_state, mesh),
+            )
+            params = jax.tree_util.tree_map_with_path(
+                lambda path, p: jax.lax.with_sharding_constraint(
+                    p, NamedSharding(mesh, param_sharding_rules(path, p))
+                ),
+                params,
+            )
         metrics = {
             "loss": losses[0],
             "cls_loss": losses[1],

@@ -56,6 +56,42 @@ def shard_params(params, mesh: Mesh):
     return jax.device_put(params, param_shardings(params, mesh))
 
 
+def zero1_opt_specs(opt_state, mesh: Mesh) -> Any:
+    """ZeRO-1 PartitionSpecs for an optimizer-state pytree: each Adam-moment
+    leaf shards over the ``data`` axis on its first TP-free dim that the
+    axis size divides (scalars and indivisible leaves stay replicated).
+
+    Moments mirror the param tree inside the optax state, so their pytree
+    paths CONTAIN the param paths — ``param_sharding_rules`` keys on path
+    substrings ("attn/qkv", "linear1", ...) and therefore applies unchanged,
+    which keeps the TP placement of TP-sharded params' moments and layers
+    the data axis on top (ZeRO composes with Megatron TP). The reference has
+    no optimizer-state sharding at all — its DDP replicates Adam moments on
+    every rank (utils/distributed.py) — so on dp=N meshes this cuts the
+    moment HBM by ~N x for the cost of the update-time all-gather XLA
+    inserts (the jax-ml scaling-book ZeRO-1 recipe)."""
+    dp = dict(zip(mesh.axis_names, mesh.devices.shape)).get("data", 1)
+
+    def rule(path, v):
+        ndim = getattr(v, "ndim", 0)
+        if ndim == 0 or dp == 1:
+            return P()
+        base = list(param_sharding_rules(path, v)) if ndim else []
+        base += [None] * (ndim - len(base))
+        for i in range(ndim):
+            if base[i] is None and v.shape[i] % dp == 0 and v.shape[i] >= dp:
+                base[i] = "data"
+                break
+        return P(*base)
+
+    return jax.tree_util.tree_map_with_path(rule, opt_state)
+
+
+def zero1_opt_shardings(opt_state, mesh: Mesh) -> Any:
+    specs = zero1_opt_specs(opt_state, mesh)
+    return jax.tree.map(lambda _, s: NamedSharding(mesh, s), opt_state, specs)
+
+
 def batch_spec(seq_sharded: bool = True) -> P:
     """[B, T, ...] activation spec: batch over data, optionally time over seq."""
     return P("data", "seq" if seq_sharded else None)

@@ -142,6 +142,9 @@ class Trainer:
         # T=2048 on v5e — the reductions hide under the model pass), so the
         # split's real effect is skipping the off-cadence host FETCHES of
         # unconsumed telemetry buffers, which ride this box's tunnel RPC.
+        # ZeRO-1 (TrainConfig.shard_opt_state): Adam moments shard over the
+        # data axis; a no-op on data=1 meshes.
+        zero1 = tc.shard_opt_state and mesh_axes.get("data", 1) > 1
         if pp_schedule == "1f1b":
             from repurpose_tpu.parallel.pipeline_1f1b import make_1f1b_train_step
 
@@ -150,12 +153,14 @@ class Trainer:
                     cfg.model, tc, tx, schedule, mesh=self.mesh,
                     n_microbatches=tc.pipeline_microbatches,
                     per_layer_grad_norms=norms, grad_histograms=hist,
+                    zero1=zero1,
                 )
         else:
             def _mk(norms: bool, hist: bool):
                 return make_train_step(
                     cfg.model, tc, tx, schedule, mesh=model_mesh, model=pp_model,
                     per_layer_grad_norms=norms, grad_histograms=hist,
+                    zero1_mesh=self.mesh if zero1 else None,
                 )
 
         self.train_step = _mk(False, False)
@@ -228,9 +233,19 @@ class Trainer:
 
     def _place(self, state: TrainState) -> TrainState:
         # Params follow the TP rules; optimizer moments pick up matching
-        # shardings from the first jitted step's output layout.
+        # shardings from the first jitted step's output layout — except under
+        # ZeRO-1, where they are placed data-sharded up front so even the
+        # first step's inputs carry the sharded layout.
         params = shard_params(state.params, self.mesh)
-        return dataclasses.replace(state, params=params)
+        opt_state = state.opt_state
+        axes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        if self.cfg.train.shard_opt_state and axes.get("data", 1) > 1:
+            from repurpose_tpu.parallel.sharding import zero1_opt_shardings
+
+            opt_state = jax.device_put(
+                opt_state, zero1_opt_shardings(opt_state, self.mesh)
+            )
+        return dataclasses.replace(state, params=params, opt_state=opt_state)
 
     def _device_batch(self, batch: Batch) -> Batch:
         from repurpose_tpu.parallel.sharding import make_global_batch

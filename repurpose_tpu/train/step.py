@@ -119,6 +119,7 @@ def make_train_step(
     grad_histograms: bool = False,
     mesh=None,
     model=None,
+    zero1_mesh=None,
 ) -> Callable:
     """Build the jitted train step: (state, batch, rng) -> (state, metrics).
 
@@ -134,6 +135,11 @@ def make_train_step(
     ``model`` overrides the forward implementation (same ``.apply`` signature)
     — parallel/pipeline.py:PipelinedMMCT uses it to run the pipelined encoder
     with the rest of the step (loss, Adam, telemetry) unchanged.
+    ``zero1_mesh`` enables ZeRO-1 optimizer-state sharding over that mesh's
+    data axis (parallel/sharding.py:zero1_opt_specs): the step pins the Adam
+    moments data-sharded and the params to their TP/replicated layout, so
+    XLA compiles the update as reduce-scatter(grads) -> sharded moment
+    update -> all-gather(params) — moment HBM drops ~dp x.
     """
     if model is None:
         model = build_model(model_cfg, mesh=mesh)
@@ -210,6 +216,30 @@ def make_train_step(
             )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if zero1_mesh is not None:
+            from jax.sharding import NamedSharding
+
+            from repurpose_tpu.parallel.sharding import (
+                param_sharding_rules,
+                zero1_opt_specs,
+            )
+
+            # Pin the ZeRO-1 layout: moments data-sharded, params back to
+            # their TP/replicated layout (the constraint makes XLA insert
+            # the all-gather that closes the sharded update).
+            opt_state = jax.tree.map(
+                lambda v, s: jax.lax.with_sharding_constraint(
+                    v, NamedSharding(zero1_mesh, s)
+                ),
+                opt_state,
+                zero1_opt_specs(opt_state, zero1_mesh),
+            )
+            params = jax.tree_util.tree_map_with_path(
+                lambda path, p: jax.lax.with_sharding_constraint(
+                    p, NamedSharding(zero1_mesh, param_sharding_rules(path, p))
+                ),
+                params,
+            )
         metrics = dict(aux)
         metrics["grad_norm"] = optax.global_norm(grads)
         if per_layer_grad_norms:
