@@ -376,9 +376,14 @@ class _Worker:
 
     def sec_stage_delta(self, results: dict) -> None:
         """Forward-only must not exceed full (forward+decode+NMS)."""
+        full = results["buckets"].get(str(HEADLINE_BUCKET))
+        assert full is not None, (
+            f"prerequisite bucket_{HEADLINE_BUCKET} missing (skipped?) — "
+            "stage delta has no full-pipeline baseline to compare against"
+        )
         args = self.make_args(BATCH, HEADLINE_BUCKET)
         fwd_s = _time(self.chained("forward", N_CHAIN), *args) / N_CHAIN
-        full_s = results["buckets"][str(HEADLINE_BUCKET)]["full_ms_per_batch"] / 1e3
+        full_s = full["full_ms_per_batch"] / 1e3
         results["forward_ms_per_batch"] = round(fwd_s * 1e3, 2)
         print(
             f"stage delta @ {HEADLINE_BUCKET}: forward {fwd_s*1e3:.2f} ms vs "
@@ -513,10 +518,11 @@ class _Worker:
         mid-run outage still yields the number that matters."""
         secs = [
             ("packed", self.sec_packed),
-            ("bucket_2048", lambda r: self.sec_bucket(r, 2048, dict(BUCKETS)[2048])),
+            (f"bucket_{HEADLINE_BUCKET}", lambda r: self.sec_bucket(
+                r, HEADLINE_BUCKET, dict(BUCKETS)[HEADLINE_BUCKET])),
             ("stage_delta", self.sec_stage_delta),
-            ("train_2048", lambda r: self.sec_train(
-                r, TRAIN_BATCH, 2048, False, N_TRAIN_CHAIN)),
+            (f"train_{HEADLINE_BUCKET}", lambda r: self.sec_train(
+                r, TRAIN_BATCH, HEADLINE_BUCKET, False, N_TRAIN_CHAIN)),
             ("train_packed", self.sec_train_packed),
         ]
         for t, bsz in BUCKETS:
@@ -525,8 +531,10 @@ class _Worker:
                     f"bucket_{t}",
                     lambda r, t=t, bsz=bsz: self.sec_bucket(r, t, bsz),
                 ))
-        secs.append(("train_1024", lambda r: self.sec_train(
-            r, TRAIN_BATCH, 1024, False, N_TRAIN_CHAIN)))
+        for t in TRAIN_BUCKETS:
+            if t != HEADLINE_BUCKET:
+                secs.append((f"train_{t}", lambda r, t=t: self.sec_train(
+                    r, TRAIN_BATCH, t, False, N_TRAIN_CHAIN)))
         for b, t, remat in LONGT_TRAIN:
             secs.append((
                 f"train_{t}",
@@ -570,10 +578,11 @@ def run_worker(state_path: str) -> int:
         _atomic_write(state_path, state)
         try:
             fn(results)
-        except AssertionError as e:
-            # a failed sanity assert is a permanent, recordable outcome —
-            # don't kill the worker over it
-            state["skip"][key] = f"AssertionError: {e}"
+        except Exception as e:
+            # a Python-level failure (sanity assert, missing prerequisite,
+            # code bug) is a permanent, recordable outcome — don't kill the
+            # worker over it; tunnel hangs kill the PROCESS, not raise here
+            state["skip"][key] = f"{type(e).__name__}: {e}"
             print(f"section {key} failed permanently: {e}", file=sys.stderr)
         state["in_progress"] = None
         if key not in state["skip"]:
@@ -730,10 +739,16 @@ def main() -> int:
             if no_progress >= 3:
                 note = f"worker made no progress over {no_progress} runs (rc={rc})"
                 break
+            if progress > prev_progress:
+                # the chip completed sections since the last death, so earlier
+                # per-section deaths were transient (outage mid-compile), not a
+                # deterministic section bug — only CONSECUTIVE deaths in the
+                # same section accumulate toward a permanent skip
+                fail_counts.clear()
             stuck = state.get("in_progress")
             if stuck:
                 fail_counts[stuck] = fail_counts.get(stuck, 0) + 1
-                if fail_counts[stuck] >= 2:
+                if fail_counts[stuck] >= 3:
                     state.setdefault("skip", {})[stuck] = (
                         f"killed the worker {fail_counts[stuck]} times "
                         f"(last rc={rc})"

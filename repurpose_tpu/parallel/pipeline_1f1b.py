@@ -47,13 +47,15 @@ full-batch loss; tests pin trajectory equality with the plain and GPipe
 steps at dropout 0.
 
 Composition: pipe x data always; pipe x TENSOR PARALLELISM like the GPipe
-path (partial-manual shard_map, ``model`` a compiler axis): the layer-stack
-forward AND its vjp run under ``auto_axes(("model",))`` with the layer
-gradients' ``out_sharding`` pinned to the Megatron TP layout — the
-model-axis psum GSPMD inserts inside each pullback IS the correct TP
-gradient reduction (partial products of a sharded contraction), unlike the
-pipe/data axes where contributions belong to different microbatches and
-must stay local until the schedule's predicates mask them.
+path (partial-manual shard_map with ``axis_names={"data", "pipe"}``): the
+``model`` axis stays an AUTO compiler axis, so GSPMD partitions the layer
+dots over heads and places the Megatron psums with NO explicit wrapper —
+including inside the vjp pullbacks, where the model-axis psum IS the
+correct TP gradient reduction (partial products of a sharded contraction),
+unlike the pipe/data axes where contributions belong to different
+microbatches and must stay local until the schedule's predicates mask them.
+The layer gradients' TP layout follows from the sharding constraint pinned
+on the stacked tree before the shard_map call.
 
 Restrictions (``validate_1f1b``): identical to ``validate_pipeline`` —
 seq == 1, ``attention_impl="xla"`` when model > 1, concat fusion,
@@ -67,7 +69,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, PartitionSpec as P, auto_axes
+from jax.sharding import Mesh, PartitionSpec as P
 
 from repurpose_tpu.config import ModelConfig, TrainConfig
 from repurpose_tpu.data.batching import Batch
@@ -122,17 +124,12 @@ def _loss_and_grads(
     dtype = _compute_dtype(cfg)
     d_model = cfg.d_model
 
-    # Global loss denominator — same rule as train/step.py:_loss_fn; every
-    # microbatch contribution divides by it, so the partial sums add up to
-    # the full-batch loss exactly.
-    if has_seg:
-        n_real = jnp.sum(jnp.maximum(jnp.max(batch.seg_ids, axis=1) + 1, 0))
-    else:
-        n_real = jnp.sum(batch.durations > 0)
-    if tc.loss_norm == "config_batch_size":
-        norm = jnp.float32(float(tc.batch_size) * jax.process_count())
-    else:
-        norm = jnp.maximum(n_real, 1).astype(jnp.float32)
+    # Global loss denominator — the ONE shared rule (train/step.py:
+    # loss_denominator); every microbatch contribution divides by it, so the
+    # partial sums add up to the full-batch loss exactly.
+    from repurpose_tpu.train.step import loss_denominator
+
+    n_real, norm = loss_denominator(tc, batch)
 
     key_impl = jax.random.key_impl(rng)
     raw_key = jax.random.key_data(rng)
@@ -256,11 +253,13 @@ def _loss_and_grads(
                 lambda r_, y_: head_loss(r_, y_, mfc), rest_, y, has_aux=True
             )
             last = stage == (s_stages - 1)
-            take_f = (last & fwd_valid).astype(jnp.float32)
-            l_acc = l_acc + take_f * jnp.stack([tot, cls, reg])
+            keep_h = last & fwd_valid
+            # jnp.where, not multiplication-by-0: bubble ticks run the head
+            # on mis-scheduled garbage, and 0 * inf would poison the psum'd
+            # loss metric even though the (where-masked) grads stay correct
+            l_acc = l_acc + jnp.where(keep_h, jnp.stack([tot, cls, reg]), 0.0)
             one = jax.lax.pcast(jnp.float32(1.0), ("data", "pipe"), to="varying")
             g_rest_head, g_y = pb_head(one)
-            keep_h = last & fwd_valid
             g_rest = jax.tree.map(
                 lambda acc, g: acc + jnp.where(keep_h, g, 0), g_rest, g_rest_head
             )
@@ -394,28 +393,10 @@ def make_1f1b_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if zero1:
-            # ZeRO-1 over the data axis (see train/step.py zero1_mesh):
-            # moments data-sharded, params pinned back to their layout.
-            from jax.sharding import NamedSharding
+            # ZeRO-1 over the data axis (see train/step.py zero1_mesh)
+            from repurpose_tpu.parallel.sharding import apply_zero1_constraints
 
-            from repurpose_tpu.parallel.sharding import (
-                param_sharding_rules,
-                zero1_opt_specs,
-            )
-
-            opt_state = jax.tree.map(
-                lambda v, s: jax.lax.with_sharding_constraint(
-                    v, NamedSharding(mesh, s)
-                ),
-                opt_state,
-                zero1_opt_specs(opt_state, mesh),
-            )
-            params = jax.tree_util.tree_map_with_path(
-                lambda path, p: jax.lax.with_sharding_constraint(
-                    p, NamedSharding(mesh, param_sharding_rules(path, p))
-                ),
-                params,
-            )
+            opt_state, params = apply_zero1_constraints(opt_state, params, mesh)
         metrics = {
             "loss": losses[0],
             "cls_loss": losses[1],

@@ -92,6 +92,26 @@ def zero1_opt_shardings(opt_state, mesh: Mesh) -> Any:
     return jax.tree.map(lambda _, s: NamedSharding(mesh, s), opt_state, specs)
 
 
+def apply_zero1_constraints(opt_state, params, mesh: Mesh):
+    """Pin the ZeRO-1 layout inside a jitted train step: moments data-sharded
+    (``zero1_opt_specs``), params back to their TP/replicated layout — the
+    constraints make XLA compile reduce-scatter(grads) -> sharded moment
+    update -> all-gather(params). Shared by train/step.py and
+    parallel/pipeline_1f1b.py. Returns (opt_state, params)."""
+    opt_state = jax.tree.map(
+        lambda v, s: jax.lax.with_sharding_constraint(v, NamedSharding(mesh, s)),
+        opt_state,
+        zero1_opt_specs(opt_state, mesh),
+    )
+    params = jax.tree_util.tree_map_with_path(
+        lambda path, p: jax.lax.with_sharding_constraint(
+            p, NamedSharding(mesh, param_sharding_rules(path, p))
+        ),
+        params,
+    )
+    return opt_state, params
+
+
 def batch_spec(seq_sharded: bool = True) -> P:
     """[B, T, ...] activation spec: batch over data, optionally time over seq."""
     return P("data", "seq" if seq_sharded else None)

@@ -27,6 +27,25 @@ from repurpose_tpu.ops.losses import masked_cls_loss, masked_reg_loss
 from repurpose_tpu.train.state import TrainState
 
 
+def loss_denominator(train_cfg: TrainConfig, batch: Batch):
+    """(n_real, norm): the global count of real (non-padding) samples and the
+    loss denominator under ``train_cfg.loss_norm``. Packed rows hold several
+    videos — count segments, not rows. Multi-host: batch_size is per-process
+    (DistributedSampler semantics), so config_batch_size scales by
+    process_count. ONE home for this rule — _loss_fn, gradient accumulation,
+    and the 1F1B pipeline step all divide by the same denominator so their
+    partial losses sum to the full-batch loss exactly."""
+    if batch.seg_ids is not None:
+        n_real = jnp.sum(jnp.maximum(jnp.max(batch.seg_ids, axis=1) + 1, 0))
+    else:
+        n_real = jnp.sum(batch.durations > 0)
+    if train_cfg.loss_norm == "config_batch_size":
+        norm = jnp.float32(float(train_cfg.batch_size) * jax.process_count())
+    else:
+        norm = jnp.maximum(n_real, 1).astype(jnp.float32)
+    return n_real, norm
+
+
 def _loss_fn(
     model, train_cfg: TrainConfig, params, batch: Batch, rng, train: bool,
     norm_override=None,
@@ -47,28 +66,11 @@ def _loss_fn(
         **packed_kw,
     )
     cls_loss = masked_cls_loss(out.cls_logits, batch.labels, batch.mask)
-    # global count of real (non-padding) samples — the correct actual-batch
-    # and val-loss denominator under padded/multi-host global batches.
-    # Packed rows hold several videos: count segments, not rows.
-    if batch.seg_ids is not None:
-        n_real = jnp.sum(jnp.maximum(jnp.max(batch.seg_ids, axis=1) + 1, 0))
-    else:
-        n_real = jnp.sum(batch.durations > 0)
-    # Multi-host: batch_size is per-process (DistributedSampler semantics);
-    # dividing the GLOBAL summed loss by batch_size * process_count matches
-    # the reference's per-rank loss/batch_size with DDP gradient averaging.
-    # "batch_size" divides by the ACTUAL sample count — n_real, not the
-    # batch dimension, which pad_last keeps equal to the configured size.
     # norm_override: gradient accumulation passes the GLOBAL denominator so
     # per-chunk partial losses sum to the full-batch loss exactly.
+    n_real, norm = loss_denominator(train_cfg, batch)
     if norm_override is not None:
         norm = norm_override
-    else:
-        norm = (
-            float(train_cfg.batch_size) * jax.process_count()
-            if train_cfg.loss_norm == "config_batch_size"
-            else jnp.maximum(n_real, 1).astype(jnp.float32)
-        )
     total = cls_loss / norm
     aux = {
         "cls_loss": cls_loss,
@@ -160,17 +162,15 @@ def make_train_step(
         b = batch.visual.shape[0]
         if b % accum:
             raise ValueError(f"batch {b} not divisible by grad_accum_steps {accum}")
-        if batch.seg_ids is not None:
-            n_real = jnp.sum(jnp.maximum(jnp.max(batch.seg_ids, axis=1) + 1, 0))
-        else:
-            n_real = jnp.sum(batch.durations > 0)
-        norm = (
-            float(train_cfg.batch_size) * jax.process_count()
-            if train_cfg.loss_norm == "config_batch_size"
-            else jnp.maximum(n_real, 1).astype(jnp.float32)
-        )
+        n_real, norm = loss_denominator(train_cfg, batch)
+        # STRIDED chunking (chunk c = rows c, c+A, 2A+c, ...): under a
+        # data-sharded batch (contiguous blocks per shard) contiguous chunks
+        # would each land on 1/dp of the chips; strided chunks stay balanced
+        # across every data shard with purely local slicing. The loss is
+        # partition-invariant (global denominator), so values are identical.
         chunked = type(batch)(*[
-            None if x is None else x.reshape(accum, b // accum, *x.shape[1:])
+            None if x is None
+            else x.reshape(b // accum, accum, *x.shape[1:]).swapaxes(0, 1)
             for x in batch
         ])
 
@@ -217,28 +217,10 @@ def make_train_step(
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         if zero1_mesh is not None:
-            from jax.sharding import NamedSharding
+            from repurpose_tpu.parallel.sharding import apply_zero1_constraints
 
-            from repurpose_tpu.parallel.sharding import (
-                param_sharding_rules,
-                zero1_opt_specs,
-            )
-
-            # Pin the ZeRO-1 layout: moments data-sharded, params back to
-            # their TP/replicated layout (the constraint makes XLA insert
-            # the all-gather that closes the sharded update).
-            opt_state = jax.tree.map(
-                lambda v, s: jax.lax.with_sharding_constraint(
-                    v, NamedSharding(zero1_mesh, s)
-                ),
-                opt_state,
-                zero1_opt_specs(opt_state, zero1_mesh),
-            )
-            params = jax.tree_util.tree_map_with_path(
-                lambda path, p: jax.lax.with_sharding_constraint(
-                    p, NamedSharding(zero1_mesh, param_sharding_rules(path, p))
-                ),
-                params,
+            opt_state, params = apply_zero1_constraints(
+                opt_state, params, zero1_mesh
             )
         metrics = dict(aux)
         metrics["grad_norm"] = optax.global_norm(grads)

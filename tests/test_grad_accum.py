@@ -152,6 +152,37 @@ def test_dropout_on_trains():
     assert float(m["grad_norm"]) > 0
 
 
+def test_accum_on_dp_mesh():
+    """Accumulation under data parallelism: chunks are STRIDED (rows c, c+A,
+    ...) so every chunk stays balanced across the data shards; values match
+    the unsplit dp step (the loss is partition-invariant)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from repurpose_tpu.config import MeshConfig
+    from repurpose_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(MeshConfig(data=4))
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    tca = dataclasses.replace(tc, grad_accum_steps=2)
+    batch = _batch(tc)
+    sh = NamedSharding(mesh, P("data"))
+    dev = type(batch)(*[
+        None if x is None else jax.device_put(np.asarray(x), sh if getattr(x, "ndim", 0) >= 1 else None)
+        for x in batch
+    ])
+    state0, tx, sched = create_train_state(
+        CFG, tc, steps_per_epoch=1, rng=jax.random.key(1)
+    )
+    plain = make_train_step(CFG, tc, tx, sched, donate=False)
+    accum = make_train_step(CFG, tca, tx, sched, donate=False)
+    _, m_a = plain(state0, dev, jax.random.key(7))
+    _, m_b = accum(state0, dev, jax.random.key(7))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4
+    )
+
+
 def test_config_validation():
     with pytest.raises(ValueError, match="grad_accum_steps"):
         TrainConfig(batch_size=6, grad_accum_steps=4)
