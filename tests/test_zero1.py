@@ -135,6 +135,38 @@ def test_trainer_zero1_fit(tmp_path):
     ), [(v.shape, v.sharding) for v in mus]
 
 
+def test_zero1_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a ZeRO-sharded state: restore targets the live
+    (sharded) abstract state, so moments land back on their data shards."""
+    from repurpose_tpu.train.checkpoint import Checkpointer
+
+    mesh = create_mesh(MeshConfig(data=2))
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    batch = _batch(tc)
+    state0, tx, sched = create_train_state(
+        CFG, tc, steps_per_epoch=2, rng=jax.random.key(1)
+    )
+    state = dataclasses.replace(
+        state0,
+        opt_state=jax.device_put(
+            state0.opt_state, zero1_opt_shardings(state0.opt_state, mesh)
+        ),
+    )
+    step = make_train_step(CFG, tc, tx, sched, donate=False, zero1_mesh=mesh)
+    state, _ = step(state, batch, jax.random.key(7))
+    ckpt = Checkpointer(str(tmp_path / "ck"))
+    ckpt.save(int(state.step), state, {"epoch": 0})
+    restored, _ = ckpt.restore(state)
+    ckpt.close()
+    for a, b in zip(jax.tree.leaves(state.opt_state), jax.tree.leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.sharding == b.sharding  # sharded moments restore sharded
+    # training continues from the restored sharded state
+    cont, m = step(restored, batch, jax.random.key(7))
+    assert np.isfinite(float(m["loss"]))
+    assert int(cont.step) == 2
+
+
 def test_zero1_1f1b_pipeline():
     """ZeRO-1 composes with the 1F1B pipeline step (dp x pp mesh): same
     trajectory as the plain step at dropout 0."""
