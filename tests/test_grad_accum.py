@@ -210,3 +210,22 @@ def test_activation_memory_drops():
             pytest.skip("backend provides no compiled memory analysis")
         temps[name] = ma.temp_size_in_bytes
     assert temps["accum"] < 0.6 * temps["plain"], temps
+
+
+def test_train_step_donation_aliases_full_state():
+    """Donated-buffer audit (ROADMAP perf lever, closed): the compiled train
+    step must alias the ENTIRE TrainState in-place — params, both Adam
+    moments, counters — so per-step HBM churn is grads+activations only."""
+    tc = TrainConfig(batch_size=8, buckets=(32,), epochs=1, lr=1e-3)
+    batch = _batch(tc)
+    state0, tx, sched = create_train_state(
+        CFG, tc, steps_per_epoch=1, rng=jax.random.key(1)
+    )
+    step = make_train_step(CFG, tc, tx, sched, donate=True)
+    ma = step.lower(state0, batch, jax.random.key(7)).compile().memory_analysis()
+    if ma is None:  # pragma: no cover
+        pytest.skip("backend provides no compiled memory analysis")
+    state_bytes = sum(np.asarray(x).nbytes for x in jax.tree.leaves(state0))
+    assert ma.alias_size_in_bytes >= state_bytes, (
+        ma.alias_size_in_bytes, state_bytes
+    )
