@@ -88,6 +88,30 @@ def test_microbatch_count_sweep(mesh):
         )
 
 
+def test_deep_pipe_odd_microbatches():
+    """Schedule-math stress: 8 stages (1 layer each, the deepest the virtual
+    mesh allows) x 3 microbatches — odd M, M < S, ring buffer W=15 — still
+    matches the plain step."""
+    cfg = dataclasses.replace(CFG, self_num_layers=8)
+    mesh8 = create_mesh(MeshConfig(data=1, model=1, seq=1, pipe=8))
+    tc = TrainConfig(batch_size=6, buckets=(32,), epochs=1, lr=1e-3)
+    ds = SyntheticDataset([32 - i for i in range(6)], cfg, seed=0)
+    batch = collate([ds[i] for i in range(6)], tc.buckets, 6)
+    state0, tx, sched = create_train_state(
+        cfg, tc, steps_per_epoch=1, rng=jax.random.key(1)
+    )
+    plain = make_train_step(cfg, tc, tx, sched, donate=False)
+    f1b = make_1f1b_train_step(
+        cfg, tc, tx, sched, mesh=mesh8, n_microbatches=3, donate=False
+    )
+    _, m_a = plain(state0, batch, jax.random.key(7))
+    _, m_b = f1b(state0, batch, jax.random.key(7))
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m_a["grad_norm"]), float(m_b["grad_norm"]), rtol=1e-4
+    )
+
+
 def test_packed_batch_matches_plain_step(mesh):
     """seg_ids/positions (sequence packing) ride the 1F1B schedule: loss and
     grad norm match the plain step on the identical packed batch."""
