@@ -3,7 +3,12 @@ import jax.numpy as jnp
 
 from repurpose_tpu.config import ModelConfig
 from repurpose_tpu.models.mmct import MMCT  # noqa: F401
-from repurpose_tpu.models.torch_convert import convert_reference_state_dict  # noqa: F401
+from repurpose_tpu.models.torch_convert import (  # noqa: F401
+    convert_reference_state_dict,
+    export_reference_state_dict,
+    load_reference_checkpoint,
+    save_reference_checkpoint,
+)
 
 
 def build_model(cfg: ModelConfig, mesh=None):

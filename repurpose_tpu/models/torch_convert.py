@@ -1,4 +1,4 @@
-"""Convert a reference PyTorch MMCTransformer checkpoint to MMCT params.
+"""Checkpoint interop with the reference, BOTH directions.
 
 Key mapping (reference module names from models/MMCTransformer.py:25-96; torch
 ``nn.Linear`` stores [out, in] so kernels are transposed):
@@ -97,4 +97,69 @@ def load_reference_checkpoint(path: str, cfg: ModelConfig) -> dict:
     sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
     return convert_reference_state_dict(
         {k: v.detach().cpu().numpy() for k, v in sd.items()}, cfg
+    )
+
+
+def _lin_out(sd: dict, name: str, p: Mapping) -> None:
+    sd[f"{name}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
+    sd[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def _ln_out(sd: dict, name: str, p: Mapping) -> None:
+    sd[f"{name}.weight"] = np.asarray(p["scale"])
+    sd[f"{name}.bias"] = np.asarray(p["bias"])
+
+
+def export_reference_state_dict(params: Mapping, cfg: ModelConfig) -> dict:
+    """Inverse of ``convert_reference_state_dict``: MMCT params -> a numpy
+    state dict in the reference's module names (models/MMCTransformer.py:
+    25-96), so a model TRAINED HERE deploys through the reference's own
+    torch inference stack. Exact round-trip:
+    convert(export(p)) == p and export(convert(sd)) == sd
+    (tests/test_torch_convert.py)."""
+    sd: dict = {}
+    _lin_out(sd, "input_projection", params["input_projection"])
+    _ln_out(sd, "input_norm", params["input_norm"])
+    _ln_out(sd, "encoder_norm", params["encoder_norm"])
+    _lin_out(sd, "feature_map.0", params["feature_map"])
+    _ln_out(sd, "feature_map.1", params["feature_norm"])
+    for i in range(cfg.self_num_layers):
+        p = f"multimodal_encoder.layers.{i}"
+        layer = params["encoder"][f"layer_{i}"]
+        sd[f"{p}.self_attn.in_proj_weight"] = np.ascontiguousarray(
+            np.asarray(layer["attn"]["qkv"]["kernel"]).T
+        )
+        sd[f"{p}.self_attn.in_proj_bias"] = np.asarray(layer["attn"]["qkv"]["bias"])
+        _lin_out(sd, f"{p}.self_attn.out_proj", layer["attn"]["out"])
+        _lin_out(sd, f"{p}.linear1", layer["linear1"])
+        _lin_out(sd, f"{p}.linear2", layer["linear2"])
+        _ln_out(sd, f"{p}.norm1", layer["norm1"])
+        _ln_out(sd, f"{p}.norm2", layer["norm2"])
+    for head in ("cls_head", "reg_head"):
+        _ln_out(sd, f"{head}.0", params[head]["norm"])
+        _lin_out(sd, f"{head}.1", params[head]["dense_0"])
+        _lin_out(sd, f"{head}.4", params[head]["dense_1"])
+        _lin_out(sd, f"{head}.7", params[head]["out"])
+    return sd
+
+
+def save_reference_checkpoint(
+    path: str, params: Mapping, cfg: ModelConfig,
+    epoch: int = 0, loss: float = 0.0,
+) -> None:
+    """Write a ``.pth`` the reference's inference.py:33-34 loads directly
+    (main.py:513-531 schema; the optimizer slot is omitted — torch's
+    ``load_state_dict(ckpt['model'])`` is all the reference eval reads)."""
+    import torch  # local import: torch is optional at runtime
+
+    sd = export_reference_state_dict(params, cfg)
+    torch.save(
+        {
+            # np.array copy: JAX buffers are non-writable and torch warns on
+            # zero-copy views of them
+            "model": {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+            "epoch": epoch,
+            "loss": loss,
+        },
+        path,
     )

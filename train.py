@@ -57,6 +57,10 @@ def main() -> None:
                         "from the latest checkpoint up to N times")
     p.add_argument("--async-ckpt", action="store_true",
                    help="overlap Orbax checkpoint writes with training")
+    p.add_argument("--export_torch", default=None, metavar="PATH",
+                   help="after training, write the final weights as a "
+                        "reference-schema .pth (loads directly into the "
+                        "reference's torch inference stack)")
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args()
 
@@ -121,6 +125,19 @@ def main() -> None:
             summary = trainer.fit(epochs=args.epochs)
     else:
         summary = trainer.fit(epochs=args.epochs)
+    if args.export_torch:
+        import jax
+
+        from repurpose_tpu.models import save_reference_checkpoint
+
+        save_reference_checkpoint(
+            args.export_torch,
+            jax.device_get(trainer.state.params),
+            cfg.model,
+            epoch=int(summary.get("best_epoch", -1)),
+            loss=float(summary.get("epoch/loss", 0.0) or 0.0),
+        )
+        print("exported reference-schema checkpoint:", args.export_torch)
     trainer.close()
     print("training done:", summary)
 
