@@ -611,3 +611,47 @@ def test_packed_t4096_forward_and_grad(rng):
         atol=2e-5, rtol=1e-4,
     )
     _assert_packed_grads_match(q, k, v, mask, seg, q_block=None, atol=2e-4)
+
+
+def _pathological_packed_inputs(rng, t=256, h=4, dh=32):
+    """Three adversarial rows for the packed kernels: row 0 = eight tiny
+    videos at odd offsets (every video crosses a 64-block boundary or sits
+    inside one), row 1 = ONE video spanning the whole row (bounds degrade to
+    the dense sweep), row 2 = fully padded (kernel must skip it entirely)."""
+    b = 3
+    q = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, t, h, dh)), jnp.float32)
+    seg = np.full((b, t), -1, np.int32)
+    edges = [0, 27, 61, 64, 65, 130, 190, 191, 250]  # odd spans incl. len-1
+    for vid, (lo, hi) in enumerate(zip(edges[:-1], edges[1:])):
+        seg[0, lo:hi] = vid
+    seg[1, :] = 0
+    mask = seg >= 0
+    return q, k, v, jnp.asarray(mask), jnp.asarray(seg)
+
+
+@pytest.mark.parametrize("window", ["dense", "stream", "hbm"])
+def test_packed_pathological_layouts(rng, monkeypatch, window):
+    """Adversarial packings (tiny videos at odd offsets incl. length-1, a
+    full-row video, a fully-padded row) through each packed kernel window —
+    forward and all grads must match the XLA packed path."""
+    import repurpose_tpu.ops.flash_attention as fa
+
+    if window != "dense":
+        monkeypatch.setattr(fa, "STREAM_MAX_T", 128 if window == "stream" else 64)
+        monkeypatch.setattr(fa, "PACKED_STREAM_T", 128)
+        monkeypatch.setattr(fa, "STREAM_K_BLOCK", 64)
+        monkeypatch.setattr(fa, "PACKED_K_BLOCK", 64)
+        monkeypatch.setattr(fa, "DEFAULT_K_BLOCK", 64)
+        monkeypatch.setattr(fa, "DEFAULT_Q_BLOCK", 64)
+    if window == "hbm":
+        monkeypatch.setattr(fa, "HBM_STREAM_T", 128)
+    q, k, v, mask, seg = _pathological_packed_inputs(rng)
+    want = jax.jit(lambda *a: mha_xla(*a, seg_ids=seg))(q, k, v, mask)
+    got = jax.jit(lambda *a: mha_pallas(*a, q_block=64, seg_ids=seg))(q, k, v, mask)
+    valid = np.asarray(mask)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], np.asarray(want)[valid], atol=2e-5, rtol=1e-4
+    )
+    _assert_packed_grads_match(q, k, v, mask, seg)
