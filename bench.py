@@ -449,6 +449,57 @@ class _Worker:
             file=sys.stderr,
         )
 
+    def sec_train_accum(self, results: dict) -> None:
+        """bf16 vs fp32 gradient ACCUMULATORS (TrainConfig.grad_accum_dtype,
+        round-4 lever): same step at grad_accum_steps=2, measured
+        back-to-back in one process — the bf16 row halves the accumulator
+        HBM traffic; the delta is the measured value of the lever."""
+        import dataclasses
+
+        from repurpose_tpu.config import TrainConfig
+        from repurpose_tpu.data.batching import Batch
+        from repurpose_tpu.train.state import create_train_state
+        from repurpose_tpu.train.step import make_train_step
+
+        jax, np, rng = self.jax, self.np, self.rng
+        b, t = TRAIN_BATCH, HEADLINE_BUCKET
+        v, a, x, m, durs = self.make_args(b, t)
+        labels = jax.device_put(
+            (rng.uniform(size=(b, t)) < 0.3).astype(np.float32)
+        )
+        segs = jax.device_put(np.abs(rng.normal(0, 10, (b, t, 2))).astype(np.float32))
+        batch = Batch(v, a, x, m, labels, segs, durs)
+        out = {}
+        for dtype in ("float32", "bfloat16"):
+            tc = TrainConfig(
+                batch_size=b, buckets=(t,), grad_accum_steps=2,
+                grad_accum_dtype=dtype,
+            )
+            state, tx, sched = create_train_state(
+                self.cfg, tc, 100, jax.random.key(1)
+            )
+            step = make_train_step(self.cfg, tc, tx, sched, donate=False)
+            step_key = jax.random.key(2, impl="rbg")
+
+            @jax.jit
+            def train_chain(state, batch):
+                def body(st, _):
+                    st, metrics = step(st, batch, step_key)
+                    return st, metrics["loss"]
+                _, losses = jax.lax.scan(
+                    body, state, None, length=N_TRAIN_CHAIN
+                )
+                return losses[-1]
+
+            step_s = _time(train_chain, state, batch) / N_TRAIN_CHAIN
+            out[dtype] = round(step_s * 1e3, 2)
+            print(
+                f"train accum(2, {dtype}) @ {t}: {step_s*1e3:.1f} ms/step",
+                file=sys.stderr,
+            )
+        out["bf16_speedup"] = round(out["float32"] / out["bfloat16"], 3)
+        results["train_accum"] = out
+
     def sec_train_packed(self, results: dict) -> None:
         """Packed training (TrainConfig.pack_sequences,
         loss_norm="batch_size" — normalizes by the true video count n_real,
@@ -524,6 +575,7 @@ class _Worker:
             (f"train_{HEADLINE_BUCKET}", lambda r: self.sec_train(
                 r, TRAIN_BATCH, HEADLINE_BUCKET, False, N_TRAIN_CHAIN)),
             ("train_packed", self.sec_train_packed),
+            ("train_accum", self.sec_train_accum),
         ]
         for t, bsz in BUCKETS:
             if t != HEADLINE_BUCKET:
