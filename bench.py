@@ -395,7 +395,9 @@ class _Worker:
             f"{full_s*1e3:.2f} ms — measurement still noise-dominated"
         )
 
-    def _measure_train(self, b: int, t: int, remat: bool, n_chain: int) -> dict:
+    def _measure_train(self, b: int, t: int, remat: bool, n_chain: int,
+                       grad_accum_steps: int = 1,
+                       grad_accum_dtype: str = "float32") -> dict:
         import dataclasses
 
         from repurpose_tpu.config import TrainConfig
@@ -405,7 +407,9 @@ class _Worker:
 
         jax, np, rng = self.jax, self.np, self.rng
         mcfg = dataclasses.replace(self.cfg, remat=remat)
-        tc = TrainConfig(batch_size=b, buckets=(t,))
+        tc = TrainConfig(batch_size=b, buckets=(t,),
+                         grad_accum_steps=grad_accum_steps,
+                         grad_accum_dtype=grad_accum_dtype)
         state, tx, sched = create_train_state(mcfg, tc, 100, jax.random.key(1))
         step = make_train_step(mcfg, tc, tx, sched, donate=False)
         v, a, x, m, durs = self.make_args(b, t)
@@ -454,47 +458,16 @@ class _Worker:
         round-4 lever): same step at grad_accum_steps=2, measured
         back-to-back in one process — the bf16 row halves the accumulator
         HBM traffic; the delta is the measured value of the lever."""
-        import dataclasses
-
-        from repurpose_tpu.config import TrainConfig
-        from repurpose_tpu.data.batching import Batch
-        from repurpose_tpu.train.state import create_train_state
-        from repurpose_tpu.train.step import make_train_step
-
-        jax, np, rng = self.jax, self.np, self.rng
         b, t = TRAIN_BATCH, HEADLINE_BUCKET
-        v, a, x, m, durs = self.make_args(b, t)
-        labels = jax.device_put(
-            (rng.uniform(size=(b, t)) < 0.3).astype(np.float32)
-        )
-        segs = jax.device_put(np.abs(rng.normal(0, 10, (b, t, 2))).astype(np.float32))
-        batch = Batch(v, a, x, m, labels, segs, durs)
         out = {}
         for dtype in ("float32", "bfloat16"):
-            tc = TrainConfig(
-                batch_size=b, buckets=(t,), grad_accum_steps=2,
-                grad_accum_dtype=dtype,
+            r = self._measure_train(
+                b, t, remat=False, n_chain=N_TRAIN_CHAIN,
+                grad_accum_steps=2, grad_accum_dtype=dtype,
             )
-            state, tx, sched = create_train_state(
-                self.cfg, tc, 100, jax.random.key(1)
-            )
-            step = make_train_step(self.cfg, tc, tx, sched, donate=False)
-            step_key = jax.random.key(2, impl="rbg")
-
-            @jax.jit
-            def train_chain(state, batch):
-                def body(st, _):
-                    st, metrics = step(st, batch, step_key)
-                    return st, metrics["loss"]
-                _, losses = jax.lax.scan(
-                    body, state, None, length=N_TRAIN_CHAIN
-                )
-                return losses[-1]
-
-            step_s = _time(train_chain, state, batch) / N_TRAIN_CHAIN
-            out[dtype] = round(step_s * 1e3, 2)
+            out[dtype] = r["step_ms"]
             print(
-                f"train accum(2, {dtype}) @ {t}: {step_s*1e3:.1f} ms/step",
+                f"train accum(2, {dtype}) @ {t}: {r['step_ms']:.1f} ms/step",
                 file=sys.stderr,
             )
         out["bf16_speedup"] = round(out["float32"] / out["bfloat16"], 3)

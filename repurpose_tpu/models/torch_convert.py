@@ -100,6 +100,43 @@ def load_reference_checkpoint(path: str, cfg: ModelConfig) -> dict:
     )
 
 
+def reference_pe_buffer(d_model: int, max_len: int = 5000) -> np.ndarray:
+    """The reference's persistent ``positional_encoding.pe`` buffer
+    (models/MMCTransformer.py:11-18), synthesized host-side: [1, max_len,
+    d_model] float32 sinusoidal table. It is deterministic (no trained
+    state), but torch's ``load_state_dict`` is strict by default
+    (reference inference.py:34), so the exported dict must carry it."""
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32)
+        * np.float32(-np.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe[None]
+
+
+def _reference_pe_torch(d_model: int, max_len: int = 5000) -> "object":
+    """Bit-exact variant of :func:`reference_pe_buffer` using torch's own
+    float32 exp/sin/cos (their CPU libm rounds differently from numpy's at
+    large arguments — up to 1.2e-4 near position 5000). Used by
+    :func:`save_reference_checkpoint`, where torch is present anyway, so the
+    written buffer is indistinguishable from one the reference computed."""
+    import math
+
+    import torch
+
+    half = torch.exp(
+        torch.arange(0, d_model, 2).float() * (-math.log(10000.0) / d_model)
+    )
+    angles = torch.arange(max_len, dtype=torch.float).unsqueeze(1) * half
+    pe = torch.zeros(max_len, d_model)
+    pe[:, 0::2] = torch.sin(angles)
+    pe[:, 1::2] = torch.cos(angles)
+    return pe.unsqueeze(0)
+
+
 def _lin_out(sd: dict, name: str, p: Mapping) -> None:
     sd[f"{name}.weight"] = np.ascontiguousarray(np.asarray(p["kernel"]).T)
     sd[f"{name}.bias"] = np.asarray(p["bias"])
@@ -118,6 +155,7 @@ def export_reference_state_dict(params: Mapping, cfg: ModelConfig) -> dict:
     convert(export(p)) == p and export(convert(sd)) == sd
     (tests/test_torch_convert.py)."""
     sd: dict = {}
+    sd["positional_encoding.pe"] = reference_pe_buffer(cfg.d_model)
     _lin_out(sd, "input_projection", params["input_projection"])
     _ln_out(sd, "input_norm", params["input_norm"])
     _ln_out(sd, "encoder_norm", params["encoder_norm"])
@@ -153,13 +191,8 @@ def save_reference_checkpoint(
     import torch  # local import: torch is optional at runtime
 
     sd = export_reference_state_dict(params, cfg)
-    torch.save(
-        {
-            # np.array copy: JAX buffers are non-writable and torch warns on
-            # zero-copy views of them
-            "model": {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
-            "epoch": epoch,
-            "loss": loss,
-        },
-        path,
-    )
+    # np.array copy: JAX buffers are non-writable and torch warns on
+    # zero-copy views of them
+    model = {k: torch.from_numpy(np.array(v)) for k, v in sd.items()}
+    model["positional_encoding.pe"] = _reference_pe_torch(cfg.d_model)
+    torch.save({"model": model, "epoch": epoch, "loss": loss}, path)

@@ -618,6 +618,7 @@ class Trainer:
     def _fit_loop(self, epochs: int, preempted: dict) -> dict:
         tc = self.cfg.train
         final_eval: dict = {}
+        epoch_loss = 0.0
         # Host-side step mirror: int(self.state.step) would block on the
         # device every iteration (a tunnel round-trip per step on this box,
         # CLAUDE.md), killing async dispatch. The jitted step increments by
@@ -728,6 +729,7 @@ class Trainer:
         return {
             "best_tiou": self.best_tiou,
             "best_epoch": self.best_epoch,
+            "final_loss": epoch_loss,
             **final_eval,
         }
 
@@ -743,6 +745,7 @@ def fit_with_auto_resume(
     epochs: int | None = None,
     max_restarts: int = 3,
     resume_first: bool = False,
+    on_complete=None,
 ) -> dict:
     """Elastic supervision: run ``fit()``; on an unexpected crash, rebuild the
     Trainer via ``make_trainer()``, restore the latest checkpoint, and
@@ -764,9 +767,6 @@ def fit_with_auto_resume(
     while True:
         try:
             summary = trainer.fit(epochs=epochs)
-            summary["restarts"] = restarts
-            trainer.close()
-            return summary
         except (FloatingPointError, KeyboardInterrupt):
             trainer.close()
             raise
@@ -784,3 +784,12 @@ def fit_with_auto_resume(
                 raise
             trainer = make_trainer()
             trainer.resume()
+            continue
+        # outside the try: a failure in the caller's completion hook (e.g.
+        # train.py's --export_torch) must propagate, not trigger a pointless
+        # retraining cycle
+        summary["restarts"] = restarts
+        if on_complete is not None:
+            on_complete(trainer, summary)
+        trainer.close()
+        return summary

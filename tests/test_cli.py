@@ -134,10 +134,15 @@ def test_train_cli_synthetic_packed(tmp_path):
         f.write(TINY_YAML + "  pack_sequences: true\n  loss_norm: batch_size\n")
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     workdir = str(tmp_path / "run")
+    exported = str(tmp_path / "exported.pth")
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "train.py"),
          "--config_path", cfg_path, "--synthetic", "8", "--epochs", "1",
-         "--workdir", workdir],
+         "--workdir", workdir,
+         # --auto-resume takes the fit_with_auto_resume path; --export_torch
+         # must still fire through its on_complete hook (regression: the
+         # auto-resume branch used to return before the export block)
+         "--auto-resume", "1", "--export_torch", exported],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
     )
     assert r.returncode == 0, r.stderr[-3000:]
@@ -147,6 +152,13 @@ def test_train_cli_synthetic_packed(tmp_path):
     ]
     assert any("batch/loss" in m for m in metrics)
     assert all(np.isfinite(m["batch/loss"]) for m in metrics if "batch/loss" in m)
+    # the exported reference-schema .pth exists and carries the real final
+    # epoch loss (regression: 'loss' metadata used to be unconditionally 0.0)
+    assert "exported reference-schema checkpoint" in r.stdout
+    torch = pytest.importorskip("torch")
+    ckpt = torch.load(exported, map_location="cpu", weights_only=False)
+    assert "positional_encoding.pe" in ckpt["model"]
+    assert ckpt["loss"] > 0.0 and np.isfinite(ckpt["loss"])
 
 
 @pytest.mark.slow

@@ -103,10 +103,36 @@ def main() -> None:
         t.debug_viz = args.debug_viz
         return t
 
+    def export_torch(trainer, summary):
+        """--export_torch: write the final weights as a reference-schema
+        .pth (loads strictly into the reference's inference.py:34).
+        Multi-host safe: _host_local_params' all-gather is a collective, so
+        EVERY process enters it; only process 0 writes the file."""
+        if not args.export_torch:
+            return
+        if summary.get("preempted"):
+            logging.warning("preempted before completion; skipping --export_torch")
+            return
+        import jax
+
+        from repurpose_tpu.models import save_reference_checkpoint
+
+        params = trainer._host_local_params()
+        if jax.process_index() == 0:
+            save_reference_checkpoint(
+                args.export_torch,
+                jax.device_get(params),
+                cfg.model,
+                epoch=int(summary.get("best_epoch", -1)),
+                loss=float(summary.get("final_loss", 0.0) or 0.0),
+            )
+            print("exported reference-schema checkpoint:", args.export_torch)
+
     if args.auto_resume:
         summary = fit_with_auto_resume(
             make_trainer, epochs=args.epochs,
             max_restarts=args.auto_resume, resume_first=args.resume,
+            on_complete=export_torch,
         )
         print("training done:", summary)
         return
@@ -125,19 +151,7 @@ def main() -> None:
             summary = trainer.fit(epochs=args.epochs)
     else:
         summary = trainer.fit(epochs=args.epochs)
-    if args.export_torch:
-        import jax
-
-        from repurpose_tpu.models import save_reference_checkpoint
-
-        save_reference_checkpoint(
-            args.export_torch,
-            jax.device_get(trainer.state.params),
-            cfg.model,
-            epoch=int(summary.get("best_epoch", -1)),
-            loss=float(summary.get("epoch/loss", 0.0) or 0.0),
-        )
-        print("exported reference-schema checkpoint:", args.export_torch)
+    export_torch(trainer, summary)
     trainer.close()
     print("training done:", summary)
 
