@@ -56,6 +56,12 @@ def main() -> None:
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--export", default=None,
                    help="write a ranked clips JSON manifest to this path")
+    p.add_argument("--export_torch", default=None, metavar="PATH",
+                   help="convert the loaded checkpoint (--resume Orbax dir "
+                        "or --torch_ckpt .pth) to a reference-schema .pth "
+                        "and exit without scoring — deploy an already-"
+                        "trained model through the reference's torch stack "
+                        "(its inference.py:33-34 load path)")
     p.add_argument("--pack", action="store_true",
                    help="sequence-pack each bucket's videos (several per row, "
                         "block-diagonal attention) — same results, less padding "
@@ -69,6 +75,16 @@ def main() -> None:
     honor_jax_platforms_env()
 
     cfg = load_config(args.config_path)
+    if args.export_torch:
+        # converter mode: no dataset, no scoring — load, write, exit
+        from repurpose_tpu.models.torch_convert import save_reference_checkpoint
+
+        save_reference_checkpoint(
+            args.export_torch, jax.device_get(load_params(args, cfg)), cfg.model
+        )
+        print("exported reference-schema checkpoint:", args.export_torch)
+        return
+
     if args.synthetic:
         from repurpose_tpu.data.synthetic import SyntheticDataset
 

@@ -67,13 +67,24 @@ class Checkpointer:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.directory}")
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(abstract_state),
-                meta=ocp.args.JsonRestore(),
-            ),
-        )
+        try:
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract_state),
+                    meta=ocp.args.JsonRestore(),
+                ),
+            )
+        except KeyError:
+            # save(metadata=None) writes no "meta" item, and orbax's
+            # composite restore raises rather than skipping absent items —
+            # a checkpoint this class saved must always restore
+            restored = self._mgr.restore(
+                step,
+                args=ocp.args.Composite(
+                    state=ocp.args.StandardRestore(abstract_state)
+                ),
+            )
         meta: Any = restored.get("meta") or {}
         return restored["state"], dict(meta)
 

@@ -174,3 +174,54 @@ def test_inference_cli_pack_matches_unpacked(tmp_path):
         np.testing.assert_allclose(a["score"], b["score"], atol=1e-5)
         np.testing.assert_allclose(a["start"], b["start"], atol=1e-4)
         np.testing.assert_allclose(a["end"], b["end"], atol=1e-4)
+
+
+@pytest.mark.slow
+def test_inference_cli_export_torch_converter(tmp_path):
+    """inference.py --export_torch converts an existing Orbax checkpoint to
+    a reference-schema .pth WITHOUT scoring (deploying an already-trained
+    model through the reference's torch stack, its inference.py:33-34 load
+    path); converting the .pth back must reproduce the saved params."""
+    torch = pytest.importorskip("torch")
+    cfg_path = str(tmp_path / "tiny.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_YAML)
+
+    # save a tiny Orbax checkpoint in-process
+    import jax
+
+    from repurpose_tpu.config import load_config
+    from repurpose_tpu.train.checkpoint import Checkpointer
+    from repurpose_tpu.train.state import create_train_state
+
+    cfg = load_config(cfg_path)
+    state, _, _ = create_train_state(cfg.model, cfg.train, 10, jax.random.key(3))
+    ckpt_dir = str(tmp_path / "ckpt")
+    ck = Checkpointer(ckpt_dir)
+    ck.save(0, state)
+    ck.close()
+
+    out = str(tmp_path / "converted.pth")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "inference.py"),
+         "--config_path", cfg_path, "--resume", ckpt_dir,
+         "--export_torch", out],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "exported reference-schema checkpoint" in r.stdout
+    assert "precision@tIoU" not in r.stdout  # converter mode: no scoring ran
+
+    from repurpose_tpu.models.torch_convert import convert_reference_state_dict
+
+    sd = torch.load(out, map_location="cpu", weights_only=False)["model"]
+    assert "positional_encoding.pe" in sd
+    back = convert_reference_state_dict(
+        {k: v.numpy() for k, v in sd.items()}, cfg.model
+    )
+    flat_a = jax.tree_util.tree_flatten_with_path(jax.device_get(state.params))[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(path))
