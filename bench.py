@@ -177,6 +177,19 @@ def _time(fn, *args, reps: int = 3) -> float:
 # state file so a tunnel drop mid-run loses only the in-flight section.
 
 
+def section_keys() -> list:
+    """Every measurement section's state key, in the worker's priority order
+    (headline first). Single source of truth: `_Worker.sections()` asserts
+    its keys match, and `_emit` sizes its completeness check from it —
+    adding a section cannot silently skew the `partial` flag again."""
+    keys = ["packed", f"bucket_{HEADLINE_BUCKET}", "stage_delta",
+            f"train_{HEADLINE_BUCKET}", "train_packed", "train_accum"]
+    keys += [f"bucket_{t}" for t, _ in BUCKETS if t != HEADLINE_BUCKET]
+    keys += [f"train_{t}" for t in TRAIN_BUCKETS if t != HEADLINE_BUCKET]
+    keys += [f"train_{t}" for _, t, _ in LONGT_TRAIN]
+    return keys
+
+
 def _atomic_write(path: str, obj) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
@@ -566,6 +579,7 @@ class _Worker:
                 lambda r, b=b, t=t, rm=remat: self.sec_train(
                     r, b, t, rm, N_LONGT_CHAIN),
             ))
+        assert [k for k, _ in secs] == section_keys()
         return secs
 
 
@@ -689,7 +703,7 @@ def _emit(state: dict | None, note: str | None = None) -> None:
         results = dict(results)
         results["unpacked_videos_per_s"] = b2048["videos_per_s"]
     done, skip = (state or {}).get("done", []), (state or {}).get("skip", {})
-    expected = 5 + len(BUCKETS) - 1 + 1 + len(LONGT_TRAIN)
+    expected = len(section_keys())
     if len(done) < expected or skip:
         line["partial"] = True
         line["sections_done"] = len(done)

@@ -42,12 +42,7 @@ def _full_state():
 
 
 def _section_keys():
-    keys = [("packed", None), ("bucket_2048", None), ("stage_delta", None),
-            ("train_2048", None), ("train_packed", None)]
-    keys += [(f"bucket_{t}", None) for t, _ in bench.BUCKETS if t != 2048]
-    keys += [("train_1024", None)]
-    keys += [(f"train_{t}", None) for _, t, _ in bench.LONGT_TRAIN]
-    return keys
+    return [(k, None) for k in bench.section_keys()]
 
 
 def test_emit_full_run_packed_headline(capsys):
@@ -108,11 +103,20 @@ def test_emit_divides_by_chip_count(capsys):
     assert line["value"] == round(529.0 / 2, 2)
 
 
-def test_sections_expected_matches_worker_section_list():
-    # the parent's hardcoded expectation must track the worker's real list;
-    # _Worker needs a device so we reproduce the key list statically
-    expected = 5 + (len(bench.BUCKETS) - 1) + 1 + len(bench.LONGT_TRAIN)
-    assert expected == len(_section_keys())
+def test_section_keys_cover_every_worker_section():
+    """bench.section_keys() is the single source of truth (the worker's
+    sections() asserts against it; _emit sizes `expected` from it). Pin the
+    fixed-section set so a new section must be added there, and there only —
+    round 4's train_accum slipped past the old hand-counted `expected`."""
+    keys = bench.section_keys()
+    assert len(keys) == len(set(keys)), "state keys must be unique"
+    for fixed in ("packed", "stage_delta", "train_packed", "train_accum",
+                  f"bucket_{bench.HEADLINE_BUCKET}",
+                  f"train_{bench.HEADLINE_BUCKET}"):
+        assert fixed in keys
+    assert len(keys) == (6 + (len(bench.BUCKETS) - 1)
+                         + (len(bench.TRAIN_BUCKETS) - 1)
+                         + len(bench.LONGT_TRAIN))
 
 
 def test_probe_backend_gives_up_at_deadline(monkeypatch):
