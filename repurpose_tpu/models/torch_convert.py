@@ -151,9 +151,12 @@ def export_reference_state_dict(params: Mapping, cfg: ModelConfig) -> dict:
     """Inverse of ``convert_reference_state_dict``: MMCT params -> a numpy
     state dict in the reference's module names (models/MMCTransformer.py:
     25-96), so a model TRAINED HERE deploys through the reference's own
-    torch inference stack. Exact round-trip:
-    convert(export(p)) == p and export(convert(sd)) == sd
-    (tests/test_torch_convert.py)."""
+    torch inference stack. Exact round-trip on the trained tensors:
+    convert(export(p)) == p, and export(convert(sd)) == sd on every key
+    except ``positional_encoding.pe`` (convert ignores that deterministic
+    buffer and export regenerates it — numpy's libm differs from torch's by
+    up to ~1.2e-4 near position 5000; ``save_reference_checkpoint`` ships
+    the torch-bit-exact variant) — tests/test_torch_convert.py."""
     sd: dict = {}
     sd["positional_encoding.pe"] = reference_pe_buffer(cfg.d_model)
     _lin_out(sd, "input_projection", params["input_projection"])

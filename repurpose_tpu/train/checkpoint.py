@@ -67,24 +67,18 @@ class Checkpointer:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.directory}")
+        # save(metadata=None) writes no "meta" item, and orbax's composite
+        # restore RAISES on absent items rather than skipping them — probe
+        # the step's item set up front (a broad except KeyError here would
+        # mask real restore failures and re-run a multi-GB restore to boot)
+        args = {"state": ocp.args.StandardRestore(abstract_state)}
         try:
-            restored = self._mgr.restore(
-                step,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(abstract_state),
-                    meta=ocp.args.JsonRestore(),
-                ),
-            )
-        except KeyError:
-            # save(metadata=None) writes no "meta" item, and orbax's
-            # composite restore raises rather than skipping absent items —
-            # a checkpoint this class saved must always restore
-            restored = self._mgr.restore(
-                step,
-                args=ocp.args.Composite(
-                    state=ocp.args.StandardRestore(abstract_state)
-                ),
-            )
+            has_meta = "meta" in (self._mgr.item_metadata(step) or {})
+        except Exception:  # metadata probe must never block a restore
+            has_meta = True
+        if has_meta:
+            args["meta"] = ocp.args.JsonRestore()
+        restored = self._mgr.restore(step, args=ocp.args.Composite(**args))
         meta: Any = restored.get("meta") or {}
         return restored["state"], dict(meta)
 

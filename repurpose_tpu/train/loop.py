@@ -60,6 +60,7 @@ class Trainer:
         use_wandb: bool = False,
         self_check: bool = False,
         async_checkpoints: bool = False,
+        init_params=None,
     ):
         self.cfg = cfg
         self.workdir = workdir
@@ -104,6 +105,17 @@ class Trainer:
         state, tx, schedule = create_train_state(
             cfg.model, tc, steps_per_epoch, rng, mesh=model_mesh
         )
+        if init_params is not None:
+            # warm start (e.g. train.py --torch_ckpt: a converted reference
+            # .pth): same tree/shapes as the random init, so the freshly
+            # zero-initialized Adam moments stay valid; optimizer/schedule
+            # start from step 0 like the reference's own fine-tune path
+            state = state.replace(
+                params=jax.tree.map(
+                    lambda ref, p: jnp.asarray(p, dtype=ref.dtype),
+                    state.params, init_params,
+                )
+            )
         self.state = self._place(state)
         # Pipe axis > 1: swap the forward for the pipelined one. GPipe
         # (parallel/pipeline.py) rides make_train_step unchanged; the 1F1B
@@ -787,9 +799,11 @@ def fit_with_auto_resume(
             continue
         # outside the try: a failure in the caller's completion hook (e.g.
         # train.py's --export_torch) must propagate, not trigger a pointless
-        # retraining cycle
+        # retraining cycle — but never leak the trainer's threads/loggers
         summary["restarts"] = restarts
-        if on_complete is not None:
-            on_complete(trainer, summary)
-        trainer.close()
+        try:
+            if on_complete is not None:
+                on_complete(trainer, summary)
+        finally:
+            trainer.close()
         return summary

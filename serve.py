@@ -64,7 +64,7 @@ class _Scorer(threading.Thread):
     ``score_videos`` call and distributes the results."""
 
     def __init__(self, pipe, buckets, batch_size, pack, depth,
-                 max_wait_s, max_videos):
+                 max_wait_s, max_videos, request_timeout_s=600.0):
         super().__init__(daemon=True, name="scorer")
         self.pipe = pipe
         self.buckets = tuple(buckets)
@@ -73,11 +73,12 @@ class _Scorer(threading.Thread):
         self.depth = depth
         self.max_wait_s = max_wait_s
         self.max_videos = max_videos
+        self.request_timeout_s = request_timeout_s
         self.q: queue.Queue = queue.Queue()
         self.scored_total = 0
         self._stop = False
 
-    def submit(self, videos: list, timeout: float = 600.0) -> list:
+    def submit(self, videos: list, timeout: float) -> list:
         """Called from handler threads: enqueue, block until scored."""
         slot = {"videos": videos, "ev": threading.Event(),
                 "results": None, "error": None}
@@ -198,10 +199,14 @@ def _make_handler(scorer: _Scorer, cfg, feature_root, platform, t0):
 
         def do_POST(self):
             if self.path.rstrip("/") != "/score":
+                # replying before draining the body would desync a keep-alive
+                # connection (the unread body parses as the next request)
+                self.close_connection = True
                 return self._reply(404, {"error": "unknown path"})
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 if not 0 < n <= MAX_BODY_BYTES:
+                    self.close_connection = True
                     return self._reply(413, {"error": "bad request size"})
                 req = json.loads(self.rfile.read(n))
                 raw = req["videos"] if isinstance(req, dict) else req
@@ -222,7 +227,7 @@ def _make_handler(scorer: _Scorer, cfg, feature_root, platform, t0):
             except Exception as e:
                 return self._reply(400, {"error": f"{type(e).__name__}: {e}"})
             try:
-                results = scorer.submit(videos)
+                results = scorer.submit(videos, scorer.request_timeout_s)
             except TimeoutError as e:
                 return self._reply(503, {"error": str(e)})
             except Exception as e:
@@ -248,6 +253,10 @@ def main() -> None:
                    help="how long the first queued video waits for company")
     p.add_argument("--max_videos_per_batch", type=int, default=64,
                    help="drain cap per scoring call (bounds tail latency)")
+    p.add_argument("--request_timeout_s", type=float, default=600.0,
+                   help="503 deadline per /score request; raise it (or pass "
+                        "--warmup) when cold bucket compiles go through a "
+                        "slow remote-compile path")
     p.add_argument("--feature_root", default=None,
                    help="serve by video_id from DIR/{visual,audio,text}/*.npy")
     p.add_argument("--warmup", action="store_true",
@@ -282,7 +291,8 @@ def main() -> None:
     )
     buckets = cfg.train.buckets
     scorer = _Scorer(pipe, buckets, args.batch_size, args.pack, args.depth,
-                     args.max_wait_ms / 1e3, args.max_videos_per_batch)
+                     args.max_wait_ms / 1e3, args.max_videos_per_batch,
+                     request_timeout_s=args.request_timeout_s)
 
     if args.warmup:
         for b in buckets:

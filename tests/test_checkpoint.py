@@ -54,3 +54,18 @@ def test_same_step_resave_overwrites_metadata(tmp_path):
     _, meta = ck.restore(state, 0)
     assert meta.get("best") is True
     ck.close()
+
+
+def test_restore_without_metadata_item(tmp_path):
+    """save(metadata=None) writes no "meta" item; restore must probe the
+    step's item set and skip JsonRestore instead of raising KeyError (and
+    must not blanket-retry, which would mask real restore failures)."""
+    state, _, _ = create_train_state(TINY, TrainConfig(), 10, jax.random.key(0))
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    ckpt.save(7, state)  # no metadata
+    fresh, _, _ = create_train_state(TINY, TrainConfig(), 10, jax.random.key(1))
+    restored, meta = ckpt.restore(fresh)
+    assert meta == {}
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    ckpt.close()

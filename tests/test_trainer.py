@@ -242,3 +242,50 @@ def test_best_checkpoint_survives_periodic_gc(tmp_path):
     assert meta.get("best") is True and meta["best_tiou"] == 0.5
     assert int(state.step) == 0
     trainer.close()
+
+
+def test_warm_start_from_reference_checkpoint(tmp_path):
+    """Trainer(init_params=...) (train.py --torch_ckpt): training starts from
+    the given weights — here a reference-schema export/convert round-trip —
+    with the optimizer freshly initialized, and the first steps actually
+    train from them."""
+    pytest.importorskip("torch")
+    import jax
+
+    from repurpose_tpu.models import build_model, init_model_params
+    from repurpose_tpu.models.torch_convert import (
+        load_reference_checkpoint,
+        save_reference_checkpoint,
+    )
+
+    donor = init_model_params(
+        build_model(CFG.model), CFG.model, jax.random.key(99)
+    )
+    pth = str(tmp_path / "donor.pth")
+    save_reference_checkpoint(pth, jax.device_get(donor), CFG.model)
+    warm = load_reference_checkpoint(pth, CFG.model)
+
+    train_ds = SyntheticDataset([100, 90], CFG.model, seed=4)
+    trainer = Trainer(
+        CFG, str(tmp_path / "run"), train_ds, init_params=warm
+    )
+    try:
+        for a, b in zip(
+            jax.tree.leaves(donor), jax.tree.leaves(trainer.state.params)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=0, atol=3e-4
+            )  # fp32 torch.save round-trip is exact; tol covers convert casts
+        summary = trainer.fit(epochs=1)
+        assert int(trainer.state.step) == trainer.steps_per_epoch
+        assert np.isfinite(summary["final_loss"])
+        # params moved: it trained FROM the warm start, not a fresh init
+        deltas = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(
+                jax.tree.leaves(donor), jax.tree.leaves(trainer.state.params)
+            )
+        ]
+        assert max(deltas) > 0
+    finally:
+        trainer.close()

@@ -61,8 +61,21 @@ def main() -> None:
                    help="after training, write the final weights as a "
                         "reference-schema .pth (loads directly into the "
                         "reference's torch inference stack)")
+    p.add_argument("--torch_ckpt", default=None, metavar="PATH",
+                   help="warm-start: initialize the model weights from a "
+                        "reference .pth (converted on load; fresh optimizer "
+                        "and schedule) — continue training a reference-"
+                        "trained model here")
     p.add_argument("--log-level", default="INFO")
     args = p.parse_args()
+
+    if args.export_torch or args.torch_ckpt:
+        # fail in seconds, not after the training run: both flags need torch
+        import importlib.util
+
+        if importlib.util.find_spec("torch") is None:
+            p.error("--export_torch/--torch_ckpt require torch, which is "
+                    "not installed in this environment")
 
     logging.basicConfig(level=args.log_level.upper(),
                         format="%(asctime)s %(levelname)s %(name)s: %(message)s")
@@ -94,11 +107,19 @@ def main() -> None:
     train_ds, val_ds, test_ds = build_datasets(cfg, args.synthetic)
     from repurpose_tpu.train.loop import Trainer, fit_with_auto_resume
 
+    init_params = None
+    if args.torch_ckpt:
+        from repurpose_tpu.models.torch_convert import load_reference_checkpoint
+
+        init_params = load_reference_checkpoint(args.torch_ckpt, cfg.model)
+        logging.info("warm-starting from reference checkpoint %s", args.torch_ckpt)
+
     def make_trainer():
         t = Trainer(
             cfg, workdir, train_ds, val_ds, test_ds,
             use_wandb=args.wandb, self_check=True,
             async_checkpoints=args.async_ckpt,
+            init_params=init_params,
         )
         t.debug_viz = args.debug_viz
         return t
@@ -151,8 +172,10 @@ def main() -> None:
             summary = trainer.fit(epochs=args.epochs)
     else:
         summary = trainer.fit(epochs=args.epochs)
-    export_torch(trainer, summary)
-    trainer.close()
+    try:
+        export_torch(trainer, summary)
+    finally:
+        trainer.close()
     print("training done:", summary)
 
 
