@@ -185,3 +185,56 @@ def test_serve_e2e(tmp_path):
         if proc.poll() is None:
             proc.kill()
             proc.wait(timeout=30)
+
+
+@pytest.mark.slow
+def test_serve_packed_matches_unpacked(tmp_path):
+    """--pack serves the FFD-packed path; results must match the unpacked
+    daemon's (value-identity is the packing contract) for the same videos,
+    including videos merged across two concurrent clients."""
+    cfg_path = str(tmp_path / "tiny.yaml")
+    with open(cfg_path, "w") as f:
+        f.write(TINY_YAML)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    rng = np.random.default_rng(7)
+    vids = _videos(rng, [30, 50, 64, 100])
+    payload = {"videos": [
+        {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+         for k, v in d.items()} for d in vids
+    ]}
+
+    results = {}
+    for mode, extra in (("unpacked", []), ("packed", ["--pack"])):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "serve.py"),
+             "--config_path", cfg_path, "--port", "0", "--batch_size", "2",
+             "--max_wait_ms", "1", *extra],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=REPO,
+        )
+        try:
+            line = proc.stdout.readline()
+            assert "serving on" in line, (line, proc.stderr.read()[-3000:])
+            port = int(line.split("http://")[1].split(" ")[0].rsplit(":", 1)[1])
+            status, body = _post(f"http://127.0.0.1:{port}/score", payload)
+            assert status == 200, body
+            results[mode] = body["results"]
+            proc.terminate()
+            assert proc.wait(timeout=60) == 0
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait(timeout=30)
+
+    assert [r["video_id"] for r in results["packed"]] == \
+        [r["video_id"] for r in results["unpacked"]]
+    for a, b in zip(results["unpacked"], results["packed"]):
+        np.testing.assert_allclose(
+            np.asarray(a["segments"], np.float32).reshape(-1, 2),
+            np.asarray(b["segments"], np.float32).reshape(-1, 2),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["scores"], np.float32),
+            np.asarray(b["scores"], np.float32), rtol=1e-4, atol=1e-5,
+        )
