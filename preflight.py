@@ -132,10 +132,16 @@ def main() -> int:
         remat_best = max_safe_bucket(
             __import__("dataclasses").replace(mc, remat=True), tc.batch_size, hbm
         )
-        print(
-            f"    max safe bucket: {best} (remat=true extends to {remat_best})"
+        accum_best = max_safe_bucket(
+            mc, tc.batch_size, hbm,
+            grad_accum_steps=tc.batch_size, grad_accum_dtype="bfloat16",
         )
-        return f"max_bucket={best} remat_max={remat_best}"
+        print(
+            f"    max safe bucket: {best} (remat=true extends to {remat_best}; "
+            f"grad_accum_steps={tc.batch_size} + bf16 accumulators to "
+            f"{accum_best})"
+        )
+        return f"max_bucket={best} remat_max={remat_best} accum_max={accum_best}"
 
     if args.full:
 

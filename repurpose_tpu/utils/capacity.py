@@ -51,13 +51,31 @@ def param_count(cfg: ModelConfig) -> int:
     return cfg.self_num_layers * per_layer + stem + heads + 2 * d  # encoder_norm
 
 
-def estimate_train_bytes(cfg: ModelConfig, batch: int, bucket: int) -> dict:
+def estimate_train_bytes(
+    cfg: ModelConfig,
+    batch: int,
+    bucket: int,
+    grad_accum_steps: int = 1,
+    grad_accum_dtype: str = "float32",
+    zero1_dp: int = 1,
+) -> dict:
     """Per-device byte estimate for ONE jitted train step (single chip; under
     dp/tp sharding divide activations by the data axis and params by the
     model axis accordingly).
 
+    The two round-4 memory levers are modeled so the fit table reflects the
+    config that will actually run:
+    - ``grad_accum_steps`` (TrainConfig.grad_accum_steps): the lax.scan over
+      chunks keeps only batch/accum rows of activations live at once, while
+      the grad tree becomes a persistent accumulator in ``grad_accum_dtype``
+      (bfloat16 halves it — train/step.py:_accum_grads);
+    - ``zero1_dp`` (TrainConfig.shard_opt_state over a data axis of that
+      size): the Adam m,v trees shard 1/dp per device
+      (parallel/sharding.py:zero1_opt_specs).
+
     Terms:
-    - params (fp32) + Adam m,v (fp32) + one transient grad tree (fp32);
+    - params (fp32) + Adam m,v (fp32, /zero1_dp) + one grad tree
+      (fp32, or the accumulator dtype when grad_accum_steps > 1);
     - per-layer activations saved for the backward: ~(6*d + 2*d_ff) values
       per token (pre-LN x2, qkv, attn out, proj, ffn hidden x2) in the
       compute dtype; with remat=True only the layer input [B,T,d] is saved;
@@ -67,21 +85,32 @@ def estimate_train_bytes(cfg: ModelConfig, batch: int, bucket: int) -> dict:
     """
     n = param_count(cfg)
     act = 2 if cfg.compute_dtype == "bfloat16" else 4
+    accum = max(int(grad_accum_steps), 1)
     b, t, d, dff = batch, bucket, cfg.d_model, cfg.d_ff
-    state_bytes = 4 * n * 3 + 4 * n  # params + m + v + grads
+    grad_bytes = n * (
+        2 if accum > 1 and grad_accum_dtype == "bfloat16" else 4
+    )
+    state_bytes = (
+        4 * n  # params
+        + 2 * 4 * n // max(int(zero1_dp), 1)  # Adam m + v, ZeRO-1 sharded
+        + grad_bytes
+    )
+    # the scan body sees one chunk's rows; its activations are what's live
+    # (the full-batch INPUTS below stay resident either way)
+    bc = -(-b // accum)  # ceil: step.py requires divisibility, be safe here
     if cfg.remat:
-        per_layer = b * t * d * act
-        transient = b * t * (6 * d + 2 * dff) * act  # one layer recomputed
+        per_layer = bc * t * d * act
+        transient = bc * t * (6 * d + 2 * dff) * act  # one layer recomputed
     else:
-        per_layer = b * t * (6 * d + 2 * dff) * act
+        per_layer = bc * t * (6 * d + 2 * dff) * act
         transient = 0
     attn_quad = 0
     # "auto" resolves to flash on TPU — model the deployment target, not the
     # host this estimate happens to run on.
     if cfg.attention_impl == "xla":
-        attn_quad = b * cfg.num_heads * t * t * act * cfg.self_num_layers
+        attn_quad = bc * cfg.num_heads * t * t * act * cfg.self_num_layers
         if cfg.remat:
-            attn_quad = b * cfg.num_heads * t * t * act  # one layer at a time
+            attn_quad = bc * cfg.num_heads * t * t * act  # one layer at a time
     acts = cfg.self_num_layers * per_layer + transient + attn_quad
     inputs = b * t * (cfg.concat_dim * 4 + cfg.concat_dim * act + 2 * d * act)
     total = (state_bytes + acts + inputs) * FUDGE
@@ -99,12 +128,15 @@ def capacity_table(
     batch: int,
     buckets: Iterable[int],
     hbm: float | None = None,
+    **train_knobs,
 ) -> list[dict]:
-    """One row per bucket: estimate + fits-in-HBM verdict."""
+    """One row per bucket: estimate + fits-in-HBM verdict. ``train_knobs``
+    pass through to ``estimate_train_bytes`` (grad_accum_steps,
+    grad_accum_dtype, zero1_dp)."""
     hbm = hbm if hbm is not None else hbm_bytes_per_device()
     rows = []
     for t in buckets:
-        est = estimate_train_bytes(cfg, batch, t)
+        est = estimate_train_bytes(cfg, batch, t, **train_knobs)
         rows.append(
             {
                 "bucket": int(t),
@@ -118,14 +150,15 @@ def capacity_table(
 
 
 def max_safe_bucket(
-    cfg: ModelConfig, batch: int, hbm: float | None = None, cap: int = 1 << 17
+    cfg: ModelConfig, batch: int, hbm: float | None = None, cap: int = 1 << 17,
+    **train_knobs,
 ) -> int:
     """Largest power-of-two bucket whose train step fits the estimate."""
     hbm = hbm if hbm is not None else hbm_bytes_per_device()
     best = 0
     t = 256
     while t <= cap:
-        if estimate_train_bytes(cfg, batch, t)["total_bytes"] < hbm:
+        if estimate_train_bytes(cfg, batch, t, **train_knobs)["total_bytes"] < hbm:
             best = t
         t *= 2
     return best

@@ -83,3 +83,37 @@ def test_compiled_cross_check():
     assert mem["total_bytes"] > 0
     ratio = est / mem["total_bytes"]
     assert 0.2 < ratio < 8.0, (est, mem)
+
+
+def test_grad_accum_and_zero1_shrink_the_estimate():
+    """The round-4 memory levers must move the fit model the right way:
+    accumulation chunks activations (train/step.py:_accum_grads scans
+    batch/accum rows), bf16 accumulators halve the grad tree, and ZeRO-1
+    shards the Adam moments 1/dp (parallel/sharding.py:zero1_opt_specs)."""
+    flag = ModelConfig()
+    base = estimate_train_bytes(flag, 8, 2048)
+    accum = estimate_train_bytes(flag, 8, 2048, grad_accum_steps=4)
+    assert accum["activation_bytes"] < base["activation_bytes"] / 3
+    assert accum["total_bytes"] < base["total_bytes"]
+    bf16 = estimate_train_bytes(
+        flag, 8, 2048, grad_accum_steps=4, grad_accum_dtype="bfloat16"
+    )
+    assert bf16["state_bytes"] < accum["state_bytes"]
+    # bf16 accumulators only exist on the accumulation path
+    no_accum_bf16 = estimate_train_bytes(
+        flag, 8, 2048, grad_accum_dtype="bfloat16"
+    )
+    assert no_accum_bf16["state_bytes"] == base["state_bytes"]
+    z = estimate_train_bytes(flag, 8, 2048, zero1_dp=4)
+    n = z["params"]
+    assert base["state_bytes"] - z["state_bytes"] == 2 * 4 * n - 2 * 4 * n // 4
+    # inputs stay whole-batch resident regardless of chunking
+    assert accum["input_bytes"] == base["input_bytes"]
+    # the knobs thread through the table and the max-bucket search
+    t_base = max_safe_bucket(flag, 8, hbm=16e9)
+    t_accum = max_safe_bucket(
+        flag, 8, hbm=16e9, grad_accum_steps=8, grad_accum_dtype="bfloat16"
+    )
+    assert t_accum >= t_base
+    rows = capacity_table(flag, 8, (2048,), hbm=16e9, grad_accum_steps=4)
+    assert rows[0]["est_gb"] < capacity_table(flag, 8, (2048,), hbm=16e9)[0]["est_gb"]
