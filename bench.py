@@ -442,7 +442,8 @@ class _Worker:
 
     def _measure_train(self, b: int, t: int, remat: bool, n_chain: int,
                        grad_accum_steps: int = 1,
-                       grad_accum_dtype: str = "float32") -> dict:
+                       grad_accum_dtype: str = "float32",
+                       want_memory: bool = False) -> dict:
         import dataclasses
 
         from repurpose_tpu.config import TrainConfig
@@ -479,7 +480,7 @@ class _Worker:
             3 * _flops_forward(mcfg, b, t, _bench_durations(b, t))
             / step_s / self.peak
         )
-        return {
+        out = {
             "step_ms": round(step_s * 1e3, 2),
             "videos_per_s": round(b / step_s, 1),
             "batch": b,
@@ -487,6 +488,18 @@ class _Worker:
             "mfu": round(mfu, 3),
             "n_chain": n_chain,
         }
+        if want_memory:
+            # XLA buffer-assignment bytes for ONE step (not the chain):
+            # deterministic stand-in for HBM high-water, which the tunnel
+            # device does not report (memory_stats() is None on axon).
+            ma = (
+                jax.jit(step)
+                .lower(state, batch, step_key)
+                .compile()
+                .memory_analysis()
+            )
+            out["temp_mb"] = round(ma.temp_size_in_bytes / 1e6, 1)
+        return out
 
     def sec_train(self, results: dict, b: int, t: int, remat: bool,
                   n_chain: int) -> None:
@@ -501,21 +514,30 @@ class _Worker:
     def sec_train_accum(self, results: dict) -> None:
         """bf16 vs fp32 gradient ACCUMULATORS (TrainConfig.grad_accum_dtype,
         round-4 lever): same step at grad_accum_steps=2, measured
-        back-to-back in one process — the bf16 row halves the accumulator
-        HBM traffic; the delta is the measured value of the lever."""
+        back-to-back in one process, wall-clock AND compiled memory — XLA's
+        buffer-assignment temp bytes stand in for runtime HBM high-water
+        (device memory_stats() returns None through the axon tunnel). Both
+        deltas measured ~nil round 5 (0.989x speed, 16 MB of 3206 MB temp):
+        the lever is closed; fp32 stays the default."""
         b, t = TRAIN_BATCH, HEADLINE_BUCKET
         out = {}
         for dtype in ("float32", "bfloat16"):
             r = self._measure_train(
                 b, t, remat=False, n_chain=N_TRAIN_CHAIN,
                 grad_accum_steps=2, grad_accum_dtype=dtype,
+                want_memory=True,
             )
             out[dtype] = r["step_ms"]
+            out[f"{dtype}_temp_mb"] = r["temp_mb"]
             print(
-                f"train accum(2, {dtype}) @ {t}: {r['step_ms']:.1f} ms/step",
+                f"train accum(2, {dtype}) @ {t}: {r['step_ms']:.1f} ms/step, "
+                f"compiled temp {r['temp_mb']:.1f} MB",
                 file=sys.stderr,
             )
         out["bf16_speedup"] = round(out["float32"] / out["bfloat16"], 3)
+        out["bf16_temp_saved_mb"] = round(
+            out["float32_temp_mb"] - out["bfloat16_temp_mb"], 1
+        )
         results["train_accum"] = out
 
     def sec_train_packed(self, results: dict) -> None:
