@@ -218,7 +218,7 @@ def packing_layout(
 
 def iter_packed_batches(
     fetch, lengths: Sequence[int], buckets: Sequence[int], batch_size: int,
-    indices: Sequence[int] | None = None,
+    indices: Sequence[int] | None = None, row_bucket: bool = False,
 ):
     """FFD sequence packing over a corpus, one packed batch at a time.
 
@@ -236,6 +236,13 @@ def iter_packed_batches(
     (default: all). Yields ``(batch, (row_of, start, length), gidx,
     samples)`` where ``gidx``/``samples`` list the batch's videos in packed
     (row-major) order — gidx are ``fetch`` indices.
+
+    ``row_bucket=True`` pads each batch's ROW count to the smallest power
+    of two >= the rows actually used (instead of always ``batch_size``):
+    <= log2(batch_size)+1 program shapes per bucket, and a shallow serving
+    drain ships 1-2 rows of H2D instead of batch_size (the padded transfer
+    dominates per-request latency on network-attached devices). Keep False
+    for training — scan/donation want one fixed shape.
     """
     idx = list(range(len(lengths))) if indices is None else list(indices)
     buckets = sorted(buckets)
@@ -261,7 +268,13 @@ def iter_packed_batches(
             # the layout from the planned lengths would shift every later
             # video's unpacked span; use the actual durations for both.
             actual = [min(int(s["duration"]), bucket) for s in samples]
-            batch = pack_batch(samples, rows_l, bucket, batch_size=batch_size)
+            b = batch_size
+            if row_bucket:
+                b = 1
+                while b < len(rows_l):
+                    b *= 2
+                b = min(b, batch_size)
+            batch = pack_batch(samples, rows_l, bucket, batch_size=b)
             sidx, row_of, start, length = packing_layout(rows_l, actual, bucket)
             pad = cap - len(sidx)
             row_of, start, length = (

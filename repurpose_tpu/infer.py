@@ -250,11 +250,22 @@ class InferencePipeline:
                 idxs = groups[bucket]
                 for j in range(0, len(idxs), batch_size):
                     chunk = idxs[j : j + batch_size]
-                    # ragged tails zero-pad to the STATIC batch size: one
-                    # compiled program per bucket (not per tail size), and
-                    # the data-axis sharding under a live ring mesh stays
-                    # divisible; _unpack drops rows beyond len(ids)
-                    b = batch_size
+                    # Ragged tails zero-pad to a BUCKETED row count: the
+                    # smallest power of two >= the real videos (<= log2(bs)+1
+                    # programs per bucket instead of one, still static
+                    # shapes). A lone serving request ships 1 row of H2D
+                    # instead of batch_size — on a network-attached device
+                    # the padded transfer dominated per-request latency
+                    # (tools/bench_serve.py). Under a live ring mesh the row
+                    # count stays the full batch_size so the data-axis
+                    # sharding divides; _unpack drops rows beyond len(ids).
+                    if self._mesh is None:
+                        b = 1
+                        while b < len(chunk):
+                            b *= 2
+                        b = min(b, batch_size)
+                    else:
+                        b = batch_size
                     vis = np.zeros((b, bucket, self.cfg.vis_dim), np.float32)
                     aud = np.zeros((b, bucket, self.cfg.aud_dim), np.float32)
                     txt = np.zeros((b, bucket, self.cfg.text_dim), np.float32)
@@ -324,7 +335,7 @@ class InferencePipeline:
 
         def stream_items():
             for batch, layout, gidx, samples in iter_packed_batches(
-                fetch, lengths, buckets, batch_size
+                fetch, lengths, buckets, batch_size, row_bucket=True
             ):
                 # ids from the already-fetched samples — indexing ``videos``
                 # again would re-load features on lazy dataset-backed inputs

@@ -298,18 +298,29 @@ def main() -> None:
         for b in buckets:
             t0c = time.time()
             t = min(b, 8)
-            pipe.score_videos(
-                [{"video_id": f"warmup_{b}",
-                  "visual": np.zeros((t, cfg.model.vis_dim), np.float32),
-                  "audio": np.zeros((t, cfg.model.aud_dim), np.float32),
-                  "text": np.zeros((t, cfg.model.text_dim), np.float32)}],
-                buckets=(b,), batch_size=args.batch_size, pack=args.pack,
-            )
+            # two drains per bucket: 1 video (row-bucketed 1-row program —
+            # the lone-request fast path) and batch_size videos (the full
+            # drain); intermediate power-of-two row counts compile on demand
+            for n in (1, args.batch_size):
+                pipe.score_videos(
+                    [{"video_id": f"warmup_{b}_{i}",
+                      "visual": np.zeros((t, cfg.model.vis_dim), np.float32),
+                      "audio": np.zeros((t, cfg.model.aud_dim), np.float32),
+                      "text": np.zeros((t, cfg.model.text_dim), np.float32)}
+                     for i in range(n)],
+                    buckets=(b,), batch_size=args.batch_size, pack=args.pack,
+                )
             logging.info("warmed bucket %d in %.1fs", b, time.time() - t0c)
 
     scorer.start()
     platform = jax.devices()[0].platform
-    server = ThreadingHTTPServer(
+
+    class _Server(ThreadingHTTPServer):
+        # default backlog (5) drops SYNs under concurrent-client bursts —
+        # clients see ConnectionResetError while the scorer is mid-drain
+        request_queue_size = 128
+
+    server = _Server(
         (args.host, args.port),
         _make_handler(scorer, cfg, args.feature_root, platform, time.monotonic()),
     )

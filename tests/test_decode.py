@@ -219,3 +219,47 @@ def test_pipeline_raw_outputs_match_forward():
     np.testing.assert_allclose(
         streamed[0][0]["raw_logits"], results[0]["raw_logits"]
     )
+
+
+def test_score_videos_row_bucketing_value_identical():
+    """Row-count bucketing (serving fast path: a drain pads to the smallest
+    power-of-two rows, not batch_size — infer.py score_videos) must be
+    invisible in the values: scoring 1 or 3 videos at batch_size=4 equals
+    scoring them inside a full 4-video drain, unpacked and packed."""
+    from repurpose_tpu.models import MMCT
+
+    cfg = ModelConfig(
+        vis_dim=8, aud_dim=12, text_dim=4, d_model=16, self_num_layers=1,
+        num_heads=2, d_ff=32, hidden_dim=8, compute_dtype="float32",
+        attention_impl="xla",
+    )
+    params = MMCT(cfg).init_params(jax.random.key(0))
+    test_cfg = TestConfig(
+        pre_nms_topk=64, pre_nms_thresh=0.2, duration_thresh=0.001,
+        duration_thresh_max=90, max_seg_per_min=1.0,
+    )
+    pipe = InferencePipeline(cfg, params, test_cfg)
+    rng = np.random.default_rng(7)
+    videos = [
+        {
+            "visual": rng.normal(0, 1, (t, 8)).astype(np.float32),
+            "audio": rng.normal(0, 1, (t, 12)).astype(np.float32),
+            "text": rng.normal(0, 1, (t, 4)).astype(np.float32),
+            "video_id": f"vid{i}",
+        }
+        for i, t in enumerate([30, 55, 40, 62])
+    ]
+    for pack in (False, True):
+        full = pipe.score_videos(videos, buckets=(64,), batch_size=4, pack=pack)
+        for n in (1, 3):
+            sub = pipe.score_videos(
+                videos[:n], buckets=(64,), batch_size=4, pack=pack
+            )
+            assert [r["video_id"] for r in sub] == [f"vid{i}" for i in range(n)]
+            for got, ref in zip(sub, full[:n]):
+                np.testing.assert_allclose(
+                    got["scores"], ref["scores"], rtol=1e-5, atol=1e-6
+                )
+                np.testing.assert_allclose(
+                    got["segments"], ref["segments"], rtol=1e-5, atol=1e-5
+                )
