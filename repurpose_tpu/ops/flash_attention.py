@@ -146,6 +146,15 @@ PACKED_Q_BLOCK = 512
 # unpacked (1.57x).
 PACKED_BWD_D_BLOCK: int | None = None
 
+# Feature-axis block overrides for the HBM-resident kernels (t >
+# HBM_STREAM_T), forward and backward separately (None = _pick_d_block,
+# 128 at flagship dims). Larger d blocks amortize each HBM K/V chunk DMA
+# over more heads but double the double-buffer scratch; sweepable on chip
+# via tools/bench_hbm_sweep.py (VERDICT r5: re-sweep after the packed
+# refactors). Applied only when they tile legally.
+HBM_FWD_D_BLOCK: int | None = None
+HBM_BWD_D_BLOCK: int | None = None
+
 # Mosaic grid-axis semantics for the three 3-axis kernels' (batch, d-block,
 # t-block) grids. Every program is independent (no cross-step accumulation),
 # so all axes are legal as "parallel". Swept on v5e (tools/bench_dimsem.py,
@@ -293,6 +302,10 @@ def _flash_forward(
     q_block = min(q_block, t)
     scale = 1.0 / (dh ** 0.5)
     d_block = _pick_d_block(d, dh)
+    if t > HBM_STREAM_T and HBM_FWD_D_BLOCK is not None:
+        hdb = min(HBM_FWD_D_BLOCK, d)
+        if d % hdb == 0 and hdb % dh == 0:
+            d_block = hdb
     if seg_ids is not None and t <= STREAM_MAX_T:
         # packed dense kernels rebuild the [Tq, T] seg bias once per d-block
         # program — larger d blocks amortize it over more heads (measured,
@@ -1256,6 +1269,10 @@ def _flash_backward(
     assert q_block and k_block  # guaranteed by the mha_pallas entry check
     scale = 1.0 / (dh ** 0.5)
     d_block = _pick_d_block(d, dh)
+    if t > HBM_STREAM_T and HBM_BWD_D_BLOCK is not None:
+        hdb = min(HBM_BWD_D_BLOCK, d)
+        if d % hdb == 0 and hdb % dh == 0:
+            d_block = hdb
     if seg_ids is not None and PACKED_BWD_D_BLOCK is not None:
         # packed dq/dkv rebuild the [Tq, T] seg bias per d-block program like
         # the forward; sweepable via tools/bench_packed_train.py (separate
