@@ -34,13 +34,20 @@ def _unpack(res: DecodeResult, durations, video_ids, raw=None) -> list[dict]:
     per-second outputs, duration-sliced, as ``raw_logits``/``raw_offsets`` —
     so debug/visualization consumers reuse the decode program's forward
     instead of running a second one (Trainer.evaluate debug_viz)."""
-    segments = np.asarray(res.segments)
-    scores = np.asarray(res.scores)
-    labels = np.asarray(res.labels)
-    keep = np.asarray(res.keep)
+    # ONE device_get for every output: sequential np.asarray fetches pay a
+    # full D2H round trip each (~33 ms over a network-attached device —
+    # 4 serial fetches dominated per-request serving latency,
+    # tools/bench_serve.py); a single pytree fetch overlaps the transfers.
+    fetch = [res.segments, res.scores, res.labels, res.keep]
     if raw is not None:
-        raw_logits = np.asarray(raw[0])
-        raw_offsets = np.asarray(raw[1])
+        fetch += [raw[0], raw[1]]
+    import jax
+
+    fetched = jax.device_get(fetch)
+    segments, scores, labels, keep = (np.asarray(a) for a in fetched[:4])
+    if raw is not None:
+        raw_logits = np.asarray(fetched[4])
+        raw_offsets = np.asarray(fetched[5])
     out = []
     for b in range(segments.shape[0]):
         k = keep[b]

@@ -297,11 +297,14 @@ def main() -> None:
     if args.warmup:
         for b in buckets:
             t0c = time.time()
-            t = min(b, 8)
-            # two drains per bucket: 1 video (row-bucketed 1-row program —
-            # the lone-request fast path) and batch_size videos (the full
-            # drain); intermediate power-of-two row counts compile on demand
-            for n in (1, args.batch_size):
+            # every power-of-two row count (row bucketing: a drain compiles
+            # the smallest power of two >= its videos — warm them all so no
+            # request ever waits on a compile). Unpacked: n tiny videos ->
+            # n rows. Packed: FFD repacks tiny videos into one row, so use
+            # just-over-half-bucket videos (one per row) to force n rows.
+            t = (b // 2 + 8) if args.pack else min(b, 8)
+            n = 1
+            while n <= args.batch_size:
                 pipe.score_videos(
                     [{"video_id": f"warmup_{b}_{i}",
                       "visual": np.zeros((t, cfg.model.vis_dim), np.float32),
@@ -310,6 +313,7 @@ def main() -> None:
                      for i in range(n)],
                     buckets=(b,), batch_size=args.batch_size, pack=args.pack,
                 )
+                n *= 2
             logging.info("warmed bucket %d in %.1fs", b, time.time() - t0c)
 
     scorer.start()
