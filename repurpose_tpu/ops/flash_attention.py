@@ -805,7 +805,13 @@ def _bwd_dq_kernel(
         ok = mask_ref[0] != 0  # [1, T]
         if packed:
             ok = ok & (seg_col_ref[0] == seg_row_ref[0])  # [Tq, T]
-        bias = jnp.where(ok, 0.0, NEG_INF)
+            # select form: a [Tq, T] f32 bias slab re-read by every head
+            # pass costs 4x the traffic of the bool mask; masked positions
+            # zero out AFTER the exp instead (exp may transiently hit inf
+            # where a masked score exceeds lse — the select discards it).
+            bias = None
+        else:
+            bias = jnp.where(ok, 0.0, NEG_INF)  # [1, T] row, broadcast-cheap
         for h in range(heads):
             sl = slice(h * dh, (h + 1) * dh)
             q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
@@ -821,7 +827,13 @@ def _bwd_dq_kernel(
             )
             # exact softmax rows via saved logsumexp; the [Tq, T] exp and ds
             # passes run in sm_dtype
-            p = jnp.exp((s + bias - lse).astype(sm_dtype))
+            if packed:
+                p = jnp.where(
+                    ok, jnp.exp((s - lse).astype(sm_dtype)),
+                    jnp.zeros((), sm_dtype),
+                )
+            else:
+                p = jnp.exp((s + bias - lse).astype(sm_dtype))
 
             dp = jax.lax.dot_general(
                 g, v, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -1136,7 +1148,9 @@ def _dkv_compute(
     ok = mask_ref[0] != 0  # [1, Tk]
     if seg is not None:
         ok = ok & (seg[0][0] == seg[1][0])  # [T, Tk]
-    bias = jnp.where(ok, 0.0, NEG_INF)
+        bias = None  # select form (see _bwd_dq_kernel): bool mask, not f32 slab
+    else:
+        bias = jnp.where(ok, 0.0, NEG_INF)
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         q = (q_ref[0, :, sl].astype(jnp.float32) * scale).astype(q_ref.dtype)
@@ -1152,7 +1166,13 @@ def _dkv_compute(
         )  # [T, Tk]
         # exact softmax columns via saved logsumexp; [T, Tk] exp/ds passes in
         # sm_dtype (2x VPU rate at bf16)
-        p = jnp.exp((s + bias - lse).astype(sm_dtype))
+        if seg is not None:
+            p = jnp.where(
+                ok, jnp.exp((s - lse).astype(sm_dtype)),
+                jnp.zeros((), sm_dtype),
+            )
+        else:
+            p = jnp.exp((s + bias - lse).astype(sm_dtype))
 
         dv_ref[0, :, sl] = jax.lax.dot_general(
             p.astype(g_ref.dtype), g, dimension_numbers=(((0,), (0,)), ((), ())),

@@ -12,10 +12,16 @@ decomposes it, packed vs unpacked back-to-back at IDENTICAL shapes:
   model-grad    full value_and_grad (no optimizer)
   full-step     make_train_step (grad + Adam + metrics)
 
-The suspect is the in-kernel [Tq, T] seg-bias rebuild per d-block program
-(ops/flash_attention.py:_bwd_dq_kernel/_bwd_dkv_kernel packed=True). After
-attribution, sweeps PACKED_BWD_D_BLOCK / PACKED_Q_BLOCK / PACKED_K_BLOCK on
-the attn-grad microbench and confirms any winner on the full step.
+Measured (v5e, 2026-08-19, back-to-back): the whole delta is the attention
+BACKWARD (packed 5.65 vs unpacked 4.87 ms/layer-grad; x16 = +12.5 ms = the
+step delta; the packed forward is FREE at 3.02 vs 3.00) — and it is real
+work, not overhead: 93%-fill packed rows carry 1.44x the valid seconds of
+the 64%-fill unpacked batch whose prefix-skipping kernels skip a third of
+their blocks. Per valid second packed is ~19% cheaper. Retunes measured
+dead (bwd d_block >=256 OOMs scoped vmem; streaming dq/dkv at 2048 loses);
+the select-form bias (bool mask after exp, not an f32 slab) shipped from
+this attribution — bit-identical grads, 6.36 vs 6.44 ms same-process.
+Full story: ROADMAP.md "Packed-train step overhead".
 
 Usage: python tools/bench_packed_parts.py [--sweep] [--chain N]
 """
@@ -143,12 +149,16 @@ def main() -> None:
     if seg is None:  # field name check — Batch may call it seg/seg_ids
         raise SystemExit(f"Batch fields: {pb._fields}")
 
+    sm = cfg.attn_softmax_dtype  # the model's bf16 softmax interior keeps
+    # the packed dense kernel inside the 16M scoped-vmem limit; the f32
+    # default OOMs at [6,2048] d_block 256 (measured — see ROADMAP)
+
     def attn_fwd(seg_ids):
         @jax.jit
         def run(c, q, k, v, kv):
             def body(ci, _):
                 o = mha_pallas(q + (ci * 1e-6).astype(q.dtype), k, v, kv,
-                               seg_ids=seg_ids)
+                               seg_ids=seg_ids, softmax_dtype=sm)
                 return jnp.sum(o).astype(jnp.float32), ()
             c2, _ = jax.lax.scan(body, c, None, length=n_chain)
             return c2
@@ -157,7 +167,8 @@ def main() -> None:
     def attn_grad(seg_ids):
         def one(q, k, v, kv):
             return jnp.sum(
-                mha_pallas(q, k, v, kv, seg_ids=seg_ids).astype(jnp.float32)
+                mha_pallas(q, k, v, kv, seg_ids=seg_ids,
+                           softmax_dtype=sm).astype(jnp.float32)
             )
         g = jax.grad(one, argnums=(0, 1, 2))
 
