@@ -146,14 +146,21 @@ PACKED_Q_BLOCK = 512
 # unpacked (1.57x).
 PACKED_BWD_D_BLOCK: int | None = None
 
-# Feature-axis block overrides for the HBM-resident kernels (t >
-# HBM_STREAM_T), forward and backward separately (None = _pick_d_block,
-# 128 at flagship dims). Larger d blocks amortize each HBM K/V chunk DMA
-# over more heads but double the double-buffer scratch; sweepable on chip
-# via tools/bench_hbm_sweep.py (VERDICT r5: re-sweep after the packed
-# refactors). Applied only when they tile legally.
+# HBM-regime (t > HBM_STREAM_T) block overrides, swept on v5e at
+# [1, 32768, 8, 64] (tools/bench_hbm_sweep.py, back-to-back one process;
+# 2026-08-19). None = the shorter-regime default. Applied only when they
+# tile legally; the t <= HBM_STREAM_T regimes keep their own tuned blocks.
+# - forward DMA chunk 2048: 36.24 ms vs 38.30 at the 1024 default (-5%);
+#   larger chunks amortize DMA issue over more MXU work.
+# - dkv key block 512 + backward d_block 256: 255.4 ms grad vs 317.5 at
+#   the (256, None=128) defaults (-20%) — the 4-axis dkv kernel's f32
+#   scratch accumulators revisit [k_block, d_block] tiles across the whole
+#   q sweep, so bigger tiles quarter the revisit count; 2048/512-d combos
+#   exceed scoped VMEM (compile OOM), these are the largest legal ones.
+HBM_FWD_K_BLOCK = 2048
 HBM_FWD_D_BLOCK: int | None = None
-HBM_BWD_D_BLOCK: int | None = None
+HBM_DKV_K_BLOCK = 512
+HBM_BWD_D_BLOCK: int | None = 256
 
 # Mosaic grid-axis semantics for the three 3-axis kernels' (batch, d-block,
 # t-block) grids. Every program is independent (no cross-step accumulation),
@@ -344,7 +351,7 @@ def _flash_forward(
         jax.ShapeDtypeStruct((b, h, t, 1), jnp.float32),
     )
     if t > HBM_STREAM_T:
-        kb = _pick_block(t, STREAM_K_BLOCK)
+        kb = _pick_block(t, HBM_FWD_K_BLOCK)
         packed_ins, packed_ops = [], []
         if seg_ids is not None:
             # sequence packing at arbitrary T: seg bias + bounded k sweep
@@ -1451,6 +1458,13 @@ def _flash_backward(
         memory_space=pltpu.VMEM,
     )
     dkv_stream_t = STREAM_MAX_T if DKV_STREAM_T is None else DKV_STREAM_T
+    if t > HBM_STREAM_T:
+        # HBM regime: the 4-axis dkv kernel revisits its [k_block, d_block]
+        # scratch across the whole q sweep — the swept larger key block
+        # quarters the revisits (tools/bench_hbm_sweep.py, -20% grad)
+        kb_dkv = _pick_block(t, HBM_DKV_K_BLOCK)
+        if kb_dkv:
+            k_block = kb_dkv
     if seg_ids is not None and t > dkv_stream_t:
         # sequence-packed streaming dk/dv: the unpacked 4-axis grid
         # (b, d-block, k-block, q-chunk) plus the block-diagonal bias; a
