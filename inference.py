@@ -98,16 +98,29 @@ def main() -> None:
         ds = RepurposeDataset(cfg.test_dataset, validate=False, keep_gt_segments=True)
 
     params = load_params(args, cfg)
+    all_results, time_offsets, per_thr = evaluate_dataset(
+        ds, cfg, params, batch_size=args.batch_size, pack=args.pack
+    )
+    _finish(args, all_results, time_offsets, per_thr)
+
+
+def evaluate_dataset(ds, cfg, params, batch_size=None, pack=False):
+    """Score a dataset under the published protocol (the reference's
+    inference.py:37-55 loop: per-video decode + Soft-NMS + tIoU against the
+    ground-truth segments). Returns ``(results, time_offsets, per_thr)``
+    where ``per_thr`` maps each tIoU threshold to the per-video precision
+    list. Shared by the CLI below and campaign.py (the one-command
+    published-protocol accuracy campaign)."""
     pipe = InferencePipeline(
         dataclasses.replace(cfg.model, dropout=0.0), params, cfg.test_cfg
     )
-    bs = args.batch_size or cfg.train.batch_size
+    bs = batch_size or cfg.train.batch_size
     per_thr = {t: [] for t in TIOU_THRESHOLDS}
     all_results = []
     time_offsets = {}
     sample_blocks = []
 
-    if args.pack:
+    if pack:
         class _LazyVideos:
             """Dataset-backed lazy sequence for score_videos(pack=True):
             features load one packed batch at a time
@@ -151,8 +164,7 @@ def main() -> None:
             )
             for t in TIOU_THRESHOLDS:
                 per_thr[t].append(tiou[t])
-        _finish(args, all_results, time_offsets, per_thr)
-        return
+        return all_results, time_offsets, per_thr
 
     # group by bucket first (stable sort): index-order chunks would pad
     # nearly every batch to its longest member's bucket on a mixed-length
@@ -198,7 +210,7 @@ def main() -> None:
                 per_thr[t].append(tiou[t])
         all_results.extend(results[: len(samples)])
 
-    _finish(args, all_results, time_offsets, per_thr)
+    return all_results, time_offsets, per_thr
 
 
 def _finish(args, all_results, time_offsets, per_thr) -> None:
